@@ -1,0 +1,337 @@
+"""Ray-Data-native CDC / incremental-ingest engine.
+
+WAL tail → merge-on-read upsert into a hash-partitioned Parquet lake,
+exactly-once, resumable. This is the re-imagination of the reference's
+tar→TFRecord pipeline (`/root/reference/tfdata/pipeline/pipeline.go:104-123`)
+as a change-event stream: the tar's group-members-by-basename upsert map
+(`/root/reference/tfdata/archive/manager.go:57-63`) becomes per-``doc_id``
+last-write-wins over ``seq``; its "emit when record complete" micro-batch
+boundary (`/root/reference/tfdata/archive/seekreader.go:125-133`) becomes the
+epoch barrier; its single-writer async funnel
+(`/root/reference/tfdata/core/tfrecord.go:128-180`) becomes one delta writer
+per partition per epoch behind an atomic manifest commit.
+
+Dataflow per epoch (one shuffle total):
+
+    read_parquet(epoch segment)                       # stateless read tasks
+      → map_batches(EventNormalizer, pyarrow)         # schema evolution +
+            # part_id hash + watermark replay-dedup + partial per-batch
+            # collapse (the combiner — bounds hot-key volume pre-shuffle)
+      → groupby(part_id).map_groups(DeltaWriter)      # THE shuffle; writes
+            # one delta file per touched partition, returns intent rows
+      → driver folds K intent rows → manifest commit  # 2-phase, fenced
+
+Apply is a pure append (LSM): no base files are read, so epoch latency is
+O(epoch size) regardless of lake size. ``scan()`` does merge-on-read with
+ZERO shuffle: the lake is hash-partitioned on disk, so each read task merges
+exactly one partition's (base + delta) files locally. ``compact()`` folds
+deltas into a new base per partition, also shuffle-free.
+
+Scale notes (100 TB / 256 nodes): ``num_partitions`` should be several × the
+cluster's total cores (e.g. 4096); per-epoch state never exceeds one epoch's
+collapsed events; skew is bounded because the per-batch partial collapse
+emits ≤1 row per (doc_id, batch) before the shuffle, so a pathological hot
+key costs O(#input blocks), not O(#events). Delta filenames are
+deterministic per (partition, epoch) and written tmp→rename, so task retries
+are idempotent; only the manifest commit publishes them.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import uuid
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..sources.wal import LAKE_COLUMNS, WAL_SCHEMA, list_segments
+from ..stages.schema import SchemaPolicy
+from ..state import manifest as mf
+from .collapse import collapse_latest, hash_partition, merge_on_read
+
+# Columns the engine itself needs beyond the user schema.
+_INTERNAL = ("seq", "op", "part_id")
+
+DEFAULT_TARGET = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("op", pa.string()),
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+
+class EventNormalizer:
+    """map_batches callable (actor pool): normalize + route + dedup + combine.
+
+    Stateful setup (schema policy, watermark vector) happens once per actor
+    in ``__init__`` — the Ray analog of the reference's reader-wrapping
+    stateful stages (`/root/reference/README.md:67-117`).
+    """
+
+    def __init__(self, policy: SchemaPolicy, num_partitions: int, watermarks: dict[int, int]):
+        self.policy = policy
+        self.k = num_partitions
+        wm = np.full(num_partitions, -1, dtype=np.int64)
+        for p, w in watermarks.items():
+            wm[p] = w
+        self.wm = wm
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = self.policy.normalize(t)
+        if len(t) == 0:
+            return t.append_column("part_id", pa.array([], type=pa.int32()))
+        part = hash_partition(t["doc_id"], self.k)
+        t = t.append_column("part_id", pa.array(part))
+        # replay / late-duplicate dedup: drop events at/below the partition's
+        # committed high-watermark (idempotent re-delivery, north rule).
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        keep = seq > self.wm[part]
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        # partial collapse (combiner): ≤1 row per key per batch pre-shuffle.
+        return collapse_latest(t, order_cols=("seq",))
+
+
+def write_delta(g: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+    """map_groups fn: final per-partition collapse + delta file write.
+
+    Phase 1 of the 2-phase commit: writes ``part=K/delta-{epoch}.parquet``
+    via tmp+rename (idempotent under task retry) and returns an intent row.
+    Nothing is visible until the driver commits the manifest (phase 2).
+    """
+    if len(g) == 0:
+        return pa.table(
+            {
+                "part_id": pa.array([], pa.int32()),
+                "path": pa.array([], pa.string()),
+                "rows": pa.array([], pa.int64()),
+                "max_seq": pa.array([], pa.int64()),
+                "upserts": pa.array([], pa.int64()),
+            }
+        )
+    part = int(g["part_id"][0].as_py())
+    g = collapse_latest(g, order_cols=("seq",))
+    rel = os.path.join(f"part={part:04d}", f"delta-{epoch:06d}.parquet")
+    final = os.path.join(lake_dir, rel)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(g, tmp)
+    os.rename(tmp, final)
+    return pa.table(
+        {
+            "part_id": pa.array([part], pa.int32()),
+            "path": pa.array([rel]),
+            "rows": pa.array([len(g)], pa.int64()),
+            "max_seq": pa.array([int(pc.max(g["seq"]).as_py())], pa.int64()),
+            "upserts": pa.array(
+                [int(pc.sum(pc.not_equal(g["op"], pa.scalar("D")).cast(pa.int64())).as_py())],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+class PartitionMergeReader:
+    """Scan-side merge-on-read: one descriptor row per partition, each task
+    reads that partition's base+delta files locally and emits the merged
+    table — no shuffle (files are already hash-partitioned by doc_id)."""
+
+    def __init__(self, lake_dir: str, columns: list[str] | None, with_deleted: bool = False):
+        self.lake_dir = lake_dir
+        self.columns = columns
+        self.with_deleted = with_deleted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for row in range(len(batch)):
+            paths = batch["paths"][row].as_py()
+            tabs = [pq.read_table(os.path.join(self.lake_dir, p)) for p in paths]
+            if not tabs:
+                continue
+            merged = merge_on_read(tabs, drop_internal=() if self.with_deleted else _INTERNAL)
+            if self.columns:
+                merged = merged.select([c for c in self.columns if c in merged.column_names])
+            out.append(merged)
+        if not out:
+            return pa.table({c: pa.array([]) for c in (self.columns or [])})
+        return pa.concat_tables(out, promote_options="permissive")
+
+
+class CDCEngine:
+    """Driver-side coordinator: epochs in, manifest versions out."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        num_partitions: int = 32,
+        policy: SchemaPolicy | None = None,
+        batch_size: int = 32768,
+    ):
+        self.lake_dir = lake_dir
+        os.makedirs(lake_dir, exist_ok=True)
+        self.policy = policy or SchemaPolicy(target=DEFAULT_TARGET)
+        self.batch_size = batch_size
+        self.fence_token = uuid.uuid4().hex
+        m = mf.load_latest(lake_dir)
+        if m is None:
+            m = mf.Manifest(version=0, num_partitions=num_partitions,
+                            schema=[[f.name, str(f.type)] for f in self.policy.target])
+            m.fence_token = self.fence_token
+            mf.commit(lake_dir, m)
+        self.manifest = m
+        self.num_partitions = m.num_partitions  # partitioning is fixed at lake creation
+
+    # -- ingest ------------------------------------------------------------
+
+    def apply_epoch(self, epoch: int, files: list[str]) -> dict[str, Any]:
+        """Apply one WAL segment (micro-batch) exactly once. Re-applying a
+        committed epoch is a no-op (resume path)."""
+        if epoch <= self.manifest.committed_epoch:
+            return {"epoch": epoch, "skipped": True}
+
+        ds = rd.read_parquet(files)
+        ds = ds.map_batches(
+            EventNormalizer,
+            fn_constructor_args=(self.policy, self.num_partitions, self.manifest.watermarks()),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            concurrency=(1, 8),
+            zero_copy_batch=True,
+        )
+        intents_ds = ds.groupby("part_id").map_groups(
+            functools.partial(write_delta, lake_dir=self.lake_dir, epoch=epoch),
+            batch_format="pyarrow",
+        )
+        intents = intents_ds.take_all()  # ≤ num_partitions tiny rows
+
+        m = self.manifest
+        new = mf.Manifest(
+            version=m.version + 1,
+            num_partitions=m.num_partitions,
+            committed_epoch=epoch,
+            fence_token=self.fence_token,
+            schema=m.schema,
+            stats=dict(m.stats),
+        )
+        for k, ps in m.partitions.items():
+            new.partitions[k] = mf.PartitionState(ps.watermark_seq, list(ps.files))
+        applied = 0
+        for it in intents:
+            ps = new.part(int(it["part_id"]))
+            ps.watermark_seq = max(ps.watermark_seq, int(it["max_seq"]))
+            ps.files.append(
+                {"path": it["path"], "kind": "delta", "epoch": epoch, "rows": int(it["rows"])}
+            )
+            applied += int(it["rows"])
+        new.stats["last_epoch_rows"] = applied
+        mf.commit(self.lake_dir, new)  # raises FencedOutError if we lost
+        self.manifest = new
+        return {"epoch": epoch, "skipped": False, "delta_rows": applied,
+                "partitions_touched": len(intents), "version": new.version}
+
+    def apply_wal(self, wal_dir: str) -> list[dict[str, Any]]:
+        """Tail the WAL: apply every segment above the committed epoch, in
+        order. Safe to call repeatedly / after a crash (resume)."""
+        return [self.apply_epoch(e, [p]) for e, p in list_segments(wal_dir)]
+
+    # -- query -------------------------------------------------------------
+
+    def _descriptors(self) -> list[dict[str, Any]]:
+        desc = []
+        for k, ps in sorted(self.manifest.partitions.items(), key=lambda kv: int(kv[0])):
+            if ps.files:
+                ordered = sorted(
+                    ps.files, key=lambda f: (0 if f["kind"] == "base" else 1, f["epoch"])
+                )
+                desc.append({"part_id": int(k), "paths": [f["path"] for f in ordered]})
+        return desc
+
+    def scan(self, columns: list[str] | None = None) -> rd.Dataset:
+        """Merge-on-read snapshot of the lake as a streaming Dataset."""
+        desc = self._descriptors()
+        cols = columns or LAKE_COLUMNS
+        if not desc:
+            empty = pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
+            return rd.from_arrow(empty)
+        return rd.from_items(desc).map_batches(
+            PartitionMergeReader,
+            fn_constructor_args=(self.lake_dir, cols),
+            batch_format="pyarrow",
+            batch_size=4,  # a few partitions per task; each is an independent merge
+            concurrency=(1, 8),
+        )
+
+    def scan_table(self, columns: list[str] | None = None) -> pa.Table:
+        """Small-scale convenience: full merged snapshot as one Arrow table."""
+        tabs = [ray.get(r) for r in self.scan(columns).to_arrow_refs()]
+        tabs = [t for t in tabs if t.num_rows or t.num_columns]
+        return pa.concat_tables(tabs, promote_options="permissive") if tabs else pa.table({})
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> dict[str, Any]:
+        """Fold each partition's base+deltas into a single new base file
+        (shuffle-free; one task per partition), then commit a new manifest
+        version. Physically drops tombstoned rows."""
+        desc = self._descriptors()
+        if not desc:
+            return {"compacted": 0}
+        epoch = self.manifest.committed_epoch
+
+        lake = self.lake_dir
+
+        def compact_part(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(len(batch)):
+                part = int(batch["part_id"][i].as_py())
+                paths = batch["paths"][i].as_py()
+                tabs = [pq.read_table(os.path.join(lake, p)) for p in paths]
+                merged = merge_on_read(tabs)  # keeps seq/op/part_id, drops 'D'
+                rel = os.path.join(f"part={part:04d}", f"base-{epoch:06d}.parquet")
+                final = os.path.join(lake, rel)
+                tmp = final + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(merged, tmp)
+                os.rename(tmp, final)
+                rows.append((part, rel, len(merged)))
+            return pa.table(
+                {
+                    "part_id": pa.array([r[0] for r in rows], pa.int32()),
+                    "path": pa.array([r[1] for r in rows]),
+                    "rows": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+
+        intents = rd.from_items(desc).map_batches(
+            compact_part, batch_format="pyarrow", batch_size=4
+        ).take_all()
+
+        m = self.manifest
+        new = mf.Manifest(
+            version=m.version + 1, num_partitions=m.num_partitions,
+            committed_epoch=m.committed_epoch, fence_token=self.fence_token,
+            schema=m.schema, stats=dict(m.stats),
+        )
+        for k, ps in m.partitions.items():
+            new.partitions[k] = mf.PartitionState(ps.watermark_seq, list(ps.files))
+        for it in intents:
+            ps = new.part(int(it["part_id"]))
+            ps.files = [
+                {"path": it["path"], "kind": "base", "epoch": epoch, "rows": int(it["rows"])}
+            ]
+        mf.commit(self.lake_dir, new)
+        self.manifest = new
+        return {"compacted": len(intents), "version": new.version}
+
+    def vacuum(self) -> list[str]:
+        return mf.vacuum(self.lake_dir)

@@ -1,0 +1,157 @@
+"""Versioned transactional manifest for the Parquet lake.
+
+The reference's TFRecord sink is explicitly non-atomic on partial failure
+(`/root/reference/tfdata/core/tfrecord.go:62`); the north rule requires the
+opposite: exactly-once via an idempotent, epoch-fenced two-phase commit.
+
+Phase 1: tasks write data files to per-partition paths (tmp name + rename,
+so retries are idempotent) and return *intent* rows. Phase 2: the driver
+folds the intents into a new manifest version and publishes it with an
+atomic create-if-absent (``os.link``) of ``manifest-v{N+1}.json``. A stale
+or competing driver loses the link race and must reload — that is the fence.
+Files are truth only once referenced by the latest manifest; unreferenced
+files from crashed runs are ignored and later vacuumed.
+
+On object stores the same protocol maps to conditional PUT (If-None-Match)
+of the manifest key; everything else is plain immutable-object writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class PartitionState:
+    watermark_seq: int = -1  # highest applied seq; events at/below are replays
+    files: list[dict[str, Any]] = field(default_factory=list)
+    # each file: {"path": rel, "kind": "base"|"delta", "epoch": int, "rows": int}
+
+
+@dataclass
+class Manifest:
+    version: int
+    num_partitions: int
+    committed_epoch: int = -1
+    fence_token: str = ""
+    schema: list[list[str]] = field(default_factory=list)  # [[name, arrow_type_str]]
+    partitions: dict[str, PartitionState] = field(default_factory=dict)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+    def part(self, k: int) -> PartitionState:
+        return self.partitions.setdefault(str(k), PartitionState())
+
+    def watermarks(self) -> dict[int, int]:
+        return {int(k): v.watermark_seq for k, v in self.partitions.items()}
+
+    def live_files(self, lake_dir: str) -> list[str]:
+        out = []
+        for ps in self.partitions.values():
+            out += [os.path.join(lake_dir, f["path"]) for f in ps.files]
+        return out
+
+    def to_json(self) -> str:
+        d = {
+            "version": self.version,
+            "num_partitions": self.num_partitions,
+            "committed_epoch": self.committed_epoch,
+            "fence_token": self.fence_token,
+            "schema": self.schema,
+            "stats": self.stats,
+            "partitions": {
+                k: {"watermark_seq": p.watermark_seq, "files": p.files}
+                for k, p in self.partitions.items()
+            },
+        }
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        m = Manifest(
+            version=d["version"],
+            num_partitions=d["num_partitions"],
+            committed_epoch=d.get("committed_epoch", -1),
+            fence_token=d.get("fence_token", ""),
+            schema=d.get("schema", []),
+            stats=d.get("stats", {}),
+        )
+        for k, p in d.get("partitions", {}).items():
+            m.partitions[k] = PartitionState(p["watermark_seq"], p["files"])
+        return m
+
+
+_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+
+
+def _manifest_dir(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests")
+
+
+def latest_version(lake_dir: str) -> int:
+    d = _manifest_dir(lake_dir)
+    if not os.path.isdir(d):
+        return -1
+    vs = [int(m.group(1)) for n in os.listdir(d) if (m := _MANIFEST_RE.match(n))]
+    return max(vs, default=-1)
+
+
+def load_latest(lake_dir: str) -> Manifest | None:
+    v = latest_version(lake_dir)
+    if v < 0:
+        return None
+    with open(os.path.join(_manifest_dir(lake_dir), f"manifest-v{v}.json")) as f:
+        return Manifest.from_json(f.read())
+
+
+class FencedOutError(RuntimeError):
+    """Another writer committed this version first; reload and retry/stop."""
+
+
+def commit(lake_dir: str, m: Manifest) -> None:
+    """Atomically publish ``manifest-v{m.version}.json``; create-if-absent
+    semantics provide the epoch fence (stale writers raise FencedOutError)."""
+    d = _manifest_dir(lake_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(m.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(d, f"manifest-v{m.version}.json")
+    try:
+        os.link(tmp, final)  # atomic create-if-absent on POSIX
+    except FileExistsError as e:
+        raise FencedOutError(f"manifest v{m.version} already committed") from e
+    finally:
+        os.unlink(tmp)
+
+
+def vacuum(lake_dir: str, keep_versions: int = 2) -> list[str]:
+    """Delete data files not referenced by the latest manifest and manifests
+    older than the retention window. Returns deleted paths."""
+    m = load_latest(lake_dir)
+    if m is None:
+        return []
+    live = {os.path.abspath(p) for p in m.live_files(lake_dir)}
+    deleted = []
+    for root, _dirs, names in os.walk(lake_dir):
+        if os.path.basename(root) == "_manifests":
+            continue
+        for n in names:
+            p = os.path.abspath(os.path.join(root, n))
+            if p.endswith(".parquet") and p not in live:
+                os.unlink(p)
+                deleted.append(p)
+    md = _manifest_dir(lake_dir)
+    for n in os.listdir(md):
+        mm = _MANIFEST_RE.match(n)
+        if mm and int(mm.group(1)) <= m.version - keep_versions:
+            os.unlink(os.path.join(md, n))
+            deleted.append(os.path.join(md, n))
+    return deleted
