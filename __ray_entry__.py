@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship CDC replay pipeline on /root/testdata/sf0.001.
+- ``queries()``   — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + training-data ops); each takes ``sf_dir``.
+- ``oracle_sql()``— DuckDB-equivalent SQL per query (omitted for the
+  genuinely non-SQL-expressible ops → driver does a rows-only check).
 """
 
 from __future__ import annotations
@@ -18,27 +15,27 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from go_tfdata_ray.pipelines import queries as Q
+from go_tfdata_ray.sources import wal as walmod
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: generate the deterministic sf0.001 WAL, replay it through
+    the CDC engine (exactly-once, manifest-committed), return the merged
+    lake snapshot as a streaming Dataset."""
+    eng = Q.replayed_engine("/root/testdata/sf0.001")
+    return eng.scan()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # Pre-generate the sf0.01 WAL so the CDC oracle SQL (which reads it from
+    # its fixed /tmp path) works regardless of run order.
+    try:
+        walmod.ensure_wal_for_sf("/root/testdata/sf0.01")
+    except Exception:
+        pass  # queries that need it will regenerate on call
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

@@ -1,0 +1,183 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` callables; the stateful ones
+(compiled regexes, marker-word tables) are callable CLASSES so the setup
+runs once per actor (`__init__`), per the actor-pool pattern — the Ray
+analog of the reference's stateful reader-wrapping stages
+(`/root/reference/README.md:67-117`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_PUNCT = ".,!?;:"
+
+
+def doc_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact integer per-doc counters (n_chars / n_spaces / n_punct) —
+    quality-scoring raw features, SQL-reproducible for the oracle."""
+    s = t[text_col]
+    n_chars = pc.utf8_length(s).cast(pa.int64())
+    no_space = pc.replace_substring_regex(s, " ", "")
+    n_spaces = pc.subtract(n_chars, pc.utf8_length(no_space).cast(pa.int64()))
+    no_punct = pc.replace_substring_regex(s, f"[{_PUNCT}]", "")
+    n_punct = pc.subtract(n_chars, pc.utf8_length(no_punct).cast(pa.int64()))
+    out = t.select([c for c in t.column_names if c != text_col])
+    out = out.append_column("n_chars", n_chars)
+    out = out.append_column("n_spaces", n_spaces)
+    return out.append_column("n_punct", n_punct)
+
+
+class TokenCounter:
+    """Whitespace + BPE-ish regex token counting (actor pool: regex compiled
+    once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.ws = re.compile(r"\S+")
+        # GPT-2-style pretokenizer shape: word pieces, numbers, punctuation runs
+        self.bpe = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str)
+        df = df.drop(columns=[self.text_col])
+        df["n_ws_tokens"] = s.str.count(self.ws).astype("int64")
+        df["n_bpe_tokens"] = s.str.count(self.bpe).astype("int64")
+        return df
+
+
+class QualityScorer:
+    """Composite quality score from length / punctuation / stopword ratios —
+    deterministic heuristic, weights fixed."""
+
+    STOP = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.word = re.compile(r"[a-z]+")
+        self.stop = set(self.STOP)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str)
+        n_chars = s.str.len().clip(lower=1)
+        words = s.str.lower().str.findall(self.word)
+        n_words = words.map(len).clip(lower=1)
+        stop_ratio = words.map(lambda ws: sum(w in self.stop for w in ws)) / n_words
+        punct_ratio = s.str.count(f"[{_PUNCT}]") / n_chars
+        mean_word_len = n_chars / n_words
+        score = (
+            0.4 * np.clip(n_chars / 500.0, 0, 1)
+            + 0.3 * np.clip(stop_ratio / 0.4, 0, 1)
+            + 0.3 * (1.0 - np.clip(np.abs(mean_word_len - 5.0) / 5.0, 0, 1))
+        )
+        out = df.drop(columns=[self.text_col]).copy()
+        out["stop_ratio"] = stop_ratio
+        out["punct_ratio"] = punct_ratio
+        out["quality"] = score
+        return out
+
+
+class LangId:
+    """Marker-word n-gram heuristic language ID over a fixed language table
+    (no external models in this container). Ties break alphabetically; docs
+    with zero marker hits get 'und'."""
+
+    MARKERS = {
+        "en": ("the", "and", "of", "is", "with", "for"),
+        "de": ("der", "und", "die", "nicht", "ist", "das"),
+        "fr": ("le", "la", "et", "les", "des", "est"),
+        "es": ("el", "la", "los", "que", "es", "una"),
+    }
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pats = {
+            lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+            for lang, ws in sorted(self.MARKERS.items())
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str).str.lower()
+        counts = pd.DataFrame({lang: s.str.count(p) for lang, p in self.pats.items()})
+        best = counts.idxmax(axis=1)
+        best[counts.max(axis=1) == 0] = "und"
+        out = df.drop(columns=[self.text_col]).copy()
+        out["lang_pred"] = best.values
+        return out
+
+
+class Fingerprinter:
+    """Winnowing-style document fingerprint: rolling Rabin-Karp hashes over
+    byte k-grams, fingerprint = min hash (1-perm MinHash). Inner loop is
+    numpy sliding windows; the per-doc Python loop only drives numpy calls."""
+
+    def __init__(self, text_col: str = "text", k: int = 8):
+        self.text_col = text_col
+        self.k = k
+        self.pows = (np.uint64(1000003) ** np.arange(k, dtype=np.uint64)).astype(np.uint64)
+
+    def _fp(self, text: str) -> tuple[int, int]:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        if len(b) < self.k:
+            b = np.pad(b, (0, self.k - len(b)), constant_values=0)
+        # full-document rolling (Horner) hash, uint64 wraparound arithmetic
+        full = (b.astype(np.uint64) * (np.uint64(1000003) ** np.arange(len(b) - 1, -1, -1,
+                                                                       dtype=np.uint64))).sum()
+        win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
+        h = (win * self.pows).sum(axis=1, dtype=np.uint64)
+        return int(full), int(h.min())
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        fps = df[self.text_col].astype(str).map(self._fp)
+        out["fingerprint"] = fps.map(lambda t: t[0]).astype("uint64").astype("int64")
+        out["fp_min"] = fps.map(lambda t: t[1]).astype("uint64").astype("int64")
+        return out.drop(columns=[self.text_col])
+
+
+# --- dataset-level helpers --------------------------------------------------
+
+def doc_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: doc_stats_batch(t, text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        TokenCounter, fn_constructor_args=(text_col,), batch_format="pandas",
+        batch_size=4096, concurrency=concurrency,
+    )
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        LangId, fn_constructor_args=(text_col,), batch_format="pandas",
+        batch_size=4096, concurrency=concurrency,
+    )
+
+
+def quality(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        QualityScorer, fn_constructor_args=(text_col,), batch_format="pandas",
+        batch_size=4096, concurrency=concurrency,
+    )
+
+
+def fingerprints(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        Fingerprinter, fn_constructor_args=(text_col,), batch_format="pandas",
+        batch_size=4096, concurrency=concurrency,
+    )

@@ -1,0 +1,100 @@
+"""DefaultPipeline builder ↔ `/root/reference/tfdata/pipeline/pipeline.go:15-175`.
+
+The reference's 5-stage builder (TarStage → SamplesStage* →
+Sample2TFExampleStage → TFExamplesStage* → TFRecordStage) becomes an ordered
+list of lazy Dataset transformations: optional stages COMPOSE by chaining
+(pipeline.go:139-149,159-169), required stages OVERRIDE (pipeline.go:132-135,
+152-155,172-175), and ``do()`` triggers execution (pipeline.go:104-123) —
+Ray's lazy logical plan plays the role of the reader-wrapping chain, and the
+streaming executor's backpressure plays the sink-pulls loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..stages import transforms as tr
+
+
+class DefaultPipeline:
+    def __init__(self):
+        self._source: Callable[[], rd.Dataset] | None = None
+        self._sample_stages: list[Callable[[rd.Dataset], rd.Dataset]] = []
+        self._convert: Callable[[rd.Dataset], rd.Dataset] | None = None
+        self._example_stages: list[Callable[[rd.Dataset], rd.Dataset]] = []
+        self._sink: Callable[[rd.Dataset], object] | None = None
+
+    # --- required stages (override on re-set) ------------------------------
+
+    def from_parquet(self, paths, **kw) -> "DefaultPipeline":
+        """↔ FromTar/WithTarStage (pipeline.go:65-76,131-135)."""
+        self._source = lambda: rd.read_parquet(paths, **kw)
+        return self
+
+    def from_dataset(self, ds: rd.Dataset) -> "DefaultPipeline":
+        self._source = lambda: ds
+        return self
+
+    def with_types_map(self, types_map: dict[str, pa.DataType]) -> "DefaultPipeline":
+        """↔ SampleToTFExample conversion stage (pipeline.go:93-101)."""
+        self._convert = lambda ds: tr.coerce(ds, types_map)
+        return self
+
+    def to_parquet(self, out_dir: str, **kw) -> "DefaultPipeline":
+        """↔ ToTFRecord sink stage (pipeline.go:78-90)."""
+        self._sink = lambda ds: ds.write_parquet(out_dir, **kw)
+        return self
+
+    def collect(self) -> "DefaultPipeline":
+        """Sink that returns the Dataset itself (tests / further chaining)."""
+        self._sink = lambda ds: ds
+        return self
+
+    # --- optional stages (compose by chaining) ------------------------------
+
+    def with_samples_stage(self, fn: Callable[[rd.Dataset], rd.Dataset]) -> "DefaultPipeline":
+        """↔ WithSamplesStage chaining (pipeline.go:139-149): each call wraps
+        the previous stage's output. This is the user-extension surface
+        (README.md:67-117) — fn may attach stateful map_batches stages."""
+        self._sample_stages.append(fn)
+        return self
+
+    def with_examples_stage(self, fn: Callable[[rd.Dataset], rd.Dataset]) -> "DefaultPipeline":
+        """↔ WithTFExamplesStage chaining (pipeline.go:159-169)."""
+        self._example_stages.append(fn)
+        return self
+
+    # sugar mirroring pipeline.go:55-62 / transform helpers
+    def filter_empty(self, key_col: str = tr.KEY_COLUMN) -> "DefaultPipeline":
+        return self.with_samples_stage(lambda ds: tr.filter_empty(ds, key_col))
+
+    def rename(self, dest: str, srcs: list[str]) -> "DefaultPipeline":
+        return self.with_samples_stage(lambda ds: tr.rename(ds, dest, srcs))
+
+    def select(self, *sels: tr.Selection) -> "DefaultPipeline":
+        return self.with_samples_stage(lambda ds: tr.select(ds, *sels))
+
+    # --- execution ----------------------------------------------------------
+
+    def build(self) -> rd.Dataset:
+        if self._source is None:
+            raise ValueError("pipeline has no source stage")
+        ds = self._source()
+        for fn in self._sample_stages:
+            ds = fn(ds)
+        if self._convert is not None:
+            ds = self._convert(ds)
+        for fn in self._example_stages:
+            ds = fn(ds)
+        return ds
+
+    def do(self):
+        """↔ Pipeline.Do() (pipeline.go:104-123): wire stages innermost-first
+        and let the sink drive execution."""
+        if self._sink is None:
+            raise ValueError("pipeline has no sink stage")
+        return self._sink(self.build())

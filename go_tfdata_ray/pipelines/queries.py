@@ -1,0 +1,493 @@
+"""Query registry: one entry per operator/pipeline (SURVEY.md §2 + the
+large-scale training-data ops), each with a DuckDB oracle where SQL can
+express it.
+
+Conventions for the driver's compare (row-count + schema + order-insensitive
+value hash): every aggregate/computed column is explicitly CAST — ints to
+int64 (BIGINT), floats to float64 — and named identically in the Ray code
+and the SQL. Money sums are integer-scaled (prices have 2 decimals in the
+test data) so sums are exact and order-insensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..cdc.engine import CDCEngine
+from ..functions import ann, dedup, text
+from ..sources import wal as walmod
+from ..stages import joins, transforms as tr
+from ..stages.transforms import ByKey, ByKeyValue, ByPrefix
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _i64(t: pa.Table, *cols: str) -> pa.Table:
+    for c in cols:
+        t = t.set_column(t.column_names.index(c), c, pc.cast(t[c], pa.int64()))
+    return t
+
+
+# --------------------------------------------------------------------------
+# reference transform operators (§2.2-2.4)
+# --------------------------------------------------------------------------
+
+def q_rename_copy(sf_dir: str):
+    """Rename: copy event_type into etype, src kept (transformation.go:54-76)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = tr.rename(ds, "etype", ["event_type"])
+    return ds
+
+
+def q_select_prefix(sf_dir: str):
+    """Projection via ByKey + ByPrefix selections (selection.go:52-60)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    )
+    return tr.select(ds, ByKey("l_orderkey"), ByKey("l_linenumber"), ByPrefix("l_r"))
+
+
+def q_predicate_keyvalue(sf_dir: str):
+    """ByKeyValue + FilterEmpty = row predicate (test/filter_test.go:17-47)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = tr.select(ds, ByKey("event_id"), ByKeyValue("event_type", "click"))
+    return tr.filter_empty(ds, key_col="event_id")
+
+
+def q_udf_revenue(sf_dir: str):
+    """SampleF-style per-batch UDF (transformation.go:128-142), vectorized."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        return _i64(t.select(["l_orderkey", "l_linenumber", "revenue"]), "l_linenumber")
+
+    return tr.sample_f(ds, revenue)
+
+
+def q_coerce_widen(sf_dir: str):
+    """TypesMap widening int32→int64 (transformer.go:144-192 analog)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"])
+    ds = tr.rename(ds, "linenumber64", ["l_linenumber"])
+    ds = ds.map_batches(
+        lambda t: t.select(["l_orderkey", "linenumber64"]), batch_format="pyarrow"
+    )
+    return tr.coerce(ds, {"l_orderkey": pa.int64(), "linenumber64": pa.int64()})
+
+
+def q_pipeline_chain(sf_dir: str):
+    """Full DefaultPipeline chain: rename → select → filter_empty
+    (mirrors test/pipeline_test.go:135-184)."""
+    from .builder import DefaultPipeline
+    from ..stages.transforms import ByBatchF
+
+    def purchase_cells(t: pa.Table):
+        mask = pc.equal(t["etype"], pa.scalar("purchase")).to_numpy(zero_copy_only=False)
+        mask = np.asarray(mask, dtype=bool)
+        return {"value": mask, "etype": mask}
+
+    p = (
+        DefaultPipeline()
+        .from_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+        .rename("etype", ["event_type"])
+        .select(ByKey("event_id"), ByBatchF(purchase_cells))
+        .with_samples_stage(lambda ds: tr.filter_empty(ds, key_col="event_id"))
+        .collect()
+    )
+    return p.do()
+
+
+# --------------------------------------------------------------------------
+# wide operations: aggregate / sort / distinct / joins / window
+# --------------------------------------------------------------------------
+
+def q_agg_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with PARTIAL pre-aggregation inside
+    map_batches (the combiner pattern) before the small groupby shuffle.
+    Money is integer-scaled (2-decimal prices) so sums are exact."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            qty=df["l_quantity"].round().astype("int64"),
+            base_c=(df["l_extendedprice"] * 100).round().astype("int64"),
+            disc_c4=(df["l_extendedprice"] * 100).round().astype("int64")
+            * ((1 - df["l_discount"]) * 100).round().astype("int64"),
+            n=np.int64(1),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)[
+            ["qty", "base_c", "disc_c4", "n"]
+        ].sum()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_c", alias_name="sum_base_cents"),
+        Sum("disc_c4", alias_name="sum_disc_c4"),
+        Sum("n", alias_name="count_order"),
+    )
+    return out.map_batches(
+        lambda t: _i64(t, "sum_qty", "sum_base_cents", "sum_disc_c4", "count_order"),
+        batch_format="pyarrow",
+    )
+
+
+def q_sort_topk(sf_dir: str):
+    """sort + limit (top-k) with deterministic tie-break."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+def q_join_broadcast(sf_dir: str):
+    """Broadcast (dimension) join: customer is ray.put once, merged per
+    batch; then grouped rollup by nation."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    joined = joins.broadcast_join(orders, cust, on="o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(price_c=(df["o_totalprice"] * 100).round().astype("int64"), n=np.int64(1))
+        return df.groupby("c_nationkey", sort=False, as_index=False)[["n", "price_c"]].sum()
+
+    out = joined.map_batches(partial, batch_format="pandas").groupby("c_nationkey").aggregate(
+        Sum("n", alias_name="n_orders"), Sum("price_c", alias_name="sum_price_cents")
+    )
+    return out.map_batches(
+        lambda t: _i64(t, "c_nationkey", "n_orders", "sum_price_cents"), batch_format="pyarrow"
+    )
+
+
+def q_join_bucketed(sf_dir: str):
+    """Partitioned hash join (both sides large): bucket by key hash, one
+    shuffle, group-local merge; rollup by priority."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    joined = joins.bucket_hash_join(li, orders, on="o_orderkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))
+        return df.groupby("o_orderpriority", sort=False, as_index=False)[["n", "qty"]].sum()
+
+    out = joined.map_batches(partial, batch_format="pandas").groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="n_items"), Sum("qty", alias_name="sum_qty")
+    )
+    return out.map_batches(lambda t: _i64(t, "n_items", "sum_qty"), batch_format="pyarrow")
+
+
+def q_window_hourly(sf_dir: str):
+    """Streaming-shaped tumbling window: count per (user_id, hour bucket).
+    Partial counts per batch, then the groupby shuffle over partials."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False), "hour_bucket": hour})
+        g = df.groupby(["user_id", "hour_bucket"], sort=False, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "hour_bucket"]
+    ).aggregate(Sum("n", alias_name="n_events"))
+    return out.map_batches(lambda t: _i64(t, "n_events"), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# CDC (the north rule) — over the deterministic sf-linked WAL
+# --------------------------------------------------------------------------
+
+def _lake_dir_for(sf_dir: str) -> str:
+    return os.path.join("/tmp/graft_lake", f"sf{walmod.sf_from_dir(sf_dir):g}-v1")
+
+
+def replayed_engine(sf_dir: str, num_partitions: int = 16) -> CDCEngine:
+    """Generate (idempotently) the sf-linked WAL and replay it into the
+    sf-linked lake. Re-entrant: committed epochs are skipped, so repeat
+    calls (e.g. the two CDC queries) reuse the materialized lake."""
+    wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
+    eng = CDCEngine(_lake_dir_for(sf_dir), num_partitions=num_partitions)
+    eng.apply_wal(wal_dir)
+    return eng
+
+
+def q_cdc_replay_digest(sf_dir: str):
+    """Full WAL replay → merged final state with per-row token digests
+    (exact list equality itself is asserted in pytest; the SQL-checkable
+    digest is (sum, first, last, n_tok) per doc)."""
+    eng = replayed_engine(sf_dir)
+    ds = eng.scan()
+
+    def digest(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks()
+        vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(vals, offs[:-1]) if len(vals) else np.zeros(0, dtype=np.int64)
+        sums[offs[:-1] == offs[1:]] = 0
+        first = np.where(offs[:-1] < offs[1:], vals[np.minimum(offs[:-1], len(vals) - 1)], 0)
+        last = np.where(offs[:-1] < offs[1:], vals[np.maximum(offs[1:] - 1, 0)], 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "source": t["source"],
+                "tok_sum": pa.array(sums, pa.int64()),
+                "tok_first": pa.array(first, pa.int64()),
+                "tok_last": pa.array(last, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cdc_counts_by_source(sf_dir: str):
+    """Grouped rollup over the merged lake state."""
+    eng = replayed_engine(sf_dir)
+    ds = eng.scan(columns=["source", "n_tok"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=np.int64(1), tok=df["n_tok"].astype("int64"))
+        return df.groupby("source", sort=False, as_index=False)[["n", "tok"]].sum()
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"), Sum("tok", alias_name="total_tokens")
+    )
+    return out.map_batches(lambda t: _i64(t, "n_docs", "total_tokens"), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# training-data ops: text / dedup / ANN / multimodal
+# --------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text.doc_stats(ds)
+
+
+def q_token_count(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = text.token_counts(ds)
+    return out.select_columns(["doc_id", "n_ws_tokens"])
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dedup.exact_dedup(ds, content_col="text", key_col="doc_id")
+    return out.map_batches(lambda t: _i64(t, "doc_id", "n_copies"), batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 4 fixed queries (vec_id < 4); returns
+    the (query_id, vec_id) pairs — scores are float-ordering-sensitive so
+    they stay out of the hash compare (checked with tolerance in pytest)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = queries[queries["vec_id"] < 4]
+    out = ann.brute_force_topk(ds, queries, k=10)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id"),
+        batch_format="pyarrow",
+    )
+
+
+# ---- rows-only (no SQL-expressible oracle; covered by pytest) -------------
+
+def q_lang_id(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text.lang_id(ds)
+
+
+def q_quality(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text.quality(ds)
+
+
+def q_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text.fingerprints(ds)
+
+
+def q_minhash_dedup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.minhash_lsh_dedup(ds, threshold=0.5)
+
+
+def q_simhash_dedup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.simhash_dedup(ds)
+
+
+def q_embedding_neardup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return dedup.embedding_neardup(ds, threshold=0.98)
+
+
+def q_ann_lsh(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = queries[queries["vec_id"] < 4]
+    out = ann.lsh_topk(ds, queries, k=10)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]), "query_id", "vec_id"),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
+    from ..functions import multimodal
+
+    n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
+    ds = rd.from_arrow(multimodal.synth_media_table(n))
+    return multimodal.decode_images(ds, mode="fake")
+
+
+# --------------------------------------------------------------------------
+# registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "rename_copy": q_rename_copy,
+    "select_prefix": q_select_prefix,
+    "predicate_keyvalue": q_predicate_keyvalue,
+    "udf_revenue": q_udf_revenue,
+    "coerce_widen": q_coerce_widen,
+    "pipeline_chain": q_pipeline_chain,
+    "agg_pricing": q_agg_pricing,
+    "sort_topk": q_sort_topk,
+    "distinct": q_distinct,
+    "join_broadcast": q_join_broadcast,
+    "join_bucketed": q_join_bucketed,
+    "window_hourly": q_window_hourly,
+    "cdc_replay_digest": q_cdc_replay_digest,
+    "cdc_counts_by_source": q_cdc_counts_by_source,
+    "doc_stats": q_doc_stats,
+    "token_count": q_token_count,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "media_decode": q_media_decode,
+}
+
+# The driver runs the oracle at sf=0.01; the CDC oracles read the
+# deterministically generated sf0.01 WAL from its fixed path.
+_WAL_GLOB_001 = "/tmp/graft_wal/sf0.01-v1/epoch-*.parquet"
+
+_CDC_LAST = f"""
+WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')),
+last AS (
+  SELECT * FROM w
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+)
+"""
+
+ORACLE_SQL = {
+    "rename_copy": "SELECT event_id, event_type, event_type AS etype FROM events",
+    "select_prefix": "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+    "predicate_keyvalue": "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
+    "udf_revenue": (
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS revenue FROM lineitem"
+    ),
+    "coerce_widen": (
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber64 FROM lineitem"
+    ),
+    "pipeline_chain": (
+        "SELECT event_id, value, event_type AS etype FROM events "
+        "WHERE event_type = 'purchase'"
+    ),
+    "agg_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "         CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c4, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "sort_topk": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "distinct": "SELECT DISTINCT event_type FROM events",
+    "join_broadcast": (
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
+    ),
+    "join_bucketed": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "window_hourly": (
+        "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
+    ),
+    "cdc_replay_digest": _CDC_LAST + (
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
+        "CAST(list_sum(tokens) AS BIGINT) AS tok_sum, "
+        "CAST(tokens[1] AS BIGINT) AS tok_first, "
+        "CAST(tokens[-1] AS BIGINT) AS tok_last "
+        "FROM last WHERE op <> 'D'"
+    ),
+    "cdc_counts_by_source": _CDC_LAST + (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
+        "FROM last WHERE op <> 'D' GROUP BY source"
+    ),
+    "doc_stats": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct "
+        "FROM documents"
+    ),
+    "token_count": (
+        "SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS n_ws_tokens FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
+        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
+        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+}

@@ -1,0 +1,122 @@
+"""Join strategies for Ray Data (the reference has no joins — SURVEY.md §2.6
+— but a complete engine needs them; shapes follow the public Ray guidance).
+
+- broadcast_join: small side ``ray.put`` once, pandas merge per batch inside
+  map_batches — NO shuffle; the right pattern for dimension tables at any
+  scale (the small side ships to each actor once, not per batch).
+- bucket_hash_join: both sides large — add ``_b = hash(key) % B`` to both,
+  union, groupby bucket, join the two sides group-locally. ONE shuffle,
+  partitioned hash join. Skewed hot keys can be salted into sub-buckets by
+  extending the bucket key with ``hash(row) % S`` on the probe side and
+  replicating the build side S× (documented, not default).
+- broadcast key-set semi/anti joins: filter inside map_batches.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..cdc.collapse import hash_partition
+
+
+def broadcast_join(
+    big: rd.Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    how: Literal["inner", "left"] = "inner",
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """Broadcast hash join: ``small`` is put in the object store once; each
+    actor fetches it in __init__ and merges per batch."""
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return big.map_batches(Joiner, batch_format="pandas", batch_size=16384,
+                           concurrency=concurrency)
+
+
+def semi_join_filter(big: rd.Dataset, keys, on: str, anti: bool = False) -> rd.Dataset:
+    """Semi/anti join via a broadcast key set (Bloom filter at real scale)."""
+    ref = ray.put(set(keys))
+
+    class Filt:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mask = df[on].isin(self.keys)
+            return df[~mask] if anti else df[mask]
+
+    return big.map_batches(Filt, batch_format="pandas", batch_size=16384,
+                           concurrency=(1, 8))
+
+
+def bucket_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    num_buckets: int = 32,
+    how: Literal["inner", "left"] = "inner",
+    suffixes=("", "_r"),
+) -> rd.Dataset:
+    """Partitioned hash join: tag side + bucket, one groupby shuffle, then a
+    group-local pandas merge. ``num_buckets`` should be several × total
+    cores at scale; the bucket key reuses the engine's stable siphash so
+    reruns and both sides route identically."""
+
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block datasets: infer from a one-row arrow sample
+        tbl = ray.get(ds.limit(1).to_arrow_refs()[0])
+        return tbl.schema
+
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
+    overlap = (set(l_cols) & set(r_cols)) - {on}
+    if overlap:
+        raise ValueError(f"non-join columns must be disjoint, overlap: {overlap}")
+    combined = pa.schema(
+        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [pa.field(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != on]
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            for f in combined:  # align to the union schema (other side -> nulls)
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa.nulls(len(t), f.type))
+            t = t.select(combined.names)
+            b = hash_partition(t[on], num_buckets)
+            t = t.append_column("_b", pa.array(b))
+            return t.append_column("_side", pa.array(np.full(len(t), side, dtype=np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][l_cols]
+        r = g[g["_side"] == 1][[c for c in r_cols]]
+        if len(l) == 0 or (how == "inner" and len(r) == 0):
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in combined.names})
+        return l.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")

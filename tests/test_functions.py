@@ -1,0 +1,163 @@
+"""Tests for training-data ops: dedup family, ANN, text analysis, multimodal
+plumbing — synthetic fixtures with planted duplicates/neighbors."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from go_tfdata_ray.functions import ann, dedup, multimodal, text
+
+
+def docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different sentence about data processing engines",
+        "rust and go and python walk into a distributed system",
+        "large language models eat tokens for breakfast lunch and dinner",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((100 + i, t))  # exact duplicate
+    rows.append((200, base[0].replace("dog", "cat")))  # near-dup of doc 0
+    rows.append((300, "unique standalone snippet with no twin whatsoever"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_dedup():
+    ds = rd.from_pandas(docs_with_dups())
+    out = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # 4 duplicated texts keep min id with n_copies=2, plus 2 singletons
+    assert len(out) == 6
+    dup_rows = out[out["n_copies"] == 2]
+    assert sorted(dup_rows["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_minhash_lsh_finds_near_dups():
+    ds = rd.from_pandas(docs_with_dups())
+    out = dedup.minhash_lsh_dedup(ds, threshold=0.4, bands=32, n_perm=64).to_pandas()
+    flagged = dict(zip(out["doc_id"], out["dup_of"]))
+    for i in range(4):  # exact dups always flagged against the original
+        assert flagged.get(100 + i) == i
+    assert flagged.get(200) == 0  # near-dup (1-word change) found
+    assert 300 not in flagged
+
+
+def test_simhash_exact_match_dedup():
+    ds = rd.from_pandas(docs_with_dups())
+    out = dedup.simhash_dedup(ds).to_pandas()
+    assert len(out) == 6  # identical texts share simhash
+    assert out["n_copies"].sum() == 10
+
+
+def test_ngram_jaccard():
+    a = "the quick brown fox jumps over the lazy dog"
+    assert dedup.ngram_jaccard(a, a) == 1.0
+    assert dedup.ngram_jaccard(a, "entirely different words here friend") == 0.0
+    assert 0.4 < dedup.ngram_jaccard(a, a.replace("dog", "cat")) < 1.0
+
+
+def synth_embeddings(n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    mat[10] = mat[0] * 2.0 + rng.standard_normal(dim) * 1e-4  # near-dup of 0 (cosine ~1)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+
+
+def test_embedding_neardup():
+    df = synth_embeddings()
+    ds = rd.from_pandas(df)
+    out = dedup.embedding_neardup(ds, threshold=0.99).to_pandas()
+    pairs = set(zip(out["vec_id"], out["dup_of"]))
+    assert (10, 0) in pairs
+
+
+def test_brute_force_topk_matches_numpy():
+    df = synth_embeddings(100, 8)
+    ds = rd.from_pandas(df)
+    q = df[df["vec_id"] < 2]
+    out = ann.brute_force_topk(ds, q, k=5).to_pandas()
+    assert len(out) == 10
+    mat = np.stack(df["embedding"].to_numpy())
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = unit @ unit[qid]
+        sims[qid] = -np.inf
+        expect = set(np.argsort(-sims)[:5])
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        assert got == expect
+        # ranks ordered by descending score
+        sub = out[out["query_id"] == qid].sort_values("rank")
+        assert (np.diff(sub["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_lsh_topk_runs_and_is_subset_quality():
+    df = synth_embeddings(300, 16)
+    ds = rd.from_pandas(df)
+    q = df[df["vec_id"] < 3]
+    out = ann.lsh_topk(ds, q, k=5).to_pandas()
+    assert set(out["query_id"]) <= {0, 1, 2}
+    assert (out.groupby("query_id").size() <= 5).all()
+
+
+def test_doc_stats_and_token_count():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b,  c! d", "xyz"]})
+    ds = rd.from_pandas(df)
+    stats = text.doc_stats(ds).to_pandas().set_index("doc_id")
+    assert stats.loc[1, "n_chars"] == 10
+    assert stats.loc[1, "n_spaces"] == 4
+    assert stats.loc[1, "n_punct"] == 2
+    toks = text.token_counts(ds).to_pandas().set_index("doc_id")
+    assert toks.loc[1, "n_ws_tokens"] == 4
+    assert toks.loc[2, "n_ws_tokens"] == 1
+
+
+def test_lang_id_markers():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat is on the mat with the hat",
+                "der hund und die katze ist nicht da",
+                "zzz qqq www",
+            ],
+        }
+    )
+    out = text.lang_id(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "und"
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["hello world", "hello world", "hello worlds"]})
+    out = text.fingerprints(rd.from_pandas(df)).to_pandas()
+    fp = out.set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_decode_fake_and_real_stub():
+    t = multimodal.synth_media_table(20)
+    out = multimodal.decode_images(rd.from_arrow(t), mode="fake").to_pandas()
+    assert len(out) == 20
+    assert len(out["features"].iloc[0]) == 8
+    # decode is deterministic
+    out2 = multimodal.decode_images(rd.from_arrow(t), mode="fake").to_pandas()
+    assert (
+        np.stack(out["features"].to_numpy()) == np.stack(out2["features"].to_numpy())
+    ).all()
+    dec = multimodal.ImageDecoder(mode="real")
+    with pytest.raises(NotImplementedError):
+        dec(t)
+
+
+def test_frame_sampler():
+    t = multimodal.synth_media_table(5, media_type="video")
+    out = multimodal.sample_frames(rd.from_arrow(t), every_n=10).to_pandas()
+    # n_frames = (i%30)+1 for i in 0..4 → 1,2,3,4,5 frames → 1 sample each
+    assert len(out) == 5
+    assert (out["frame_idx"] == 0).all()

@@ -1,0 +1,59 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from go_tfdata_ray.stages import joins
+
+
+def sides(n=1000):
+    left = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64) % 100),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "name": [f"n{i}" for i in range(100)]})
+    return rd.from_arrow(left), right
+
+
+def test_broadcast_join_inner():
+    big, small = sides()
+    out = joins.broadcast_join(big, small, on="k").to_pandas()
+    assert len(out) == 1000
+    assert (out["name"] == "n" + out["k"].astype(str)).all()
+
+
+def test_broadcast_join_left_missing_keys():
+    big, small = sides()
+    out = joins.broadcast_join(big, small[small["k"] < 50], on="k", how="left").to_pandas()
+    assert len(out) == 1000
+    assert out["name"].isna().sum() == 500
+
+
+def test_semi_and_anti_join():
+    big, _ = sides()
+    semi = joins.semi_join_filter(big, keys=range(10), on="k").to_pandas()
+    anti = joins.semi_join_filter(big, keys=range(10), on="k", anti=True).to_pandas()
+    assert len(semi) == 100 and len(anti) == 900
+    assert set(semi["k"]) == set(range(10))
+
+
+def test_bucket_hash_join_matches_pandas():
+    big, small = sides()
+    right_ds = rd.from_pandas(small)
+    out = joins.bucket_hash_join(big, right_ds, on="k", num_buckets=8).to_pandas()
+    expect = big.to_pandas().merge(small, on="k")
+    assert len(out) == len(expect)
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = expect.sort_values(["k", "v"]).reset_index(drop=True)
+    assert (a[["k", "v", "name"]] == b[["k", "v", "name"]]).all().all()
+
+
+def test_bucket_join_rejects_overlapping_columns():
+    big, small = sides()
+    import pytest
+
+    with pytest.raises(ValueError):
+        joins.bucket_hash_join(big, big, on="k")
