@@ -50,19 +50,26 @@ def merge_on_read(
     seq_col: str = "seq",
     op_col: str = "op",
     drop_internal: tuple[str, ...] = (),
+    ranks: list[int] | None = None,
 ) -> pa.Table:
-    """LSM merge: ``tables`` in commit order (base first, then deltas by
-    epoch). Latest (rank, seq) per key wins; tombstones ('D') are masked.
-    Schemas are unified permissively (add-column evolution: missing columns
-    read back as null, the columnar analog of the reference's absent-key
-    JSON-bytes fallback, `/root/reference/tfdata/transform/transformer.go:134-142`).
+    """LSM merge: latest (rank, seq) per key wins; tombstones ('D') masked.
+
+    ``ranks`` is the commit rank per table — the EPOCH for delta files (all
+    fragments of one epoch share a rank, so ordering within the epoch falls
+    through to ``seq``), the compaction epoch for base files. Defaults to
+    positional order for simple base→delta lists. Schemas are unified
+    permissively (add-column evolution: missing columns read back as null,
+    the columnar analog of the reference's absent-key JSON-bytes fallback,
+    `/root/reference/tfdata/transform/transformer.go:134-142`).
     """
+    if ranks is None:
+        ranks = list(range(len(tables)))
     ranked = []
-    for rank, t in enumerate(tables):
+    for rank, t in zip(ranks, tables):
         if len(t) == 0:
             continue
         ranked.append(
-            t.append_column("_rank", pa.array(np.full(len(t), rank, dtype=np.int32)))
+            t.append_column("_rank", pa.array(np.full(len(t), rank, dtype=np.int64)))
         )
     if not ranked:
         return tables[0].slice(0, 0) if tables else pa.table({})

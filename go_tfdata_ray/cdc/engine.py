@@ -71,36 +71,111 @@ DEFAULT_TARGET = pa.schema(
 )
 
 
-class EventNormalizer:
-    """map_batches callable (actor pool): normalize + route + dedup + combine.
+def normalize_events(
+    t: pa.Table,
+    policy: SchemaPolicy,
+    num_partitions: int,
+    wm: np.ndarray,
+    presorted_for: tuple[str, ...] = (),
+) -> pa.Table:
+    """Stateless normalize + route + dedup + combine kernel (plain task —
+    nothing to amortize, so tasks beat an actor pool's spin-up latency):
+    schema evolution, part_id hash, watermark replay-dedup (idempotent
+    re-delivery, north rule), then a partial per-batch collapse — the
+    combiner that bounds hot-key volume at ≤1 row per (key, batch).
 
-    Stateful setup (schema policy, watermark vector) happens once per actor
-    in ``__init__`` — the Ray analog of the reference's reader-wrapping
-    stateful stages (`/root/reference/README.md:67-117`).
+    ``presorted_for`` prefixes extra sort keys so the collapse's single
+    take() (the one copy of the token payload) also leaves the table grouped
+    for a downstream slicing pass (e.g. per-partition fragment writes)."""
+    t = policy.normalize(t)
+    if len(t) == 0:
+        return t.append_column("part_id", pa.array([], type=pa.int32()))
+    part = hash_partition(t["doc_id"], num_partitions)
+    t = t.append_column("part_id", pa.array(part))
+    seq = t["seq"].to_numpy(zero_copy_only=False)
+    keep = seq > wm[part]
+    if not keep.all():
+        t = t.filter(pa.array(keep))
+    sort_keys = [(c, "ascending") for c in (*presorted_for, "doc_id", "seq")]
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    keys = t["doc_id"].to_numpy(zero_copy_only=False)
+    last = np.empty(len(keys), dtype=bool)
+    if len(keys):
+        last[:-1] = keys[1:] != keys[:-1]
+        last[-1] = True
+        t = t.filter(pa.array(last))
+    return t
+
+
+def _wm_vector(num_partitions: int, watermarks: dict[int, int]) -> np.ndarray:
+    wm = np.full(num_partitions, -1, dtype=np.int64)
+    for p, w in watermarks.items():
+        wm[p] = w
+    return wm
+
+
+def _intent_table(rows: list[tuple[int, str, int, int, int, int]]) -> pa.Table:
+    return pa.table(
+        {
+            "part_id": pa.array([r[0] for r in rows], pa.int32()),
+            "path": pa.array([r[1] for r in rows], pa.string()),
+            "rows": pa.array([r[2] for r in rows], pa.int64()),
+            "max_seq": pa.array([r[3] for r in rows], pa.int64()),
+            "upserts": pa.array([r[4] for r in rows], pa.int64()),
+            "rg": pa.array([r[5] for r in rows], pa.int32()),
+        }
+    )
+
+
+def normalize_and_write_fragments(
+    t: pa.Table,
+    policy: SchemaPolicy,
+    num_partitions: int,
+    wm: np.ndarray,
+    lake_dir: str,
+    epoch: int,
+) -> pa.Table:
+    """Direct (shuffle-free) apply path: each read task normalizes its block
+    and writes ONE sorted-run file whose ROW GROUPS align with partition
+    boundaries — the LSM "sorted run per writer" pattern, row-group-addressed
+    so one physical file serves many partitions (files/epoch = #tasks, not
+    #tasks × #partitions, which would melt the filesystem/object store at
+    scale). No all-to-all exchange: token payloads never cross tasks;
+    merge-on-read collapses fragments by (rank=epoch, seq) per partition,
+    reading only that partition's row groups.
     """
+    t = normalize_events(t, policy, num_partitions, wm, presorted_for=("part_id",))
+    if len(t) == 0:
+        return _intent_table([])
+    parts = t["part_id"].to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1], True])
+    rel = f"run-{epoch:06d}-{uuid.uuid4().hex[:12]}.parquet"
+    final = os.path.join(lake_dir, rel)
+    tmp = final + ".tmp"
+    rows = []
+    # plain encoding + lz4: token lists are near-random int32 — dictionary
+    # encoding costs ~40% extra CPU for no ratio (measured); lz4 wins both
+    writer = pq.ParquetWriter(tmp, t.schema, use_dictionary=False, compression="lz4")
+    try:
+        for rg, i in enumerate(range(len(bounds) - 1)):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            part = int(parts[lo])
+            g = t.slice(lo, hi - lo)
+            writer.write_table(g, row_group_size=len(g))  # one row group per partition
+            n_up = int(pc.sum(pc.not_equal(g["op"], pa.scalar("D")).cast(pa.int64())).as_py())
+            rows.append((part, rel, len(g), int(g["seq"][len(g) - 1].as_py()), n_up, rg))
+    finally:
+        writer.close()
+    os.rename(tmp, final)
+    return _intent_table(rows)
 
-    def __init__(self, policy: SchemaPolicy, num_partitions: int, watermarks: dict[int, int]):
-        self.policy = policy
-        self.k = num_partitions
-        wm = np.full(num_partitions, -1, dtype=np.int64)
-        for p, w in watermarks.items():
-            wm[p] = w
-        self.wm = wm
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        t = self.policy.normalize(t)
-        if len(t) == 0:
-            return t.append_column("part_id", pa.array([], type=pa.int32()))
-        part = hash_partition(t["doc_id"], self.k)
-        t = t.append_column("part_id", pa.array(part))
-        # replay / late-duplicate dedup: drop events at/below the partition's
-        # committed high-watermark (idempotent re-delivery, north rule).
-        seq = t["seq"].to_numpy(zero_copy_only=False)
-        keep = seq > self.wm[part]
-        if not keep.all():
-            t = t.filter(pa.array(keep))
-        # partial collapse (combiner): ≤1 row per key per batch pre-shuffle.
-        return collapse_latest(t, order_cols=("seq",))
+def _read_fragment(path: str, rg: int) -> pa.Table:
+    """Read a delta/base fragment: a whole file (rg=-1) or one row group of
+    a multi-partition run file."""
+    if rg < 0:
+        return pq.read_table(path)
+    return pq.ParquetFile(path).read_row_group(rg)
 
 
 def write_delta(g: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
@@ -111,35 +186,17 @@ def write_delta(g: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
     Nothing is visible until the driver commits the manifest (phase 2).
     """
     if len(g) == 0:
-        return pa.table(
-            {
-                "part_id": pa.array([], pa.int32()),
-                "path": pa.array([], pa.string()),
-                "rows": pa.array([], pa.int64()),
-                "max_seq": pa.array([], pa.int64()),
-                "upserts": pa.array([], pa.int64()),
-            }
-        )
+        return _intent_table([])
     part = int(g["part_id"][0].as_py())
     g = collapse_latest(g, order_cols=("seq",))
     rel = os.path.join(f"part={part:04d}", f"delta-{epoch:06d}.parquet")
     final = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(g, tmp)
+    pq.write_table(g, tmp, use_dictionary=False, compression="lz4")
     os.rename(tmp, final)
-    return pa.table(
-        {
-            "part_id": pa.array([part], pa.int32()),
-            "path": pa.array([rel]),
-            "rows": pa.array([len(g)], pa.int64()),
-            "max_seq": pa.array([int(pc.max(g["seq"]).as_py())], pa.int64()),
-            "upserts": pa.array(
-                [int(pc.sum(pc.not_equal(g["op"], pa.scalar("D")).cast(pa.int64())).as_py())],
-                pa.int64(),
-            ),
-        }
-    )
+    n_up = int(pc.sum(pc.not_equal(g["op"], pa.scalar("D")).cast(pa.int64())).as_py())
+    return _intent_table([(part, rel, len(g), int(pc.max(g["seq"]).as_py()), n_up, -1)])
 
 
 class PartitionMergeReader:
@@ -156,10 +213,14 @@ class PartitionMergeReader:
         out: list[pa.Table] = []
         for row in range(len(batch)):
             paths = batch["paths"][row].as_py()
-            tabs = [pq.read_table(os.path.join(self.lake_dir, p)) for p in paths]
+            ranks = batch["ranks"][row].as_py()
+            rgs = batch["rgs"][row].as_py()
+            tabs = [_read_fragment(os.path.join(self.lake_dir, p), rg) for p, rg in zip(paths, rgs)]
             if not tabs:
                 continue
-            merged = merge_on_read(tabs, drop_internal=() if self.with_deleted else _INTERNAL)
+            merged = merge_on_read(
+                tabs, ranks=ranks, drop_internal=() if self.with_deleted else _INTERNAL
+            )
             if self.columns:
                 merged = merged.select([c for c in self.columns if c in merged.column_names])
             out.append(merged)
@@ -177,11 +238,15 @@ class CDCEngine:
         num_partitions: int = 32,
         policy: SchemaPolicy | None = None,
         batch_size: int = 32768,
+        write_mode: str = "direct",  # "direct" (shuffle-free fragments) | "groupby"
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
         self.policy = policy or SchemaPolicy(target=DEFAULT_TARGET)
         self.batch_size = batch_size
+        if write_mode not in ("direct", "groupby"):
+            raise ValueError(write_mode)
+        self.write_mode = write_mode
         self.fence_token = uuid.uuid4().hex
         m = mf.load_latest(lake_dir)
         if m is None:
@@ -200,20 +265,45 @@ class CDCEngine:
         if epoch <= self.manifest.committed_epoch:
             return {"epoch": epoch, "skipped": True}
 
-        ds = rd.read_parquet(files)
-        ds = ds.map_batches(
-            EventNormalizer,
-            fn_constructor_args=(self.policy, self.num_partitions, self.manifest.watermarks()),
-            batch_format="pyarrow",
-            batch_size=self.batch_size,
-            concurrency=(1, 8),
-            zero_copy_batch=True,
-        )
-        intents_ds = ds.groupby("part_id").map_groups(
-            functools.partial(write_delta, lake_dir=self.lake_dir, epoch=epoch),
-            batch_format="pyarrow",
-        )
-        intents = intents_ds.take_all()  # ≤ num_partitions tiny rows
+        wm = _wm_vector(self.num_partitions, self.manifest.watermarks())
+        # one read task per WAL shard file — read-parallel by layout. For the
+        # direct path, pin one block per shard so the fused read→normalize→
+        # write task handles a whole right-sized shard (Ray's default
+        # re-splitting would otherwise produce hundreds of tiny write tasks).
+        if self.write_mode == "direct" and len(files) > 1:
+            ds = rd.read_parquet(files, override_num_blocks=len(files))
+        else:
+            ds = rd.read_parquet(files)
+        if self.write_mode == "direct":
+            # shuffle-free: every read task writes per-partition fragments
+            intents_ds = ds.map_batches(
+                functools.partial(
+                    normalize_and_write_fragments,
+                    policy=self.policy,
+                    num_partitions=self.num_partitions,
+                    wm=wm,
+                    lake_dir=self.lake_dir,
+                    epoch=epoch,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,  # whole block per task → fewest fragments
+                zero_copy_batch=True,
+            )
+        else:  # "groupby": ONE hash shuffle → one delta per partition
+            ds = ds.map_batches(
+                functools.partial(
+                    normalize_events, policy=self.policy,
+                    num_partitions=self.num_partitions, wm=wm,
+                ),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                zero_copy_batch=True,
+            )
+            intents_ds = ds.groupby("part_id").map_groups(
+                functools.partial(write_delta, lake_dir=self.lake_dir, epoch=epoch),
+                batch_format="pyarrow",
+            )
+        intents = intents_ds.take_all()  # small intent rows (phase 1 output)
 
         m = self.manifest
         new = mf.Manifest(
@@ -231,7 +321,13 @@ class CDCEngine:
             ps = new.part(int(it["part_id"]))
             ps.watermark_seq = max(ps.watermark_seq, int(it["max_seq"]))
             ps.files.append(
-                {"path": it["path"], "kind": "delta", "epoch": epoch, "rows": int(it["rows"])}
+                {
+                    "path": it["path"],
+                    "kind": "delta",
+                    "epoch": epoch,
+                    "rows": int(it["rows"]),
+                    "rg": int(it.get("rg", -1)),
+                }
             )
             applied += int(it["rows"])
         new.stats["last_epoch_rows"] = applied
@@ -243,7 +339,7 @@ class CDCEngine:
     def apply_wal(self, wal_dir: str) -> list[dict[str, Any]]:
         """Tail the WAL: apply every segment above the committed epoch, in
         order. Safe to call repeatedly / after a crash (resume)."""
-        return [self.apply_epoch(e, [p]) for e, p in list_segments(wal_dir)]
+        return [self.apply_epoch(e, paths) for e, paths in list_segments(wal_dir)]
 
     # -- query -------------------------------------------------------------
 
@@ -254,7 +350,17 @@ class CDCEngine:
                 ordered = sorted(
                     ps.files, key=lambda f: (0 if f["kind"] == "base" else 1, f["epoch"])
                 )
-                desc.append({"part_id": int(k), "paths": [f["path"] for f in ordered]})
+                desc.append(
+                    {
+                        "part_id": int(k),
+                        "paths": [f["path"] for f in ordered],
+                        # commit rank = epoch: same-epoch fragments tie on
+                        # rank so last-write-wins falls through to seq
+                        "ranks": [f["epoch"] for f in ordered],
+                        # row-group index inside the run file (-1 = whole file)
+                        "rgs": [f.get("rg", -1) for f in ordered],
+                    }
+                )
         return desc
 
     def scan(self, columns: list[str] | None = None) -> rd.Dataset:
@@ -265,11 +371,9 @@ class CDCEngine:
             empty = pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
             return rd.from_arrow(empty)
         return rd.from_items(desc).map_batches(
-            PartitionMergeReader,
-            fn_constructor_args=(self.lake_dir, cols),
+            PartitionMergeReader(self.lake_dir, cols),
             batch_format="pyarrow",
             batch_size=4,  # a few partitions per task; each is an independent merge
-            concurrency=(1, 8),
         )
 
     def scan_table(self, columns: list[str] | None = None) -> pa.Table:
@@ -296,12 +400,15 @@ class CDCEngine:
             for i in range(len(batch)):
                 part = int(batch["part_id"][i].as_py())
                 paths = batch["paths"][i].as_py()
-                tabs = [pq.read_table(os.path.join(lake, p)) for p in paths]
-                merged = merge_on_read(tabs)  # keeps seq/op/part_id, drops 'D'
+                ranks = batch["ranks"][i].as_py()
+                rgs = batch["rgs"][i].as_py()
+                tabs = [_read_fragment(os.path.join(lake, p), rg) for p, rg in zip(paths, rgs)]
+                merged = merge_on_read(tabs, ranks=ranks)  # keeps seq/op/part_id, drops 'D'
                 rel = os.path.join(f"part={part:04d}", f"base-{epoch:06d}.parquet")
                 final = os.path.join(lake, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
                 tmp = final + f".tmp-{uuid.uuid4().hex}"
-                pq.write_table(merged, tmp)
+                pq.write_table(merged, tmp, use_dictionary=False, compression="lz4")
                 os.rename(tmp, final)
                 rows.append((part, rel, len(merged)))
             return pa.table(

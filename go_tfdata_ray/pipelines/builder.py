@@ -39,6 +39,49 @@ class DefaultPipeline:
         self._source = lambda: ds
         return self
 
+    def from_tfrecord(self, paths) -> "DefaultPipeline":
+        """↔ the tar/TFRecord source stage (pipeline.go:65-76) — reads the
+        reference's native interchange format (compat path)."""
+
+        def _read():
+            import importlib.util
+
+            # ray's ReadTFRecord needs tensorflow AT TASK TIME (lazy), so
+            # probe for it up front rather than catching at execution
+            if importlib.util.find_spec("tensorflow") is not None:
+                return rd.read_tfrecords(paths)
+            else:  # no fast parser in this env: compat reader
+                from ..sources.tfrecord import TFRecordReader
+
+                def gen_rows(path_row):
+                    with open(path_row["path"], "rb") as f:
+                        yield from TFRecordReader(f).read_all_examples()
+
+                plist = [paths] if isinstance(paths, str) else list(paths)
+                return rd.from_items([{"path": p} for p in plist]).flat_map(gen_rows)
+
+        self._source = _read
+        return self
+
+    def to_tfrecord(self, path: str) -> "DefaultPipeline":
+        """↔ ToTFRecord sink (pipeline.go:78-90). Single-file compat sink —
+        the scalable sink is ``to_parquet`` (or ``ds.write_tfrecords``)."""
+
+        def _sink(ds: rd.Dataset):
+            from ..sources.tfrecord import TFRecordWriter
+
+            n = 0
+            with open(path, "wb") as f:
+                w = TFRecordWriter(f)
+                for row in ds.iter_rows():  # streaming drain, single writer —
+                    # the WriteMessages serial path (tfrecord.go:107-122)
+                    w.write_examples([{k: v for k, v in row.items() if v is not None}])
+                    n += 1
+            return n
+
+        self._sink = _sink
+        return self
+
     def with_types_map(self, types_map: dict[str, pa.DataType]) -> "DefaultPipeline":
         """↔ SampleToTFExample conversion stage (pipeline.go:93-101)."""
         self._convert = lambda ds: tr.coerce(ds, types_map)

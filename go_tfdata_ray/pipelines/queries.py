@@ -405,7 +405,7 @@ QUERIES = {
 
 # The driver runs the oracle at sf=0.01; the CDC oracles read the
 # deterministically generated sf0.01 WAL from its fixed path.
-_WAL_GLOB_001 = "/tmp/graft_wal/sf0.01-v1/epoch-*.parquet"
+_WAL_GLOB_001 = "/tmp/graft_wal/sf0.01-v1/epoch-*/shard-*.parquet"
 
 _CDC_LAST = f"""
 WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')),

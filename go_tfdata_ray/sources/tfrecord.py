@@ -1,0 +1,260 @@
+"""TFRecord compatibility source/sink.
+
+Re-implements, from the public TFRecord format specification, what the
+reference does natively:
+
+- CRC32C (Castagnoli) with TensorFlow's masking — mirrors
+  `/root/reference/tfdata/internal/checksum/crc.go:11-45` (mask constant
+  0xa282ead8, rotate-right-15 == our rotate-left-17 formulation).
+- Record framing: 8B little-endian length + masked CRC32C(length bytes) +
+  payload + masked CRC32C(payload), both verified on read — mirrors
+  `/root/reference/tfdata/core/tfrecord.go:64-88` (write) and `:199-236`
+  (read + verify).
+- Minimal `tf.train.Example` protobuf wire codec (hand-rolled; the proto
+  schema is public): Example{features=1} → Features{feature map=1} →
+  Feature oneof {bytes_list=1, float_list=2, int64_list=3} — the same three
+  physical types as `/root/reference/proto/feature.pb.go:85,132,179`.
+
+This is a COMPAT path (tests + interchange), not the hot path — the engine's
+native storage is Parquet. Throughput-sensitive TFRecord IO should go
+through `ray.data.read_tfrecords` / `write_tfrecords` when available.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+
+# --- CRC32C ----------------------------------------------------------------
+
+_POLY = 0x82F63B78  # reflected Castagnoli
+_TABLE = None
+
+
+def _table() -> np.ndarray:
+    global _TABLE
+    if _TABLE is None:
+        tab = np.zeros(256, dtype=np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ _POLY if c & 1 else c >> 1
+            tab[i] = c
+        _TABLE = tab
+    return _TABLE
+
+
+def crc32c(data: bytes) -> int:
+    """Software CRC32C (table-driven). Fine for compat-scale payloads."""
+    tab = _table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ int(tab[(crc ^ b) & 0xFF])
+    return crc ^ 0xFFFFFFFF
+
+
+_MASK_DELTA = 0xA282EAD8
+
+
+def masked_crc(data: bytes) -> int:
+    """TF's masked CRC (crc.go:36-45): rotate right 15 then add delta."""
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+# --- protobuf wire helpers --------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delimited(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+# --- tf.train.Example codec -------------------------------------------------
+
+def encode_feature(value) -> bytes:
+    """One Feature: bytes/list[bytes] → BytesList(1); float/list[float] →
+    FloatList(2, packed); int/list[int] → Int64List(3, packed varint).
+    Scalars become single-element lists, exactly like the reference's typed
+    adders (`/root/reference/tfdata/core/example.go:89-95,109-115`)."""
+    if isinstance(value, (bytes, str)):
+        value = [value]
+    elif isinstance(value, (int, np.integer)):
+        value = [int(value)]
+    elif isinstance(value, (float, np.floating)):
+        value = [float(value)]
+    elif isinstance(value, np.ndarray):
+        value = value.tolist()
+    value = list(value)
+    if not value:
+        raise ValueError("empty feature")
+    first = value[0]
+    if isinstance(first, (bytes, str)):
+        items = b"".join(
+            _len_delimited(1, v.encode() if isinstance(v, str) else v) for v in value
+        )
+        return _len_delimited(1, items)  # BytesList in Feature field 1
+    if isinstance(first, float) or isinstance(first, np.floating):
+        packed = struct.pack(f"<{len(value)}f", *value)
+        return _len_delimited(2, _tag(1, 2) + _varint(len(packed)) + packed)
+    packed = b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in value)
+    return _len_delimited(3, _tag(1, 2) + _varint(len(packed)) + packed)
+
+
+def encode_example(sample: dict) -> bytes:
+    """dict → serialized tf.train.Example. The dict is the Sample analog
+    (`/root/reference/tfdata/core/sample.go:10`)."""
+    entries = b""
+    for key in sorted(sample):  # deterministic serialization
+        feat = encode_feature(sample[key])
+        entry = _len_delimited(1, key.encode()) + _len_delimited(2, feat)
+        entries += _len_delimited(1, entry)
+    return _len_delimited(1, entries)
+
+
+def decode_example(buf: bytes) -> dict:
+    """serialized Example → {key: list[int] | list[float] | list[bytes]}."""
+    out: dict = {}
+    i = 0
+    tag, i = _read_varint(buf, i)
+    assert tag == (1 << 3) | 2, "expected Example.features"
+    flen, i = _read_varint(buf, i)
+    features = buf[i : i + flen]
+    j = 0
+    while j < len(features):
+        tag, j = _read_varint(features, j)
+        elen, j = _read_varint(features, j)
+        entry = features[j : j + elen]
+        j += elen
+        k = 0
+        key = val = None
+        while k < len(entry):
+            tag, k = _read_varint(entry, k)
+            ln, k = _read_varint(entry, k)
+            body = entry[k : k + ln]
+            k += ln
+            if tag >> 3 == 1:
+                key = body.decode()
+            else:
+                val = body
+        out[key] = _decode_feature(val)
+    return out
+
+
+def _decode_feature(buf: bytes):
+    tag, i = _read_varint(buf, 0)
+    field = tag >> 3  # 1=bytes 2=float 3=int64
+    ln, i = _read_varint(buf, i)
+    body = buf[i : i + ln]
+    if field == 1:  # BytesList: repeated length-delimited
+        vals, j = [], 0
+        while j < len(body):
+            t, j = _read_varint(body, j)
+            bl, j = _read_varint(body, j)
+            vals.append(body[j : j + bl])
+            j += bl
+        return vals
+    if field == 2:  # FloatList packed
+        t, j = _read_varint(body, 0)
+        pl, j = _read_varint(body, j)
+        return list(struct.unpack(f"<{pl // 4}f", body[j : j + pl]))
+    # Int64List packed varints
+    t, j = _read_varint(body, 0)
+    pl, j = _read_varint(body, j)
+    end, vals = j + pl, []
+    while j < end:
+        v, j = _read_varint(body, j)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        vals.append(v)
+    return vals
+
+
+# --- framing ----------------------------------------------------------------
+
+class TFRecordWriter:
+    """Framed writer (tfrecord.go:64-88). NOT atomic on partial failure —
+    same caveat the reference documents (tfrecord.go:62); the engine's
+    transactional sink is the Parquet+manifest path, not this."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+
+    def write(self, payload: bytes) -> None:
+        ln = struct.pack("<Q", len(payload))
+        self.f.write(ln)
+        self.f.write(struct.pack("<I", masked_crc(ln)))
+        self.f.write(payload)
+        self.f.write(struct.pack("<I", masked_crc(payload)))
+
+    def write_examples(self, samples: Iterable[dict]) -> int:
+        n = 0
+        for s in samples:
+            self.write(encode_example(s))
+            n += 1
+        return n
+
+
+class CorruptRecordError(IOError):
+    pass
+
+
+class TFRecordReader:
+    """Framed reader with CRC verification (tfrecord.go:199-236)."""
+
+    def __init__(self, fileobj):
+        self.f = fileobj
+
+    def read_next(self) -> bytes | None:
+        hdr = self.f.read(12)
+        if not hdr:
+            return None
+        if len(hdr) < 12:
+            raise CorruptRecordError("truncated header")
+        (ln,) = struct.unpack("<Q", hdr[:8])
+        (lcrc,) = struct.unpack("<I", hdr[8:])
+        if masked_crc(hdr[:8]) != lcrc:
+            raise CorruptRecordError("length crc mismatch")
+        payload = self.f.read(ln)
+        crc_bytes = self.f.read(4)
+        if len(payload) < ln or len(crc_bytes) < 4:
+            raise CorruptRecordError("truncated record")
+        (pcrc,) = struct.unpack("<I", crc_bytes)
+        if masked_crc(payload) != pcrc:
+            raise CorruptRecordError("payload crc mismatch")
+        return payload
+
+    def __iter__(self) -> Iterator[bytes]:
+        while (p := self.read_next()) is not None:
+            yield p
+
+    def read_all_examples(self) -> list[dict]:
+        """↔ ReadAllExamples (tfrecord.go:241-259) — tests/small files."""
+        return [decode_example(p) for p in self]

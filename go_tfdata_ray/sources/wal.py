@@ -56,18 +56,30 @@ class WalParams:
     max_len: int = 64
     dup_rate: float = 0.0
     key_mode: str = "zipf"  # "zipf" (hot-key skew) | "roundrobin" (distinct-first)
-    version: int = 1  # bump to invalidate cached generated dirs
+    shard_rows: int = 32768  # events per shard file within an epoch segment
+    op_mode: str = "first_insert"  # "first_insert" (global first-occurrence scan)
+    # | "hash" (pure per-event hash → range-parallel generation; I/U both
+    #   upsert so final-state semantics are identical)
+    version: int = 4  # bump to invalidate cached generated dirs
 
 
 def synth_events(p: WalParams) -> pa.Table:
-    """Vectorized synthesis of the full event table (no epoch split yet).
+    return synth_range(p, 0, p.n_events)
+
+
+def synth_range(p: WalParams, lo: int, hi: int) -> pa.Table:
+    """Vectorized synthesis of events with seq in [lo, hi) (no epoch split).
 
     Rules follow FIXTURES.md §2: zipf-ish hot-key skew (~hot_frac of events
     hit n_hot keys), first event per key is 'I', later ones 'U'/'D' ≈ 95/5,
     token payload parameterized by (key, seq) so every update changes it.
-    """
-    n = p.n_events
-    seq = np.arange(n, dtype=np.int64)
+    Every value is a pure function of (seq, params), so disjoint ranges can
+    be synthesized in parallel tasks — except op_mode="first_insert", whose
+    global first-occurrence scan requires the full range (lo=0, hi=n)."""
+    if p.op_mode == "first_insert" and (lo, hi) != (0, p.n_events):
+        raise ValueError("first_insert op_mode cannot be range-synthesized")
+    n = hi - lo
+    seq = np.arange(lo, hi, dtype=np.int64)
     if p.key_mode == "roundrobin":
         key_idx = seq % p.n_keys
     else:
@@ -80,11 +92,16 @@ def synth_events(p: WalParams) -> pa.Table:
             p.n_hot + (seq * 1103515245 + 12345 + p.seed) % n_cold,
         ).astype(np.int64)
 
-    first_mask = np.zeros(n, dtype=bool)
-    _, first_pos = np.unique(key_idx, return_index=True)
-    first_mask[first_pos] = True
     d = (seq * 48271 + p.seed * 7) % 100
-    op = np.where(first_mask, "I", np.where(d < 5, "D", "U"))
+    if p.op_mode == "hash":
+        # range-parallel op rule: I/U both upsert, so only 'D' placement
+        # matters for the final state; ratios ≈ 70/25/5
+        op = np.where(d < 70, "I", np.where(d < 95, "U", "D"))
+    else:
+        first_mask = np.zeros(n, dtype=bool)
+        _, first_pos = np.unique(key_idx, return_index=True)
+        first_mask[first_pos] = True
+        op = np.where(first_mask, "I", np.where(d < 5, "D", "U"))
     is_del = op == "D"
 
     lengths = np.where(
@@ -157,9 +174,17 @@ def generate_wal(out_dir: str, p: WalParams) -> list[str]:
     epochs = np.asarray(t["epoch"])
     for e in range(p.num_epochs):
         seg = t.filter(pa.array(epochs == e))
-        name = f"epoch-{e:05d}.parquet"
-        pq.write_table(seg, os.path.join(tmp, name))
-        files.append(name)
+        # An epoch segment is a DIRECTORY of shard files (as a real WAL is:
+        # many producers append concurrently) — read_parquet then fans one
+        # epoch out as one task per shard, so apply is read-parallel.
+        seg_dir = f"epoch-{e:05d}"
+        os.makedirs(os.path.join(tmp, seg_dir))
+        for si, lo in enumerate(range(0, max(seg.num_rows, 1), p.shard_rows)):
+            shard = seg.slice(lo, p.shard_rows)
+            name = os.path.join(seg_dir, f"shard-{si:05d}.parquet")
+            pq.write_table(shard, os.path.join(tmp, name), row_group_size=8192,
+                           use_dictionary=False, compression="lz4")
+            files.append(name)
     with open(os.path.join(tmp, "_WAL_META.json"), "w") as f:
         json.dump({"params": want, "files": files}, f, indent=1)
     try:
@@ -169,13 +194,70 @@ def generate_wal(out_dir: str, p: WalParams) -> list[str]:
     return [os.path.join(out_dir, f) for f in files]
 
 
-def list_segments(wal_dir: str) -> list[tuple[int, str]]:
-    """(epoch, path) pairs in epoch order, from file names."""
+def _write_shard(p: WalParams, lo: int, hi: int, path: str) -> int:
+    t = synth_range(p, lo, hi)
+    pq.write_table(t, path, row_group_size=8192, use_dictionary=False, compression="lz4")
+    return hi - lo
+
+
+def generate_wal_parallel(out_dir: str, p: WalParams) -> list[str]:
+    """Range-parallel WAL generation: one Ray task per shard group. Needs
+    op_mode='hash' (no global first-occurrence scan) and dup_rate=0.
+    Deterministic — identical output for identical params, any task order."""
+    if p.op_mode != "hash" or p.dup_rate != 0:
+        raise ValueError("parallel generation requires op_mode='hash', dup_rate=0")
+    meta_path = os.path.join(out_dir, "_WAL_META.json")
+    want = asdict(p)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("params") == want:
+            return [os.path.join(out_dir, f) for f in meta["files"]]
+        shutil.rmtree(out_dir)
+
+    import ray
+
+    epoch_size = -(-p.n_events // p.num_epochs)
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    gen = ray.remote(_write_shard)
+    refs, files = [], []
+    for e in range(p.num_epochs):
+        seg_dir = f"epoch-{e:05d}"
+        os.makedirs(os.path.join(tmp, seg_dir))
+        e_lo, e_hi = e * epoch_size, min((e + 1) * epoch_size, p.n_events)
+        for si, lo in enumerate(range(e_lo, e_hi, p.shard_rows)):
+            name = os.path.join(seg_dir, f"shard-{si:05d}.parquet")
+            refs.append(gen.remote(p, lo, min(lo + p.shard_rows, e_hi),
+                                   os.path.join(tmp, name)))
+            files.append(name)
+    ray.get(refs)
+    with open(os.path.join(tmp, "_WAL_META.json"), "w") as f:
+        json.dump({"params": want, "files": files}, f, indent=1)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return [os.path.join(out_dir, f) for f in files]
+
+
+def list_segments(wal_dir: str) -> list[tuple[int, list[str]]]:
+    """(epoch, shard_paths) pairs in epoch order. Accepts both layouts:
+    ``epoch-N/`` shard directories and legacy single ``epoch-N.parquet``."""
     out = []
     for name in sorted(os.listdir(wal_dir)):
+        m = re.fullmatch(r"epoch-(\d+)", name)
+        if m and os.path.isdir(os.path.join(wal_dir, name)):
+            shards = sorted(
+                os.path.join(wal_dir, name, s)
+                for s in os.listdir(os.path.join(wal_dir, name))
+                if s.endswith(".parquet")
+            )
+            out.append((int(m.group(1)), shards))
+            continue
         m = re.fullmatch(r"epoch-(\d+)\.parquet", name)
         if m:
-            out.append((int(m.group(1)), os.path.join(wal_dir, name)))
+            out.append((int(m.group(1)), [os.path.join(wal_dir, name)]))
     return out
 
 

@@ -47,9 +47,10 @@ def test_wal_21_mixed_epochs(tmp_path):
     run_and_check(tmp_path, wal_dir, files, num_partitions=3)
 
 
-def test_medium_vs_both_oracles(tmp_path):
+@pytest.mark.parametrize("mode", ["direct", "groupby"])
+def test_medium_vs_both_oracles(tmp_path, mode):
     wal_dir, files = make_wal(tmp_path, n_events=5000, n_keys=800, num_epochs=4)
-    eng, actual = run_and_check(tmp_path, wal_dir, files, num_partitions=8)
+    eng, actual = run_and_check(tmp_path, wal_dir, files, num_partitions=8, write_mode=mode)
     # independent row-at-a-time dict oracle, exact tokens equality
     state = oracle_replay_dict(files)
     assert actual.num_rows == len(state)
@@ -60,10 +61,11 @@ def test_medium_vs_both_oracles(tmp_path):
         assert row["source"] == exp["source"]
 
 
-def test_duplicate_delivery_idempotent(tmp_path):
+@pytest.mark.parametrize("mode", ["direct", "groupby"])
+def test_duplicate_delivery_idempotent(tmp_path, mode):
     # at-least-once delivery: exact duplicates across epoch boundaries
     wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=300, num_epochs=4, dup_rate=0.05)
-    run_and_check(tmp_path, wal_dir, files)
+    run_and_check(tmp_path, wal_dir, files, write_mode=mode)
 
 
 def test_reapply_is_noop(tmp_path):
@@ -84,8 +86,8 @@ def test_resume_mid_stream(tmp_path):
     from go_tfdata_ray.sources.wal import list_segments
 
     segs = list_segments(wal_dir)
-    for e, p in segs[:2]:
-        eng1.apply_epoch(e, [p])
+    for e, paths in segs[:2]:
+        eng1.apply_epoch(e, paths)
     del eng1
     eng2 = CDCEngine(lake)  # picks up num_partitions + watermarks from manifest
     assert eng2.manifest.committed_epoch == 1
@@ -129,10 +131,10 @@ def test_fencing_two_writers(tmp_path):
     b = CDCEngine(lake, num_partitions=2)
     from go_tfdata_ray.sources.wal import list_segments
 
-    e0, p0 = list_segments(wal_dir)[0]
-    a.apply_epoch(e0, [p0])
+    e0, paths0 = list_segments(wal_dir)[0]
+    a.apply_epoch(e0, paths0)
     with pytest.raises(mf.FencedOutError):
-        b.apply_epoch(e0, [p0])  # stale writer loses the manifest link race
+        b.apply_epoch(e0, paths0)  # stale writer loses the manifest link race
 
 
 def test_partition_count_invariance(tmp_path):
