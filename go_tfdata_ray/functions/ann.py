@@ -116,6 +116,109 @@ def brute_force_topk(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _train_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 29
+) -> np.ndarray:
+    """Tiny spherical k-means on a driver-side sample (deterministic seeded
+    init). The trained coarse quantizer is broadcast once — at 100 TB the
+    sample stays a few thousand rows; training cost is O(sample × centroids)
+    regardless of corpus size."""
+    unit = _unit(sample)
+    n_centroids = min(n_centroids, len(unit))
+    rng = np.random.default_rng(seed)
+    cent = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(n_centroids):
+            rows = unit[assign == c]
+            if len(rows):
+                cent[c] = rows.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    seed: int = 29,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """IVF ANN: a coarse quantizer (spherical k-means, trained once on a
+    sample, broadcast via ray.put) routes corpus rows to inverted lists;
+    each query scans only its ``n_probe`` nearest centroids' lists. Recall
+    grows with n_probe (n_probe = n_centroids ⇒ exact). The corpus is read
+    once; candidate volume is the probed fraction of each batch."""
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b for b in ds.limit(sample_size).iter_batches(
+                batch_size=sample_size, batch_format="pyarrow")]
+        )[emb_col]
+    )
+    cent = _train_centroids(sample, n_centroids, seed=seed)
+    q_ids = queries[key_col].to_numpy()
+    q_unit = _unit(np.stack(queries[emb_col].to_numpy()).astype(np.float64))
+    n_probe = min(n_probe, len(cent))
+    q_probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]  # Q × n_probe
+    # centroid -> indices of queries probing it
+    probing: dict[int, np.ndarray] = {
+        int(c): np.flatnonzero((q_probes == c).any(axis=1)) for c in np.unique(q_probes)
+    }
+    ref = ray.put({"cent": cent, "q_ids": q_ids, "q_unit": q_unit, "probing": probing})
+
+    class IVFScan:
+        def __init__(self):
+            s = ray.get(ref)
+            self.cent, self.q_ids = s["cent"], s["q_ids"]
+            self.q_unit, self.probing = s["q_unit"], s["probing"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            unit = _unit(_to_matrix(t[emb_col]))
+            ids = t[key_col].to_numpy(zero_copy_only=False)
+            assign = np.argmax(unit @ self.cent.T, axis=1)
+            out_q, out_id, out_s = [], [], []
+            for c in np.unique(assign):
+                q_rows = self.probing.get(int(c))
+                if q_rows is None or not len(q_rows):
+                    continue
+                rows = assign == c
+                sub_ids, sub = ids[rows], unit[rows]
+                sims = sub @ self.q_unit[q_rows].T  # |list| × |probing queries|
+                for j, qi in enumerate(q_rows):
+                    qid = self.q_ids[qi]
+                    mask = sub_ids != qid
+                    out_q.append(np.full(int(mask.sum()), qid))
+                    out_id.append(sub_ids[mask])
+                    out_s.append(sims[mask, j])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 key_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    key_col: pa.array(np.concatenate(out_id)),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    cand = ds.map_batches(IVFScan, batch_format="pyarrow", batch_size=8192,
+                          concurrency=concurrency, zero_copy_batch=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", key_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 class LSHBucketer:
     """Shared random-hyperplane signatures for the IVF/LSH scale path."""
 

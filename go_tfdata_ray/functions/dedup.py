@@ -59,11 +59,15 @@ def exact_dedup(
 # --- shingles + MinHash -----------------------------------------------------
 
 class MinHasher:
-    """Per-batch word-shingle MinHash signatures (n_perm universal hashes).
+    """Batch-vectorized word-shingle MinHash signatures (n_perm universal
+    hashes).
 
     Stateful: permutation coefficients generated once per actor from a fixed
-    seed. Shingling is a per-doc numpy op over the token array; the minhash
-    itself is a vectorized (n_shingles × n_perm) min-reduce.
+    seed. The whole batch's tokens are hashed in ONE ``pd.util.hash_array``
+    call; k-gram shingle hashes are a fixed-k sum of mixed token hashes over
+    a flat window-start index (no per-doc Python loop, no string joins); the
+    minhash is a ``np.minimum.reduceat`` over per-doc window offsets,
+    chunked over permutations to bound the (windows × perms) temporary.
     """
 
     def __init__(self, text_col="text", key_col="doc_id", k=3, n_perm=64, seed=7):
@@ -71,25 +75,50 @@ class MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+        # odd per-position constants: shingle hash = Σ_j h[i+j] * kmix[j]
+        self.kmix = (rng.integers(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64) << 1) | 1
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        toks = text.lower().split()
-        if len(toks) < self.k:
-            toks = toks + [""] * (self.k - len(toks))
-        sh = np.array([" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)],
-                      dtype=object)
-        return np.unique(pd.util.hash_array(sh, categorize=False))
+    def batch_signatures(self, texts: list[str]) -> np.ndarray:
+        k = self.k
+        tok_lists = [t.lower().split() for t in texts]
+        flat: list[str] = []
+        lens = np.empty(len(tok_lists), dtype=np.int64)
+        for i, toks in enumerate(tok_lists):
+            flat.extend(toks)
+            if len(toks) < k:  # pad short docs so every doc has ≥1 window
+                flat.extend([""] * (k - len(toks)))
+                lens[i] = k
+            else:
+                lens[i] = len(toks)
+        h = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)  # uint64
+        n_win = lens - k + 1
+        doc_off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        total = int(n_win.sum())
+        # global window-start indices, never crossing doc boundaries
+        starts = np.repeat(doc_off, n_win) + (
+            np.arange(total) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        )
+        shingle = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            shingle += h[starts + j] * self.kmix[j]  # wraparound mixing
+        win_off = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        sig = np.empty((len(tok_lists), self.n_perm), dtype=np.uint64)
+        step = max(1, (4 << 20) // max(total, 1))  # ~32MB temp per chunk
+        for c in range(0, self.n_perm, step):
+            v = (shingle[:, None] * self.a[None, c : c + step]
+                 + self.b[None, c : c + step]) % np.uint64(_MERSENNE)
+            sig[:, c : c + step] = np.minimum.reduceat(v, win_off, axis=0)
+        return sig
 
     def signature(self, text: str) -> np.ndarray:
-        sh = self.shingle_hashes(text)
-        # universal hashing: min((a*x + b) mod p) per permutation
-        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
-        return v.min(axis=0)
+        return self.batch_signatures([text])[0]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df[self.text_col].astype(str).map(self.signature)
+        sig = self.batch_signatures(df[self.text_col].astype(str).tolist()).astype(np.int64)
         out = df[[self.key_col]].copy()
-        out["sig"] = sigs.map(lambda s: s.astype(np.int64))
+        # bytes, not ndarray-object: stays a plain binary Arrow column through
+        # the shuffle instead of per-row pickled objects
+        out["sig"] = [row.tobytes() for row in sig]
         return out
 
 
@@ -105,55 +134,72 @@ def minhash_lsh_dedup(
     n_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-    concurrency=(1, 4),
+    concurrency=(1, 8),
+    num_shards: int = 64,
 ) -> rd.Dataset:
     """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby→verify.
 
-    A doc is a duplicate iff some bucket-mate with a smaller key has
-    signature-estimated Jaccard ≥ threshold (deterministic min-key
-    representative). Returns (key_col, is_dup, dup_of). The bucket shuffle
-    carries only (band, bucket_hash, key, 8*n_perm B sig) per doc per band.
+    A doc is a duplicate iff its bucket's min-key representative has
+    signature-estimated Jaccard ≥ threshold (cluster-by-representative, the
+    standard LSH dedup contraction). Returns (key_col, dup_of, est). The
+    bucket shuffle carries only (band, bucket_hash, key, 8*n_perm B sig) per
+    doc per band, never the documents. Verification is vectorized over whole
+    bucket-hash SHARDS (``num_shards`` groups, each resolving all its
+    buckets with numpy group-boundary math) — per-bucket ``map_groups``
+    would pay Ray per-group overhead × (docs × bands) tiny groups.
     """
     rows = n_perm // bands
+    rng = np.random.default_rng(104729)
+    row_c = (rng.integers(0, 1 << 62, size=rows, dtype=np.int64).astype(np.uint64) << 1) | 1
+    band_c = rng.integers(0, 1 << 62, size=bands, dtype=np.int64).astype(np.uint64)
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        recs = {"band": [], "bucket": [], key_col: [], "sig": []}
-        for _, r in df.iterrows():
-            sig = np.asarray(r["sig"], dtype=np.int64)
-            for band in range(bands):
-                chunk = sig[band * rows : (band + 1) * rows]
-                bucket = int(pd.util.hash_array(chunk.astype(np.uint64)).sum() % (1 << 62))
-                recs["band"].append(band)
-                recs["bucket"].append(bucket)
-                recs[key_col].append(r[key_col])
-                recs["sig"].append(sig)
-        return pd.DataFrame(recs)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"shard": [], "band": [], "bucket": [], key_col: [], "sig": []})
+        sig = np.frombuffer(b"".join(df["sig"]), dtype=np.int64).reshape(n, -1).astype(np.uint64)
+        chunks = sig.reshape(n, bands, rows)
+        mixed = np.bitwise_xor.reduce(chunks * row_c[None, None, :], axis=2) + band_c[None, :]
+        mixed ^= mixed >> 33
+        mixed *= np.uint64(0xFF51AFD7ED558CCD)
+        mixed ^= mixed >> 33
+        bucket = (mixed & np.uint64((1 << 62) - 1)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "shard": (bucket.reshape(-1) % num_shards).astype(np.int64),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "bucket": bucket.reshape(-1),
+                key_col: np.repeat(df[key_col].to_numpy(), bands),
+                "sig": np.repeat(df["sig"].to_numpy(), bands),
+            }
+        )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": []})
-        g = g.sort_values(key_col).reset_index(drop=True)
-        sigs = np.stack(g["sig"].to_numpy())
+    def resolve_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: [], "dup_of": [], "est": []})
+        g = g.sort_values(["band", "bucket", key_col], kind="mergesort").reset_index(drop=True)
+        sig = np.frombuffer(b"".join(g["sig"]), dtype=np.int64).reshape(len(g), -1)
+        band = g["band"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        new = np.r_[True, (np.diff(band) != 0) | (np.diff(bucket) != 0)]
+        rep = np.flatnonzero(new)[np.cumsum(new) - 1]  # index of each row's bucket rep
+        est = (sig == sig[rep]).mean(axis=1)
+        mask = (est >= threshold) & (np.arange(len(g)) != rep)
         keys = g[key_col].to_numpy()
-        out_k, out_d = [], []
-        for i in range(1, len(g)):
-            est = (sigs[:i] == sigs[i]).mean(axis=1)
-            j = int(np.argmax(est))
-            if est[j] >= threshold:
-                out_k.append(keys[i])
-                out_d.append(keys[j])
-        return pd.DataFrame({key_col: out_k, "dup_of": out_d})
+        return pd.DataFrame(
+            {key_col: keys[mask], "dup_of": keys[rep[mask]], "est": est[mask]}
+        )
 
     sigs = ds.map_batches(
         MinHasher, fn_constructor_args=(text_col, key_col, k, n_perm),
-        batch_format="pandas", batch_size=2048, concurrency=concurrency,
+        batch_format="pandas", batch_size=1024, concurrency=concurrency,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
-    cand = buckets.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
+    cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
 
     # a doc may be flagged in several bands — keep the smallest dup_of
     def dedup_flags(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("dup_of").head(1)
+        return g.sort_values(["dup_of", "est"]).head(1)[[key_col, "dup_of", "est"]]
 
     return cand.groupby(key_col).map_groups(dedup_flags, batch_format="pandas")
 
@@ -213,6 +259,46 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     sb = {" ".join(tb[i : i + k]) for i in range(max(len(tb) - k + 1, 1))}
     inter = len(sa & sb)
     return inter / max(len(sa) + len(sb) - inter, 1)
+
+
+def ngram_verified_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    candidate_margin: float = 0.7,
+    **lsh_kw,
+) -> rd.Dataset:
+    """n-gram Jaccard dedup: MinHash-LSH generates candidates (with a looser
+    signature threshold = threshold × candidate_margin), then each candidate
+    pair is verified with the EXACT word-k-gram Jaccard. Only candidate
+    pairs and their two texts are touched in verification — the corpus is
+    never compared all-pairs. Candidate texts are fetched with a broadcast
+    key-set filter; the pair set is collected driver-side (candidates ≪
+    corpus; at 100 TB shard the pair list and broadcast per shard instead).
+    Returns (key_col, dup_of, jaccard) for verified duplicates."""
+    cand = minhash_lsh_dedup(
+        ds, text_col=text_col, key_col=key_col, k=k,
+        threshold=threshold * candidate_margin, **lsh_kw,
+    ).to_pandas()
+    if len(cand) == 0:
+        empty = pa.table({key_col: pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        return rd.from_arrow(empty)
+    from ..stages.joins import semi_join_filter
+
+    keys = set(cand[key_col]) | set(cand["dup_of"])
+    texts = semi_join_filter(ds, keys, on=key_col).to_pandas()
+    lookup = dict(zip(texts[key_col], texts[text_col]))
+    jac = np.array(
+        [ngram_jaccard(lookup[a], lookup[b], k=k)
+         for a, b in zip(cand[key_col], cand["dup_of"])]
+    )
+    out = cand.loc[jac >= threshold, [key_col, "dup_of"]].copy()
+    out["jaccard"] = jac[jac >= threshold]
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 # --- embedding cosine near-dup ----------------------------------------------

@@ -24,7 +24,7 @@ from ray.data.aggregate import Sum
 from ..cdc.engine import CDCEngine
 from ..functions import ann, dedup, text
 from ..sources import wal as walmod
-from ..stages import joins, transforms as tr
+from ..stages import joins, relational as rel, transforms as tr
 from ..stages.transforms import ByKey, ByKeyValue, ByPrefix
 
 
@@ -221,6 +221,67 @@ def q_window_hourly(sf_dir: str):
     return out.map_batches(lambda t: _i64(t, "n_events"), batch_format="pyarrow")
 
 
+def q_union_all(sf_dir: str):
+    """ds.union of two filtered streams (same schema both sides)."""
+    base = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    clicks = tr.select(base, ByKey("event_id"), ByKeyValue("event_type", "click"))
+    buys = tr.select(base, ByKey("event_id"), ByKeyValue("event_type", "purchase"))
+    clicks = tr.filter_empty(clicks, key_col="event_id")
+    buys = tr.filter_empty(buys, key_col="event_id")
+    return clicks.union(buys)
+
+
+def q_sample_mod(sf_dir: str):
+    """Deterministic 1/20 sample on the order key (replayable — no RNG)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return rel.sample_mod(ds, "o_orderkey", 20)
+
+
+def q_explode_embeddings(sf_dir: str):
+    """flat_map / unnest: one row per embedding element."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return rel.explode_list(ds, "embedding", value_name="value", value_type=pa.float64())
+
+
+def q_group_collect(sf_dir: str):
+    """Tar Record grouping analog (manager.go:57-63): collect each user's
+    event ids, order-canonical CSV per group."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id"])
+    return rel.collect_group_csv(ds, "user_id", "event_id", out_col="event_ids_csv")
+
+
+def q_topk_per_group(sf_dir: str):
+    """Windowed rank: 2 priciest orders per priority class."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return rel.topk_per_group(
+        ds, "o_orderpriority", "o_totalprice", k=2, descending=True, tie_col="o_orderkey"
+    )
+
+
+def _big_order_custkeys(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return ds.unique("o_custkey")
+
+
+def q_join_semi(sf_dir: str):
+    """Semi join via broadcast key set (Bloom filter at scale): customers
+    with at least one >400k order."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return joins.semi_join_filter(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+
+
+def q_join_anti(sf_dir: str):
+    """Anti join: customers with no >400k order."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return joins.semi_join_filter(cust, _big_order_custkeys(sf_dir), on="c_custkey", anti=True)
+
+
 # --------------------------------------------------------------------------
 # CDC (the north rule) — over the deterministic sf-linked WAL
 # --------------------------------------------------------------------------
@@ -361,6 +422,22 @@ def q_ann_lsh(sf_dir: str):
     )
 
 
+def q_ngram_dedup(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.ngram_verified_dedup(ds, threshold=0.5)
+
+
+def q_ann_ivf(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = queries[queries["vec_id"] < 4]
+    out = ann.ivf_topk(ds, queries, k=10)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]), "query_id", "vec_id"),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
     from ..functions import multimodal
@@ -387,6 +464,13 @@ QUERIES = {
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
     "window_hourly": q_window_hourly,
+    "union_all": q_union_all,
+    "sample_mod": q_sample_mod,
+    "explode_embeddings": q_explode_embeddings,
+    "group_collect": q_group_collect,
+    "topk_per_group": q_topk_per_group,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "doc_stats": q_doc_stats,
@@ -400,6 +484,8 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ngram_dedup": q_ngram_dedup,
+    "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
 }
 
@@ -457,6 +543,33 @@ ORACLE_SQL = {
     "window_hourly": (
         "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
+    ),
+    "union_all": (
+        "SELECT event_id, event_type FROM events WHERE event_type = 'click' "
+        "UNION ALL SELECT event_id, event_type FROM events WHERE event_type = 'purchase'"
+    ),
+    "sample_mod": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0"
+    ),
+    "explode_embeddings": (
+        "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS value FROM embeddings"
+    ),
+    "group_collect": (
+        "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) "
+        "AS event_ids_csv FROM events GROUP BY user_id"
+    ),
+    "topk_per_group": (
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
     ),
     "cdc_replay_digest": _CDC_LAST + (
         "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "

@@ -1,0 +1,98 @@
+"""Relational operators beyond the reference's surface (SURVEY.md §2.6: the
+reference has no joins/sorts/aggregates — a complete engine needs them).
+Everything here is a vectorized batch transform or a single keyed shuffle.
+
+- deterministic sampling (modulo on a numeric key — replayable, no RNG state)
+- explode / flat_map (unnest a list column, zero-copy flatten + np.repeat)
+- group-collect (the tar Record "group members by key" analog,
+  `/root/reference/tfdata/archive/manager.go:57-63`, as groupby + ordered
+  collect)
+- per-group top-k (windowed rank, QUALIFY row_number() <= k analog)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def sample_mod(ds: rd.Dataset, col: str, m: int, r: int = 0) -> rd.Dataset:
+    """Deterministic 1/m sample: keep rows where ``col % m == r``.
+
+    Replayable under retries and identical across runs (unlike RNG-seeded
+    per-task sampling, whose output depends on block layout). For key-hashed
+    sampling of string keys, hash first and sample the hash.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(v % m == r))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_list(
+    ds: rd.Dataset, list_col: str, value_name: str = "value",
+    keep_cols: list[str] | None = None, value_type: pa.DataType | None = None,
+) -> rd.Dataset:
+    """flat_map / unnest: one output row per list element. Vectorized —
+    the list column is flattened zero-copy; kept columns are np.repeat'ed by
+    per-row list length. Null lists explode to zero rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        flat = col.flatten()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for c in keep_cols or [n for n in t.column_names if n != list_col]:
+            idx = np.repeat(np.arange(len(t)), lens)
+            cols[c] = t[c].take(pa.array(idx))
+        cols[value_name] = flat if value_type is None else pc.cast(flat, value_type)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def collect_group_csv(
+    ds: rd.Dataset, group_col: str, value_col: str, out_col: str = "values_csv",
+    sep: str = ",",
+) -> rd.Dataset:
+    """Group-members-by-key collect (the reference's tar Record grouping,
+    `manager.go:57-63`), emitted as an order-canonical CSV string per group
+    so results are schema-stable and hashable. ONE groupby shuffle carrying
+    only (group, value)."""
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[value_col].to_numpy())
+        return pd.DataFrame(
+            {group_col: [g[group_col].iloc[0]], out_col: [sep.join(map(str, vals))]}
+        )
+
+    return ds.groupby(group_col).map_groups(collect, batch_format="pandas")
+
+
+def topk_per_group(
+    ds: rd.Dataset, group_col: str, order_col: str, k: int,
+    descending: bool = True, tie_col: str | None = None,
+) -> rd.Dataset:
+    """Windowed rank: top-k rows per group (QUALIFY row_number() <= k).
+    Per-batch partial top-k (the combiner — caps shuffle volume at
+    k × groups × blocks) before the groupby finalize."""
+    by = [order_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").groupby(
+            group_col, sort=False
+        ).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(group_col).map_groups(final, batch_format="pandas")

@@ -103,6 +103,32 @@ def test_lsh_topk_runs_and_is_subset_quality():
     assert (out.groupby("query_id").size() <= 5).all()
 
 
+def test_ngram_verified_dedup():
+    ds = rd.from_pandas(docs_with_dups())
+    out = dedup.ngram_verified_dedup(ds, threshold=0.4).to_pandas()
+    flagged = dict(zip(out["doc_id"], out["dup_of"]))
+    for i in range(4):
+        assert flagged.get(100 + i) == i
+        assert out[out["doc_id"] == 100 + i]["jaccard"].iloc[0] == 1.0
+    assert 300 not in flagged
+
+
+def test_ivf_topk_high_recall_vs_brute_force():
+    df = synth_embeddings(n=400, dim=16)
+    ds = rd.from_pandas(df)
+    queries = df.head(3)
+    exact = ann.brute_force_topk(ds, queries, k=5).to_pandas()
+    approx = ann.ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=16).to_pandas()
+    # full-probe IVF is exact: same neighbor sets per query
+    for qid in queries["vec_id"]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert e == a
+    # the planted near-dup must be query 0's top neighbor
+    top0 = approx[approx["query_id"] == 0].sort_values("rank").iloc[0]
+    assert top0["vec_id"] == 10
+
+
 def test_doc_stats_and_token_count():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b,  c! d", "xyz"]})
     ds = rd.from_pandas(df)
