@@ -88,6 +88,8 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     n_rows = eng.scan().count()
     timings["cdc_scan"] = time.perf_counter() - t0
+    if scaling:
+        shutil.rmtree(lake, ignore_errors=True)  # don't let tmpfs lakes pile up
 
     query_names = [] if scaling else [
         "agg_pricing", "window_hourly", "join_bucketed", "join_broadcast",
@@ -123,7 +125,7 @@ def run_scaling() -> dict:
     shared memory bus / disk — a real 4N-node cluster multiplies those
     resources with the nodes, which 2→8 approximates far better. The 8→32
     pair is reported too for transparency."""
-    scaling = os.environ.get("GRAFT_SCALING", "6000000:256:2:65536")
+    scaling = os.environ.get("GRAFT_SCALING", "12000000:256:2:32768")
     # generate the WAL once in the parent (a 1-cpu child would crawl)
     ne, ml, eps, sh = (int(x) for x in scaling.split(":"))
     import ray
@@ -135,29 +137,43 @@ def run_scaling() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     p = walmod.WalParams(n_events=ne, n_keys=max(ne // 4, 16), num_epochs=eps,
                          max_len=ml, op_mode="hash", shard_rows=sh)
-    walmod.generate_wal_parallel(f"/dev/shm/graft_scaling_wal/{ne}-{ml}-{eps}-{sh}", p)
+    wal_dir = f"/dev/shm/graft_scaling_wal/{ne}-{ml}-{eps}-{sh}"
+    # clear stale tmpfs state (old lakes / other WAL configs): their pages
+    # feed kcompactd churn that bleeds multi-x noise into the measured legs
+    shutil.rmtree("/dev/shm/graft_bench_lake", ignore_errors=True)
+    for d in (os.listdir("/dev/shm/graft_scaling_wal")
+              if os.path.isdir("/dev/shm/graft_scaling_wal") else []):
+        if os.path.join("/dev/shm/graft_scaling_wal", d) != wal_dir:
+            shutil.rmtree(os.path.join("/dev/shm/graft_scaling_wal", d),
+                          ignore_errors=True)
+    walmod.generate_wal_parallel(wal_dir, p)
     ray.shutdown()
+    time.sleep(20)  # settle after the multi-GB tmpfs write
 
     out = {}
-    for ncpu in (1, 4, 8, 32):
-        time.sleep(15)  # settle: kcompactd/page-cache churn from the previous
-        # run otherwise bleeds multi-x noise into the next (measured)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING=scaling)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                           capture_output=True, text=True, check=True)
-        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    for ncpu in (2, 8, 32):
+        best = None
+        for _attempt in range(2):  # best-of-2: absorbs kernel-side noise
+            time.sleep(10)
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING=scaling)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                               capture_output=True, text=True, check=True)
+            j = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or j["value"] < best["value"]:
+                best = j
+        out[ncpu] = best
 
     def eff(lo, hi):
         return round((out[lo]["value"] / out[hi]["value"]) / (hi / lo), 3)
 
     return {
         "metric": "cdc_replay_scaling",
-        "events": out[4]["events"],
+        "events": out[8]["events"],
         "sec": {str(n): out[n]["value"] for n in out},
         "events_per_sec": {str(n): out[n]["events_per_sec"] for n in out},
-        "scaling_efficiency": eff(1, 4),   # primary N→4N pair
+        "scaling_efficiency": eff(2, 8),   # primary N→4N pair
         "scaling_efficiency_8_32": eff(8, 32),
-        "pair": "1->4 cpus (primary; see BASELINE.md for why on one box)",
+        "pair": "2->8 cpus (primary; see BASELINE.md for why on one box)",
     }
 
 

@@ -1,0 +1,136 @@
+"""CLI entry point for the CDC engine — the surface a user targets with
+``ray job submit -- python -m go_tfdata_ray.cdc.cli <cmd> ...`` on a real
+cluster (north rule). Owns the Ray session (guarded init); the library
+itself never calls ``ray.init``.
+
+Commands:
+  generate-wal  --wal DIR --events N [--keys K --epochs E --max-len L]
+  apply         --wal DIR --lake DIR [--partitions P]   one-shot replay
+  tail          --wal DIR --lake DIR [--poll S --idle-limit N]
+  scan          --lake DIR --out DIR                    snapshot → parquet
+  compact       --lake DIR
+  status        --lake DIR                              manifest summary
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="go_tfdata_ray.cdc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate-wal")
+    g.add_argument("--wal", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--keys", type=int, default=0)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--max-len", type=int, default=64)
+    g.add_argument("--parallel", action="store_true")
+
+    for name in ("apply", "tail"):
+        s = sub.add_parser(name)
+        s.add_argument("--wal", required=True)
+        s.add_argument("--lake", required=True)
+        s.add_argument("--partitions", type=int, default=32)
+        if name == "tail":
+            s.add_argument("--poll", type=float, default=1.0)
+            s.add_argument("--idle-limit", type=int, default=None)
+            s.add_argument("--max-epochs", type=int, default=None)
+
+    s = sub.add_parser("scan")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--out", required=True)
+
+    s = sub.add_parser("compact")
+    s.add_argument("--lake", required=True)
+
+    s = sub.add_parser("status")
+    s.add_argument("--lake", required=True)
+
+    a = ap.parse_args(argv)
+
+    if a.cmd == "generate-wal":
+        from ..sources import wal as walmod
+
+        p = walmod.WalParams(
+            n_events=a.events, n_keys=a.keys or max(a.events // 4, 16),
+            num_epochs=a.epochs, max_len=a.max_len,
+            **({"op_mode": "hash"} if a.parallel else {}),
+        )
+        if a.parallel:
+            _ray_up()
+            files = walmod.generate_wal_parallel(a.wal, p)
+        else:
+            files = walmod.generate_wal(a.wal, p)
+        print(json.dumps({"wal": a.wal, "segments": len(files)}))
+        return 0
+
+    from .engine import CDCEngine
+
+    if a.cmd in ("apply", "tail"):
+        _ray_up()
+        eng = CDCEngine(a.lake, num_partitions=a.partitions)
+        if a.cmd == "apply":
+            results = eng.apply_wal(a.wal)
+            applied = [r for r in results if not r.get("skipped")]
+            print(json.dumps({
+                "epochs_applied": len(applied),
+                "rows_applied": sum(r.get("delta_rows", 0) for r in applied),
+                "committed_epoch": eng.manifest.committed_epoch,
+                "manifest_version": eng.manifest.version,
+            }))
+        else:
+            print(json.dumps(eng.tail(
+                a.wal, poll_secs=a.poll, idle_limit=a.idle_limit,
+                max_epochs=a.max_epochs,
+            )))
+        return 0
+
+    if a.cmd == "scan":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        eng.scan().write_parquet(a.out)
+        print(json.dumps({"out": a.out}))
+        return 0
+
+    if a.cmd == "compact":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        print(json.dumps(eng.compact()))
+        return 0
+
+    if a.cmd == "status":
+        from ..state import manifest as mf
+
+        m = mf.load_latest(a.lake)
+        if m is None:
+            print(json.dumps({"error": "no manifest"}))
+            return 1
+        files = sum(len(ps.files) for ps in m.partitions.values())
+        rows = sum(f.get("rows", 0) for ps in m.partitions.values() for f in ps.files)
+        print(json.dumps({
+            "version": m.version, "committed_epoch": m.committed_epoch,
+            "num_partitions": m.num_partitions, "live_files": files,
+            "file_rows_upper_bound": rows, "stats": m.stats,
+        }))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,16 +32,21 @@ def hash_partition(doc_ids: pa.ChunkedArray | pa.Array, num_partitions: int) -> 
 def collapse_latest(
     t: pa.Table, key: str = "doc_id", order_cols: tuple[str, ...] = ("seq",)
 ) -> pa.Table:
-    """Keep, per key, the single row with the greatest ``order_cols`` tuple."""
+    """Keep, per key, the single row with the greatest ``order_cols`` tuple.
+
+    Sorts only the (key, order) columns and takes winners once — the wide
+    token payload is never copied for losing rows (matters when many updates
+    pile up per key between compactions)."""
     if len(t) == 0:
         return t
     sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_cols]
-    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-    keys = t[key].to_numpy(zero_copy_only=False)
+    small = t.select([key, *order_cols])
+    idx = pc.sort_indices(small, sort_keys=sort_keys).to_numpy()
+    keys = small[key].to_numpy(zero_copy_only=False)[idx]
     last = np.empty(len(keys), dtype=bool)
     last[:-1] = keys[1:] != keys[:-1]
     last[-1] = True
-    return t.filter(pa.array(last))
+    return t.take(pa.array(idx[last]))
 
 
 def merge_on_read(

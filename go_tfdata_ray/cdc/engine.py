@@ -97,13 +97,15 @@ def normalize_events(
     if not keep.all():
         t = t.filter(pa.array(keep))
     sort_keys = [(c, "ascending") for c in (*presorted_for, "doc_id", "seq")]
-    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-    keys = t["doc_id"].to_numpy(zero_copy_only=False)
-    last = np.empty(len(keys), dtype=bool)
-    if len(keys):
+    # sort only the key columns; the token payload is taken ONCE, winners only
+    small = t.select([*presorted_for, "doc_id", "seq"])
+    idx = pc.sort_indices(small, sort_keys=sort_keys).to_numpy()
+    if len(idx):
+        keys = small["doc_id"].to_numpy(zero_copy_only=False)[idx]
+        last = np.empty(len(keys), dtype=bool)
         last[:-1] = keys[1:] != keys[:-1]
         last[-1] = True
-        t = t.filter(pa.array(last))
+        t = t.take(pa.array(idx[last]))
     return t
 
 
@@ -341,6 +343,56 @@ class CDCEngine:
         order. Safe to call repeatedly / after a crash (resume)."""
         return [self.apply_epoch(e, paths) for e, paths in list_segments(wal_dir)]
 
+    def tail(
+        self,
+        wal_dir: str,
+        poll_secs: float = 1.0,
+        idle_limit: int | None = None,
+        max_epochs: int | None = None,
+    ) -> dict[str, Any]:
+        """Continuous ingest: poll the WAL directory for new SEALED segments
+        (``list_segments`` hides segments still carrying the producer's
+        ``_OPEN`` marker — the micro-batch completeness barrier) and apply
+        each exactly once. Stops after ``idle_limit`` consecutive empty
+        polls (None = only on ``max_epochs``). Returns cumulative metrics.
+        Resume-safe: committed epochs are skipped by the manifest watermark.
+        """
+        import time as _time
+
+        applied = 0
+        events = 0
+        idle = 0
+        t0 = _time.perf_counter()
+        while True:
+            progressed = False
+            for e, paths in list_segments(wal_dir):
+                if e <= self.manifest.committed_epoch:
+                    continue
+                r = self.apply_epoch(e, paths)
+                if not r.get("skipped"):
+                    applied += 1
+                    events += r.get("delta_rows", 0)
+                    progressed = True
+                if max_epochs is not None and applied >= max_epochs:
+                    break
+            if max_epochs is not None and applied >= max_epochs:
+                break
+            if progressed:
+                idle = 0
+            else:
+                idle += 1
+                if idle_limit is not None and idle >= idle_limit:
+                    break
+                _time.sleep(poll_secs)
+        wall = _time.perf_counter() - t0
+        return {
+            "epochs_applied": applied,
+            "rows_applied": events,
+            "wall_sec": round(wall, 3),
+            "committed_epoch": self.manifest.committed_epoch,
+            "manifest_version": self.manifest.version,
+        }
+
     # -- query -------------------------------------------------------------
 
     def _descriptors(self) -> list[dict[str, Any]]:
@@ -373,7 +425,7 @@ class CDCEngine:
         return rd.from_items(desc).map_batches(
             PartitionMergeReader(self.lake_dir, cols),
             batch_format="pyarrow",
-            batch_size=4,  # a few partitions per task; each is an independent merge
+            batch_size=1,  # one partition per task — full merge parallelism
         )
 
     def scan_table(self, columns: list[str] | None = None) -> pa.Table:

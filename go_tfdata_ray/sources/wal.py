@@ -241,13 +241,38 @@ def generate_wal_parallel(out_dir: str, p: WalParams) -> list[str]:
     return [os.path.join(out_dir, f) for f in files]
 
 
+OPEN_MARKER = "_OPEN"
+
+
+def open_segment(wal_dir: str, epoch: int) -> str:
+    """Producer API: start a new epoch segment. The segment stays invisible
+    to ``list_segments`` (and therefore to ``CDCEngine.tail``) until
+    ``seal_segment`` — the micro-batch completeness barrier, the CDC analog
+    of the reference's emit-only-when-record-complete
+    (`/root/reference/tfdata/archive/seekreader.go:125-133`)."""
+    d = os.path.join(wal_dir, f"epoch-{epoch:05d}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, OPEN_MARKER), "w"):
+        pass
+    return d
+
+
+def seal_segment(seg_dir: str) -> None:
+    """Producer API: mark the segment complete (atomic unlink)."""
+    os.unlink(os.path.join(seg_dir, OPEN_MARKER))
+
+
 def list_segments(wal_dir: str) -> list[tuple[int, list[str]]]:
     """(epoch, shard_paths) pairs in epoch order. Accepts both layouts:
-    ``epoch-N/`` shard directories and legacy single ``epoch-N.parquet``."""
+    ``epoch-N/`` shard directories and legacy single ``epoch-N.parquet``.
+    Unsealed segments (containing ``_OPEN``) are skipped — a consumer never
+    sees a half-written micro-batch."""
     out = []
     for name in sorted(os.listdir(wal_dir)):
         m = re.fullmatch(r"epoch-(\d+)", name)
         if m and os.path.isdir(os.path.join(wal_dir, name)):
+            if os.path.exists(os.path.join(wal_dir, name, OPEN_MARKER)):
+                continue
             shards = sorted(
                 os.path.join(wal_dir, name, s)
                 for s in os.listdir(os.path.join(wal_dir, name))

@@ -202,3 +202,65 @@ def test_narrowing_rejected():
     bad = pa.table({"x": pa.array([1], pa.int64())})
     with pytest.raises(TypeError):
         policy.normalize(bad)
+
+
+def test_tail_sealed_segments_only(tmp_path):
+    """Producer seals segments; tail applies each exactly once and never
+    sees a half-written micro-batch."""
+    import shutil
+
+    from go_tfdata_ray.sources import wal as walmod
+
+    src_dir, files = make_wal(tmp_path, n_events=4000, n_keys=600, num_epochs=4)
+    segs = walmod.list_segments(src_dir)
+    live = str(tmp_path / "live_wal")
+    os.makedirs(live)
+
+    # epoch 0 sealed; epoch 1 open (incomplete)
+    for e, paths in segs[:2]:
+        d = walmod.open_segment(live, e)
+        for p in paths:
+            shutil.copy(p, d)
+        if e == 0:
+            walmod.seal_segment(d)
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    m = eng.tail(live, idle_limit=1, poll_secs=0.01)
+    assert m["epochs_applied"] == 1 and m["committed_epoch"] == 0
+
+    # seal epoch 1, add 2 and 3 sealed
+    walmod.seal_segment(os.path.join(live, "epoch-00001"))
+    for e, paths in segs[2:]:
+        d = walmod.open_segment(live, e)
+        for p in paths:
+            shutil.copy(p, d)
+        walmod.seal_segment(d)
+    m = eng.tail(live, idle_limit=1, poll_secs=0.01)
+    assert m["epochs_applied"] == 3 and m["committed_epoch"] == 3
+
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+
+def test_cli_apply_scan_status(tmp_path):
+    """CLI surface (the `ray job submit` target) drives the same engine."""
+    import json
+
+    from go_tfdata_ray.cdc import cli
+
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=500, num_epochs=2)
+    lake = str(tmp_path / "clilake")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["apply", "--wal", wal_dir, "--lake", lake,
+                         "--partitions", "4"]) == 0
+        assert cli.main(["status", "--lake", lake]) == 0
+        out_dir = str(tmp_path / "snap")
+        assert cli.main(["scan", "--lake", lake, "--out", out_dir]) == 0
+    lines = [json.loads(line) for line in buf.getvalue().strip().splitlines()]
+    assert lines[0]["epochs_applied"] == 2
+    assert lines[1]["committed_epoch"] == 1
+    got = pq.read_table(out_dir).sort_by("doc_id")
+    assert_tables_equal(got, oracle_final_state(files))
