@@ -13,8 +13,6 @@ generation becomes a bucket-key groupby instead of a full scan.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -107,13 +105,18 @@ def brute_force_topk(
         zero_copy_batch=True,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # single-task final combine: candidates are ≤ k × queries × blocks
+        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
+        # fixed cost; at larger query counts add an intermediate level
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return df
 
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
+                                           batch_size=None)
 
 
 def _train_centroids(
@@ -210,13 +213,18 @@ def ivf_topk(
     cand = ds.map_batches(IVFScan, batch_format="pyarrow", batch_size=8192,
                           concurrency=concurrency, zero_copy_batch=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # single-task final combine: candidates are ≤ k × queries × blocks
+        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
+        # fixed cost; at larger query counts add an intermediate level
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return df
 
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
+                                           batch_size=None)
 
 
 class LSHBucketer:
@@ -292,10 +300,15 @@ def lsh_topk(
     cand = ds.map_batches(BucketScan, batch_format="pyarrow", batch_size=8192,
                           concurrency=(1, 4), zero_copy_batch=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", key_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # single-task final combine: candidates are ≤ k × queries × blocks
+        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
+        # fixed cost; at larger query counts add an intermediate level
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return df
 
-    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
+                                           batch_size=None)

@@ -198,10 +198,13 @@ def minhash_lsh_dedup(
     cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
 
     # a doc may be flagged in several bands — keep the smallest dup_of
-    def dedup_flags(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["dup_of", "est"]).head(1)[[key_col, "dup_of", "est"]]
+    # (single-task final: the flagged set is ≪ the corpus)
+    def dedup_flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "dup_of", "est"], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "est"]]
 
-    return cand.groupby(key_col).map_groups(dedup_flags, batch_format="pandas")
+    return cand.repartition(1).map_batches(dedup_flags, batch_format="pandas",
+                                           batch_size=None)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -240,13 +243,22 @@ def simhash_dedup(ds: rd.Dataset, text_col="text", key_col="doc_id", concurrency
         batch_format="pandas", batch_size=2048, concurrency=concurrency,
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {key_col: [g[key_col].min()], "n_copies": [np.int64(len(g))],
-             "simhash": [g["simhash"].iloc[0]]}
-        )
+    # associative (min-key, count) combine: per-batch partial then a
+    # single-task final over ≤ #signatures × #blocks partial rows
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("simhash", sort=False)[key_col].agg(["min", "size"]).reset_index()
+        return g.rename(columns={"min": key_col, "size": "n_copies"})
 
-    return sigs.groupby("simhash").map_groups(resolve, batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("simhash", sort=False).agg(
+            **{key_col: (key_col, "min"), "n_copies": ("n_copies", "sum")}
+        ).reset_index()
+        g["n_copies"] = g["n_copies"].astype("int64")
+        return g[[key_col, "n_copies", "simhash"]]
+
+    return sigs.map_batches(partial, batch_format="pandas").repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
 
 
 # --- n-gram Jaccard verification -------------------------------------------

@@ -19,7 +19,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..cdc.engine import CDCEngine
 from ..functions import ann, dedup, text
@@ -139,14 +138,17 @@ def q_agg_pricing(sf_dir: str):
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("base_c", alias_name="sum_base_cents"),
-        Sum("disc_c4", alias_name="sum_disc_c4"),
-        Sum("n", alias_name="count_order"),
+    out = rel.combine_partials(
+        partials, ["l_returnflag", "l_linestatus"], ["qty", "base_c", "disc_c4", "n"]
     )
     return out.map_batches(
-        lambda t: _i64(t, "sum_qty", "sum_base_cents", "sum_disc_c4", "count_order"),
+        lambda t: _i64(
+            t.rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+                 "sum_disc_c4", "count_order"]
+            ),
+            "sum_qty", "sum_base_cents", "sum_disc_c4", "count_order",
+        ),
         batch_format="pyarrow",
     )
 
@@ -158,8 +160,13 @@ def q_sort_topk(sf_dir: str):
 
 
 def q_distinct(sf_dir: str):
+    """distinct via per-batch dedup (combiner) + single-task final — low
+    cardinality; high-cardinality distinct would use the groupby shuffle."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
-    return ds.groupby("event_type").count().select_columns(["event_type"])
+    dd = lambda df: df.drop_duplicates()  # noqa: E731
+    return ds.map_batches(dd, batch_format="pandas").repartition(1).map_batches(
+        dd, batch_format="pandas", batch_size=None
+    )
 
 
 def q_join_broadcast(sf_dir: str):
@@ -175,11 +182,13 @@ def q_join_broadcast(sf_dir: str):
         df = df.assign(price_c=(df["o_totalprice"] * 100).round().astype("int64"), n=np.int64(1))
         return df.groupby("c_nationkey", sort=False, as_index=False)[["n", "price_c"]].sum()
 
-    out = joined.map_batches(partial, batch_format="pandas").groupby("c_nationkey").aggregate(
-        Sum("n", alias_name="n_orders"), Sum("price_c", alias_name="sum_price_cents")
+    out = rel.combine_partials(
+        joined.map_batches(partial, batch_format="pandas"), ["c_nationkey"], ["n", "price_c"]
     )
     return out.map_batches(
-        lambda t: _i64(t, "c_nationkey", "n_orders", "sum_price_cents"), batch_format="pyarrow"
+        lambda t: _i64(t.rename_columns(["c_nationkey", "n_orders", "sum_price_cents"]),
+                       "c_nationkey", "n_orders", "sum_price_cents"),
+        batch_format="pyarrow",
     )
 
 
@@ -197,10 +206,14 @@ def q_join_bucketed(sf_dir: str):
         df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))
         return df.groupby("o_orderpriority", sort=False, as_index=False)[["n", "qty"]].sum()
 
-    out = joined.map_batches(partial, batch_format="pandas").groupby("o_orderpriority").aggregate(
-        Sum("n", alias_name="n_items"), Sum("qty", alias_name="sum_qty")
+    out = rel.combine_partials(
+        joined.map_batches(partial, batch_format="pandas"), ["o_orderpriority"], ["n", "qty"]
     )
-    return out.map_batches(lambda t: _i64(t, "n_items", "sum_qty"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["o_orderpriority", "n_items", "sum_qty"]),
+                       "n_items", "sum_qty"),
+        batch_format="pyarrow",
+    )
 
 
 def q_window_hourly(sf_dir: str):
@@ -215,10 +228,14 @@ def q_window_hourly(sf_dir: str):
         g = df.groupby(["user_id", "hour_bucket"], sort=False, as_index=False).size()
         return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
 
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["user_id", "hour_bucket"]
-    ).aggregate(Sum("n", alias_name="n_events"))
-    return out.map_batches(lambda t: _i64(t, "n_events"), batch_format="pyarrow")
+    out = rel.combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "hour_bucket"], ["n"], fanout=8,  # many (user, hour) groups
+    )
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["user_id", "hour_bucket", "n_events"]), "n_events"),
+        batch_format="pyarrow",
+    )
 
 
 def q_union_all(sf_dir: str):
@@ -338,10 +355,14 @@ def q_cdc_counts_by_source(sf_dir: str):
         df = df.assign(n=np.int64(1), tok=df["n_tok"].astype("int64"))
         return df.groupby("source", sort=False, as_index=False)[["n", "tok"]].sum()
 
-    out = ds.map_batches(partial, batch_format="pandas").groupby("source").aggregate(
-        Sum("n", alias_name="n_docs"), Sum("tok", alias_name="total_tokens")
+    out = rel.combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["source"], ["n", "tok"]
     )
-    return out.map_batches(lambda t: _i64(t, "n_docs", "total_tokens"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["source", "n_docs", "total_tokens"]),
+                       "n_docs", "total_tokens"),
+        batch_format="pyarrow",
+    )
 
 
 # --------------------------------------------------------------------------

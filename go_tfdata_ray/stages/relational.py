@@ -20,6 +20,31 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def combine_partials(
+    partials: rd.Dataset,
+    group_cols: list[str],
+    sum_cols: list[str],
+    fanout: int = 0,
+) -> rd.Dataset:
+    """Final combine for pre-aggregated (combiner) partials.
+
+    Partial aggregates are tiny — ≤ groups × blocks rows — so Ray's
+    all-to-all Aggregate operator (sort shuffle, ~seconds of fixed cost even
+    for 100 rows) is the wrong tool. A coalesce + one combine task is the
+    tree-reduce final node; pass ``fanout`` > 0 to add an intermediate
+    combine level when group cardinality × blocks is large (e.g. per-user
+    windows over many blocks)."""
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, sort=False, as_index=False)[sum_cols].sum()
+
+    if fanout:
+        partials = partials.repartition(fanout).map_batches(
+            comb, batch_format="pandas", batch_size=None
+        )
+    return partials.repartition(1).map_batches(comb, batch_format="pandas", batch_size=None)
+
+
 def sample_mod(ds: rd.Dataset, col: str, m: int, r: int = 0) -> rd.Dataset:
     """Deterministic 1/m sample: keep rows where ``col % m == r``.
 
@@ -67,13 +92,23 @@ def collect_group_csv(
     so results are schema-stable and hashable. ONE groupby shuffle carrying
     only (group, value)."""
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy())
-        return pd.DataFrame(
-            {group_col: [g[group_col].iloc[0]], out_col: [sep.join(map(str, vals))]}
-        )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[value_col].agg(list).reset_index()
+        return g.rename(columns={value_col: "_vals"})
 
-    return ds.groupby(group_col).map_groups(collect, batch_format="pandas")
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)["_vals"].agg(
+            lambda ls: sorted(x for sub in ls for x in sub)
+        ).reset_index()
+        g[out_col] = g["_vals"].map(lambda v: sep.join(map(str, v)))
+        return g[[group_col, out_col]]
+
+    # partial collect per batch (≤ groups rows each), single-task final merge
+    # (collected values are the full group content — for huge groups use the
+    # groupby(group).map_groups shuffle instead)
+    return ds.map_batches(partial, batch_format="pandas").repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
 
 
 def topk_per_group(
@@ -91,8 +126,10 @@ def topk_per_group(
             group_col, sort=False
         ).head(k)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
 
+    # partials are ≤ k × groups × blocks rows — single-task final combine
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(group_col).map_groups(final, batch_format="pandas")
+    return partials.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
