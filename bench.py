@@ -92,9 +92,9 @@ def run_bench() -> dict:
         shutil.rmtree(lake, ignore_errors=True)  # don't let tmpfs lakes pile up
 
     query_names = [] if scaling else [
-        "agg_pricing", "window_hourly", "join_bucketed", "join_broadcast",
-        "sort_topk", "dedup_exact", "token_count", "ann_topk",
-        "minhash_dedup", "udf_revenue"]
+        "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
+        "join_broadcast", "sort_topk", "dedup_exact", "token_count",
+        "ann_topk", "minhash_dedup", "udf_revenue"]
     for name in query_names:
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()

@@ -216,6 +216,30 @@ def q_join_bucketed(sf_dir: str):
     )
 
 
+def q_join_storage(sf_dir: str):
+    """Same join as join_bucketed via the storage-exchange strategy (run
+    files with bucket-aligned row groups — no object-store sort shuffle)."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    joined = joins.storage_hash_join(li, orders, on="o_orderkey", num_buckets=64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))
+        return df.groupby("o_orderpriority", sort=False, as_index=False)[["n", "qty"]].sum()
+
+    out = rel.combine_partials(
+        joined.map_batches(partial, batch_format="pandas"), ["o_orderpriority"], ["n", "qty"]
+    )
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["o_orderpriority", "n_items", "sum_qty"]),
+                       "n_items", "sum_qty"),
+        batch_format="pyarrow",
+    )
+
+
 def q_window_hourly(sf_dir: str):
     """Streaming-shaped tumbling window: count per (user_id, hour bucket).
     Partial counts per batch, then the groupby shuffle over partials."""
@@ -484,6 +508,7 @@ QUERIES = {
     "distinct": q_distinct,
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
+    "join_storage": q_join_storage,
     "window_hourly": q_window_hourly,
     "union_all": q_union_all,
     "sample_mod": q_sample_mod,
@@ -557,6 +582,11 @@ ORACLE_SQL = {
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
     ),
     "join_bucketed": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "join_storage": (
         "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
         "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"

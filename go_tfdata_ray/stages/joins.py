@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Literal
 
 import numpy as np
@@ -62,6 +63,115 @@ def semi_join_filter(big: rd.Dataset, keys, on: str, anti: bool = False) -> rd.D
 
     return big.map_batches(Filt, batch_format="pandas", batch_size=16384,
                            concurrency=(1, 8))
+
+
+def storage_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    num_buckets: int = 64,
+    how: Literal["inner", "left"] = "inner",
+    spill_root: str = "/tmp/graft_join_spill",
+) -> rd.Dataset:
+    """Partitioned hash join through STORAGE instead of an object-store sort
+    shuffle — the same row-group-addressed run-file exchange the CDC engine
+    uses for apply (`go_tfdata_ray/cdc/engine.py:normalize_and_write_fragments`).
+
+    Phase 1 (per side, fully parallel, no exchange): every read task sorts
+    its batch by ``_b = hash(key) % B`` and writes ONE run file whose row
+    groups align with bucket boundaries; it returns tiny intent rows.
+    Phase 2: one task per bucket reads exactly its row groups from both
+    sides' run files and does a group-local pandas merge. Data crosses the
+    wire once (to storage), never through a sort. On a cluster the spill
+    dir is the shared store; files are left for the streamed reader and can
+    be vacuumed afterwards.
+    """
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    spill = os.path.join(spill_root, _uuid.uuid4().hex)
+    os.makedirs(spill, exist_ok=True)
+
+    def writer(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"side": pa.array([], pa.int8()),
+                                 "bucket": pa.array([], pa.int32()),
+                                 "path": pa.array([], pa.string()),
+                                 "rg": pa.array([], pa.int32())})
+            b = hash_partition(t[on], num_buckets)
+            order = np.argsort(b, kind="stable")
+            t = t.take(pa.array(order))
+            b = b[order]
+            bounds = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+            rel = f"side{side}-{_uuid.uuid4().hex[:12]}.parquet"
+            path = os.path.join(spill, rel)
+            rows = []
+            w = pq.ParquetWriter(path + ".tmp", t.schema, compression="lz4")
+            try:
+                for rg in range(len(bounds) - 1):
+                    lo, hi = int(bounds[rg]), int(bounds[rg + 1])
+                    w.write_table(t.slice(lo, hi - lo), row_group_size=hi - lo)
+                    rows.append((side, int(b[lo]), rel, rg))
+            finally:
+                w.close()
+            os.rename(path + ".tmp", path)
+            return pa.table({"side": pa.array([r[0] for r in rows], pa.int8()),
+                             "bucket": pa.array([r[1] for r in rows], pa.int32()),
+                             "path": pa.array([r[2] for r in rows], pa.string()),
+                             "rg": pa.array([r[3] for r in rows], pa.int32())})
+
+        return fn
+
+    # both sides spill in ONE execution (union) — fully parallel phase 1
+    intents = left.map_batches(writer(0), batch_format="pyarrow", batch_size=None,
+                               zero_copy_batch=True).union(
+        right.map_batches(writer(1), batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+    ).take_all()
+    l_int = [it for it in intents if int(it["side"]) == 0]
+    r_int = [it for it in intents if int(it["side"]) == 1]
+    frags: dict[int, dict[int, list[tuple[str, int]]]] = {}
+    for it in l_int + r_int:
+        frags.setdefault(int(it["bucket"]), {0: [], 1: []})[int(it["side"])].append(
+            (it["path"], int(it["rg"]))
+        )
+    l_schema = pq.read_schema(os.path.join(spill, l_int[0]["path"])) if l_int else None
+    r_schema = pq.read_schema(os.path.join(spill, r_int[0]["path"])) if r_int else None
+    if l_schema is None:
+        return rd.from_items([])
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names) if r_schema is not None else [on]
+    out_cols = l_cols + [c for c in r_cols if c != on]
+
+    desc = [{"bucket": bkt, "l": fr[0], "r": fr[1]} for bkt, fr in sorted(frags.items())]
+
+    def join_bucket(batch: pa.Table) -> pd.DataFrame:
+        outs = []
+        for i in range(len(batch)):
+            l_frags = batch["l"][i].as_py()
+            r_frags = batch["r"][i].as_py()
+            if not l_frags or (how == "inner" and not r_frags):
+                continue
+            l = pa.concat_tables(
+                [pq.ParquetFile(os.path.join(spill, p)).read_row_group(rg)
+                 for p, rg in l_frags]
+            ).to_pandas()
+            if r_frags:
+                r = pa.concat_tables(
+                    [pq.ParquetFile(os.path.join(spill, p)).read_row_group(rg)
+                     for p, rg in r_frags]
+                ).to_pandas()
+            else:
+                r = pd.DataFrame({c: [] for c in r_cols})
+            outs.append(l.merge(r, on=on, how=how))
+        if not outs:
+            return pd.DataFrame({c: [] for c in out_cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return rd.from_items(desc).map_batches(join_bucket, batch_format="pyarrow",
+                                           batch_size=1)
 
 
 def bucket_hash_join(

@@ -57,3 +57,27 @@ def test_bucket_join_rejects_overlapping_columns():
 
     with pytest.raises(ValueError):
         joins.bucket_hash_join(big, big, on="k")
+
+
+def test_storage_hash_join_matches_pandas(tmp_path):
+    big, small = sides()
+    right_ds = rd.from_pandas(small)
+    out = joins.storage_hash_join(
+        big, right_ds, on="k", num_buckets=8, spill_root=str(tmp_path)
+    ).to_pandas()
+    expect = big.to_pandas().merge(small, on="k")
+    assert len(out) == len(expect)
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = expect.sort_values(["k", "v"]).reset_index(drop=True)
+    assert (a[["k", "v", "name"]] == b[["k", "v", "name"]]).all().all()
+
+
+def test_storage_hash_join_left(tmp_path):
+    big, small = sides()
+    half = small[small["k"] < 5]
+    out = joins.storage_hash_join(
+        big, rd.from_pandas(half), on="k", how="left", spill_root=str(tmp_path)
+    ).to_pandas()
+    expect = big.to_pandas().merge(half, on="k", how="left")
+    assert len(out) == len(expect)
+    assert out["name"].isna().sum() == expect["name"].isna().sum()
