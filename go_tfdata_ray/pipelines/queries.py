@@ -341,12 +341,9 @@ def replayed_engine(sf_dir: str, num_partitions: int = 16) -> CDCEngine:
     return eng
 
 
-def q_cdc_replay_digest(sf_dir: str):
-    """Full WAL replay → merged final state with per-row token digests
-    (exact list equality itself is asserted in pytest; the SQL-checkable
-    digest is (sum, first, last, n_tok) per doc)."""
-    eng = replayed_engine(sf_dir)
-    ds = eng.scan()
+def _digest_ds(ds):
+    """Per-row token digests (sum, first, last, n_tok) — the SQL-checkable
+    projection of exact token-array state."""
 
     def digest(t: pa.Table) -> pa.Table:
         toks = t["tokens"].combine_chunks()
@@ -370,6 +367,12 @@ def q_cdc_replay_digest(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cdc_replay_digest(sf_dir: str):
+    """Full WAL replay → merged final state with per-row token digests
+    (exact list equality itself is asserted in pytest)."""
+    return _digest_ds(replayed_engine(sf_dir).scan())
+
+
 def q_cdc_counts_by_source(sf_dir: str):
     """Grouped rollup over the merged lake state."""
     eng = replayed_engine(sf_dir)
@@ -387,6 +390,46 @@ def q_cdc_counts_by_source(sf_dir: str):
                        "n_docs", "total_tokens"),
         batch_format="pyarrow",
     )
+
+
+def q_cdc_compacted_digest(sf_dir: str):
+    """Replay + COMPACT (deltas folded into per-partition bases, tombstones
+    physically dropped) + vacuum; the merged state must be unchanged — same
+    oracle as cdc_replay_digest."""
+    wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
+    lake = os.path.join("/tmp/graft_lake", f"sf{walmod.sf_from_dir(sf_dir):g}-compacted")
+    eng = CDCEngine(lake, num_partitions=16)
+    eng.apply_wal(wal_dir)
+    if any(f["kind"] != "base" for ps in eng.manifest.partitions.values() for f in ps.files):
+        eng.compact()
+        eng.vacuum()
+    return _digest_ds(eng.scan())
+
+
+def q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord compat round-trip (the reference's native format,
+    tfrecord.go:64-88/199-236): documents → TFRecord file (CRC32C framing)
+    → read back. Lossless, so the ORIGINAL table is the oracle."""
+    from .builder import DefaultPipeline
+
+    path = f"/tmp/graft_tfrec/sf{walmod.sf_from_dir(sf_dir):g}.tfrecord"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    src = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    DefaultPipeline().from_dataset(src).to_tfrecord(path).do()
+    out = DefaultPipeline().from_tfrecord(path).collect().do()
+
+    def unwrap(t: pa.Table) -> pa.Table:
+        # int64 scalars round-trip as single-element Int64Lists (the
+        # reference's scalar representation, example.go:89-95) — flatten back
+        cols = {}
+        for c in ("doc_id", "n_chars"):
+            col = t[c]
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                col = pc.list_flatten(col.combine_chunks())
+            cols[c] = pc.cast(col, pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(unwrap, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -519,6 +562,8 @@ QUERIES = {
     "join_anti": q_join_anti,
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
+    "cdc_compacted_digest": q_cdc_compacted_digest,
+    "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "doc_stats": q_doc_stats,
     "token_count": q_token_count,
     "dedup_exact": q_dedup_exact,
@@ -628,6 +673,17 @@ ORACLE_SQL = {
         "CAST(tokens[1] AS BIGINT) AS tok_first, "
         "CAST(tokens[-1] AS BIGINT) AS tok_last "
         "FROM last WHERE op <> 'D'"
+    ),
+    "cdc_compacted_digest": _CDC_LAST + (
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
+        "CAST(list_sum(tokens) AS BIGINT) AS tok_sum, "
+        "CAST(tokens[1] AS BIGINT) AS tok_first, "
+        "CAST(tokens[-1] AS BIGINT) AS tok_last "
+        "FROM last WHERE op <> 'D'"
+    ),
+    "tfrecord_roundtrip": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
+        "FROM documents"
     ),
     "cdc_counts_by_source": _CDC_LAST + (
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -264,3 +264,14 @@ def test_cli_apply_scan_status(tmp_path):
     assert lines[1]["committed_epoch"] == 1
     got = pq.read_table(out_dir).sort_by("doc_id")
     assert_tables_equal(got, oracle_final_state(files))
+
+
+def test_hot_key_skew_correct(tmp_path):
+    """Pathological skew: ~90% of events hit 2 keys. The per-batch combiner
+    collapses them before any exchange, so correctness (and boundedness)
+    hold; final state still matches the oracle exactly."""
+    wal_dir, files = make_wal(
+        tmp_path, n_events=20000, n_keys=500, num_epochs=2,
+        hot_frac=0.9, n_hot=2,
+    )
+    run_and_check(tmp_path, wal_dir, files, num_partitions=8)
