@@ -180,18 +180,28 @@ def _read_fragment(path: str, rg: int) -> pa.Table:
     return pq.ParquetFile(path).read_row_group(rg)
 
 
-def write_delta(g: pa.Table, lake_dir: str, epoch: int) -> pa.Table:
+def write_delta(g: pa.Table, lake_dir: str, epoch: int, salt: int = 1) -> pa.Table:
     """map_groups fn: final per-partition collapse + delta file write.
 
-    Phase 1 of the 2-phase commit: writes ``part=K/delta-{epoch}.parquet``
-    via tmp+rename (idempotent under task retry) and returns an intent row.
-    Nothing is visible until the driver commits the manifest (phase 2).
+    Phase 1 of the 2-phase commit: writes ``part=K/delta-{epoch}[-sN].parquet``
+    via tmp+rename (idempotent under task retry — names are deterministic per
+    shuffle group) and returns an intent row. Nothing is visible until the
+    driver commits the manifest (phase 2).
+
+    With ``salt > 1`` the group key is a salted sub-partition (hot-key
+    mitigation): several groups serve one partition, each writing its own
+    fragment; the per-group collapse is associative (max ``seq``), so
+    merge-on-read resolves across fragments by (epoch rank, seq).
     """
     if len(g) == 0:
         return _intent_table([])
     part = int(g["part_id"][0].as_py())
+    salt_id = int(g["_sk"][0].as_py()) % salt if salt > 1 else 0
+    if "_sk" in g.column_names:
+        g = g.drop_columns(["_sk"])
     g = collapse_latest(g, order_cols=("seq",))
-    rel = os.path.join(f"part={part:04d}", f"delta-{epoch:06d}.parquet")
+    suffix = f"-s{salt_id:03d}" if salt > 1 else ""
+    rel = os.path.join(f"part={part:04d}", f"delta-{epoch:06d}{suffix}.parquet")
     final = os.path.join(lake_dir, rel)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     tmp = final + f".tmp-{uuid.uuid4().hex}"
@@ -241,6 +251,10 @@ class CDCEngine:
         policy: SchemaPolicy | None = None,
         batch_size: int = 32768,
         write_mode: str = "direct",  # "direct" (shuffle-free fragments) | "groupby"
+        salt: int = 1,  # groupby mode: salted sub-partitions per partition
+        # (hot-key skew — north rule "salted repartitioning before merge
+        # apply"; the direct mode needs no salt: nothing ever co-locates a
+        # whole partition in one task)
     ):
         self.lake_dir = lake_dir
         os.makedirs(lake_dir, exist_ok=True)
@@ -249,6 +263,7 @@ class CDCEngine:
         if write_mode not in ("direct", "groupby"):
             raise ValueError(write_mode)
         self.write_mode = write_mode
+        self.salt = max(int(salt), 1)
         self.fence_token = uuid.uuid4().hex
         m = mf.load_latest(lake_dir)
         if m is None:
@@ -266,7 +281,9 @@ class CDCEngine:
         committed epoch is a no-op (resume path)."""
         if epoch <= self.manifest.committed_epoch:
             return {"epoch": epoch, "skipped": True}
+        import time as _time
 
+        t_start = _time.perf_counter()
         wm = _wm_vector(self.num_partitions, self.manifest.watermarks())
         # one read task per WAL shard file — read-parallel by layout. For the
         # direct path, pin one block per shard so the fused read→normalize→
@@ -301,8 +318,25 @@ class CDCEngine:
                 batch_size=self.batch_size,
                 zero_copy_batch=True,
             )
-            intents_ds = ds.groupby("part_id").map_groups(
-                functools.partial(write_delta, lake_dir=self.lake_dir, epoch=epoch),
+            salt = self.salt
+            if salt > 1:
+                # salted repartition: hot partitions split across `salt`
+                # shuffle groups; seq % salt spreads a hot key's (already
+                # batch-collapsed) rows evenly and deterministically
+                def add_salt(t: pa.Table) -> pa.Table:
+                    part = t["part_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    seq = t["seq"].to_numpy(zero_copy_only=False)
+                    sk = part * salt + (seq % salt)
+                    return t.append_column("_sk", pa.array(sk))
+
+                ds = ds.map_batches(add_salt, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                group_key = "_sk"
+            else:
+                group_key = "part_id"
+            intents_ds = ds.groupby(group_key).map_groups(
+                functools.partial(write_delta, lake_dir=self.lake_dir,
+                                  epoch=epoch, salt=salt),
                 batch_format="pyarrow",
             )
         intents = intents_ds.take_all()  # small intent rows (phase 1 output)
@@ -332,7 +366,13 @@ class CDCEngine:
                 }
             )
             applied += int(it["rows"])
+        wall = _time.perf_counter() - t_start
+        # cumulative job metrics, part of the committed checkpoint state
         new.stats["last_epoch_rows"] = applied
+        new.stats["last_epoch_wall_s"] = round(wall, 3)
+        new.stats["rows_applied_total"] = int(m.stats.get("rows_applied_total", 0)) + applied
+        new.stats["epochs_applied_total"] = int(m.stats.get("epochs_applied_total", 0)) + 1
+        new.stats["wall_s_total"] = round(float(m.stats.get("wall_s_total", 0.0)) + wall, 3)
         mf.commit(self.lake_dir, new)  # raises FencedOutError if we lost
         self.manifest = new
         return {"epoch": epoch, "skipped": False, "delta_rows": applied,

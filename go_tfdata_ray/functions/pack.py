@@ -1,0 +1,95 @@
+"""Sequence packing: fold variable-length token documents into fixed
+``context_len`` training sequences — the canonical last step of a
+pre-tokenized-lake pipeline (the lake schema IS ``doc_id, tokens, n_tok``).
+
+Packing is batch-local (each worker packs its shard greedily in arrival
+order) — the standard scalable approach: global bin-packing would be an
+all-to-all for a few % fill improvement. Every output row is exactly
+``context_len`` tokens; the final partial sequence of each batch is padded
+with ``pad_token`` (fill ratio is reported per sequence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def pack_batch(
+    t: pa.Table,
+    context_len: int,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    eod_token: int = 0,
+    pad_token: int = 0,
+) -> pa.Table:
+    """Vectorized packing of one batch: concat all docs (each followed by
+    one EOD token), slice into context_len windows, pad the tail."""
+    toks = t[tokens_col].combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    n_docs = len(lens)
+    if n_docs == 0:
+        return pa.table(
+            {
+                "seq_id": pa.array([], pa.string()),
+                tokens_col: pa.array([], pa.list_(pa.int32())),
+                "n_docs": pa.array([], pa.int32()),
+                "fill_ratio": pa.array([], pa.float64()),
+            }
+        )
+    # interleave EOD after each doc: build output via index mapping
+    total = int(lens.sum()) + n_docs  # + one EOD per doc
+    stream = np.full(total, eod_token, dtype=np.int64)
+    # positions of doc tokens in the stream: each doc shifted by its index
+    # (number of EODs inserted before it)
+    src_pos = np.arange(int(lens.sum()), dtype=np.int64)
+    doc_of_tok = np.repeat(np.arange(n_docs), lens)
+    stream[src_pos + doc_of_tok] = flat
+    # doc start positions in the stream (for n_docs per window)
+    doc_starts = offs[:-1] + np.arange(n_docs)
+
+    n_seq = -(-total // context_len)
+    padded = np.full(n_seq * context_len, pad_token, dtype=np.int64)
+    padded[:total] = stream
+    mat = padded.reshape(n_seq, context_len)
+    # docs starting in each window
+    win_of_start = doc_starts // context_len
+    n_docs_per = np.bincount(win_of_start, minlength=n_seq).astype(np.int32)
+    fill = np.full(n_seq, 1.0)
+    fill[-1] = (total - (n_seq - 1) * context_len) / context_len
+    first_key = str(t[key_col][0].as_py())
+    seq_ids = np.array([f"{first_key}:{i}" for i in range(n_seq)], dtype=object)
+    return pa.table(
+        {
+            "seq_id": pa.array(seq_ids, pa.string()),
+            tokens_col: pa.array(list(mat.astype(np.int32)), pa.list_(pa.int32())),
+            "n_docs": pa.array(n_docs_per),
+            "fill_ratio": pa.array(fill, pa.float64()),
+        }
+    )
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    context_len: int = 2048,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    eod_token: int = 0,
+    pad_token: int = 0,
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            pack_batch, context_len=context_len, tokens_col=tokens_col,
+            key_col=key_col, eod_token=eod_token, pad_token=pad_token,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

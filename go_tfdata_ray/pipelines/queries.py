@@ -310,6 +310,28 @@ def _big_order_custkeys(sf_dir: str):
     return ds.unique("o_custkey")
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment (8/1/1 by doc_id % 10)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return rel.assign_split(ds, "doc_id")
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min) per user — keyed shuffle + vectorized
+    per-group diff/cumsum."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    return rel.sessionize(ds, "user_id", "ts", gap_s=1800, order_tiebreak="event_id")
+
+
+def q_pack_sequences(sf_dir: str):
+    """Pack the CDC lake's token documents into fixed 512-token training
+    sequences (EOD-separated, tail-padded) — batch-local greedy packing."""
+    from ..functions import pack
+
+    eng = replayed_engine(sf_dir)
+    return pack.pack_sequences(eng.scan(), context_len=512, eod_token=50256)
+
+
 def q_join_semi(sf_dir: str):
     """Semi join via broadcast key set (Bloom filter at scale): customers
     with at least one >400k order."""
@@ -560,6 +582,9 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "split_assign": q_split_assign,
+    "sessionize": q_sessionize,
+    "pack_sequences": q_pack_sequences,
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "cdc_compacted_digest": q_cdc_compacted_digest,
@@ -658,6 +683,21 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
         "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
         "ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+    ),
+    "split_assign": (
+        "SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' "
+        "WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS split FROM documents"
+    ),
+    "sessionize": (
+        "WITH x AS (SELECT user_id, ts, event_id, "
+        "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 OR "
+        "       lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM events "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "y AS (SELECT user_id, SUM(new_s) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id "
+        "   ROWS UNBOUNDED PRECEDING) AS session_id FROM x) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM y GROUP BY 1, 2"
     ),
     "join_semi": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "

@@ -111,6 +111,58 @@ def collect_group_csv(
     )
 
 
+def assign_split(
+    ds: rd.Dataset, col: str, fracs: dict[str, int] | None = None, modulus: int = 10,
+    out_col: str = "split",
+) -> rd.Dataset:
+    """Deterministic train/val/test assignment by key modulo (replayable,
+    layout-independent — per-task RNG sampling would reshuffle on every
+    repartition). ``fracs`` maps split name → bucket count out of
+    ``modulus`` (default 8/1/1)."""
+    fracs = fracs or {"train": 8, "val": 1, "test": 1}
+    assert sum(fracs.values()) == modulus
+    bounds, names, acc = [], [], 0
+    for name, cnt in fracs.items():
+        acc += cnt
+        bounds.append(acc)
+        names.append(name)
+
+    def f(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64) % modulus
+        lab = np.empty(len(v), dtype=object)
+        lo = 0
+        for name, hi in zip(names, bounds):
+            lab[(v >= lo) & (v < hi)] = name
+            lo = hi
+        return t.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize(
+    ds: rd.Dataset, user_col: str, ts_col: str, gap_s: int = 1800,
+    order_tiebreak: str | None = None,
+) -> rd.Dataset:
+    """Session windows: per user, a new session starts when the gap since
+    the previous event exceeds ``gap_s``. ONE keyed shuffle (groupby user);
+    per-group sessionization is a vectorized diff/cumsum. Returns
+    (user_col, session_id, n_events)."""
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        by = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+        g = g.sort_values(by, kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)  # unit-safe
+        new = np.r_[True, np.diff(ts) > gap_s]
+        sid = np.cumsum(new)
+        out = pd.DataFrame({user_col: g[user_col].to_numpy(), "session_id": sid})
+        out = out.groupby([user_col, "session_id"], sort=False).size().reset_index(name="n_events")
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby(user_col).map_groups(sess, batch_format="pandas")
+
+
 def topk_per_group(
     ds: rd.Dataset, group_col: str, order_col: str, k: int,
     descending: bool = True, tie_col: str | None = None,

@@ -275,3 +275,23 @@ def test_hot_key_skew_correct(tmp_path):
         hot_frac=0.9, n_hot=2,
     )
     run_and_check(tmp_path, wal_dir, files, num_partitions=8)
+
+
+def test_salted_groupby_mode_hot_keys(tmp_path):
+    """Salted repartitioning (groupby mode): hot partitions split across
+    salt sub-groups, several delta fragments per (partition, epoch); the
+    associative collapse keeps the result exactly equal to the oracle."""
+    wal_dir, files = make_wal(
+        tmp_path, n_events=20000, n_keys=400, num_epochs=2, hot_frac=0.8, n_hot=2
+    )
+    eng, _ = run_and_check(
+        tmp_path, wal_dir, files, num_partitions=4, write_mode="groupby", salt=4
+    )
+    # salting really produced multiple fragments for some partition+epoch
+    frag_counts = {}
+    for ps in eng.manifest.partitions.values():
+        for f in ps.files:
+            frag_counts[(f["path"].split("/")[0], f["epoch"])] = (
+                frag_counts.get((f["path"].split("/")[0], f["epoch"]), 0) + 1
+            )
+    assert max(frag_counts.values()) > 1

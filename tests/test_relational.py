@@ -53,3 +53,56 @@ def test_topk_per_group():
         want = sub.sort_values(["score", "id"], ascending=[False, True]).head(3)
         got = out[out["g"] == g].sort_values(["score", "id"], ascending=[False, True])
         assert list(got["id"]) == list(want["id"])
+
+
+def test_assign_split_deterministic_fracs():
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    out = rel.assign_split(rd.from_pandas(df), "doc_id").to_pandas()
+    counts = out["split"].value_counts()
+    assert counts["train"] == 800 and counts["val"] == 100 and counts["test"] == 100
+    # stable: same key → same split
+    out2 = rel.assign_split(rd.from_pandas(df.sample(frac=1, random_state=0)), "doc_id").to_pandas()
+    merged = out.merge(out2, on="doc_id")
+    assert (merged["split_x"] == merged["split_y"]).all()
+
+
+def test_sessionize_gap():
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    rows = []
+    # user 1: events at 0s, 60s, 4000s (gap>1800 → 2 sessions)
+    for i, off in enumerate([0, 60, 4000]):
+        rows.append((1, base + np.timedelta64(off, "s"), i))
+    # user 2: single event
+    rows.append((2, base, 99))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    out = rel.sessionize(
+        rd.from_pandas(df), "user_id", "ts", gap_s=1800, order_tiebreak="event_id"
+    ).to_pandas()
+    got = {(r.user_id, r.session_id): r.n_events for r in out.itertuples()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_pack_sequences_roundtrip():
+    from go_tfdata_ray.functions import pack
+    import pyarrow as pa
+
+    rng = np.random.default_rng(6)
+    docs = [list(rng.integers(1, 100, size=rng.integers(1, 50))) for _ in range(40)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(40)], pa.string()),
+            "tokens": pa.array(docs, pa.list_(pa.int32())),
+        }
+    )
+    out = pack.pack_batch(t, context_len=64, eod_token=0, pad_token=0)
+    seqs = out["tokens"].to_pylist()
+    assert all(len(s) == 64 for s in seqs)
+    # reconstruct: concatenation of sequences == docs joined by EOD (+ tail pad)
+    stream = [x for s in seqs for x in s]
+    want = []
+    for d in docs:
+        want.extend(d)
+        want.append(0)
+    assert stream[: len(want)] == want
+    assert all(x == 0 for x in stream[len(want):])
+    assert int(out["n_docs"].to_numpy().sum()) == 40
