@@ -33,27 +33,38 @@ def _stable_hash(values: np.ndarray) -> np.ndarray:
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(
-    ds: rd.Dataset, content_col: str = "text", key_col: str = "doc_id"
+    ds: rd.Dataset, content_col: str = "text", key_col: str = "doc_id",
+    num_shards: int = 64,
 ) -> rd.Dataset:
     """Keep, per distinct content value, the row with the smallest key.
 
     hash-partition + per-group first (SURVEY.md "Beyond the reference"):
-    content hash computed per batch (vectorized), groupby on the 64-bit hash,
-    group-local verification of true content equality guards collisions.
-    Returns (key_col, n_copies) — survivors with their duplicate counts.
+    content hash computed per batch (vectorized) with a per-batch partial
+    collapse (the combiner — duplicates inside a batch never reach the
+    shuffle), then ONE groupby on hash SHARDS with a vectorized in-shard
+    resolution (pandas groupby over the whole shard — per-hash map_groups
+    would pay Ray per-group overhead × #distinct values). True content
+    equality splits 64-bit collisions. Returns (key_col, n_copies).
     """
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = _stable_hash(t[content_col].to_numpy(zero_copy_only=False)).astype(np.int64)
-        return t.select([key_col, content_col]).append_column("_h", pa.array(h))
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _stable_hash(df[content_col].to_numpy()).astype(np.int64)
+        df = pd.DataFrame({key_col: df[key_col].to_numpy(), content_col: df[content_col].to_numpy(), "_h": h})
+        agg = df.groupby(["_h", content_col], sort=False)[key_col].agg(["min", "size"]).reset_index()
+        agg = agg.rename(columns={"min": key_col, "size": "n_copies"})
+        agg["shard"] = (agg["_h"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        return agg
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # same 64-bit hash; group by the true content to split collisions
-        agg = g.groupby(content_col, sort=False)[key_col].agg(["min", "size"])
-        return pd.DataFrame({key_col: agg["min"].values, "n_copies": agg["size"].astype("int64").values})
+        agg = g.groupby(["_h", content_col], sort=False).agg(
+            **{key_col: (key_col, "min"), "n_copies": ("n_copies", "sum")}
+        ).reset_index()
+        return pd.DataFrame(
+            {key_col: agg[key_col].values, "n_copies": agg["n_copies"].astype("int64").values}
+        )
 
-    sig = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return sig.groupby("_h").map_groups(resolve, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas", zero_copy_batch=True)
+    return partials.groupby("shard").map_groups(resolve, batch_format="pandas")
 
 
 # --- shingles + MinHash -----------------------------------------------------
