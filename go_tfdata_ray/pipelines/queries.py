@@ -310,6 +310,41 @@ def _big_order_custkeys(sf_dir: str):
     return ds.unique("o_custkey")
 
 
+def q_join_asof(sf_dir: str):
+    """As-of join: for each event, the user's most recent PRIOR purchase
+    (strict <). Purchases deduped to one per (user, ts) by max event_id so
+    the tie-break is well-defined in both engines."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+    ev = ev.map_batches(lambda t: t.select(["event_id", "user_id", "ts"]),
+                        batch_format="pyarrow")
+    pur = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
+    pur = pur.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+
+    # unique per (user, ts): keep max event_id (well-defined asof tie-break)
+    def dedup_ts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("event_id").groupby(["user_id", "ts"], as_index=False).last()
+
+    pur = pur.map_batches(dedup_ts, batch_format="pandas").repartition(1).map_batches(
+        dedup_ts, batch_format="pandas", batch_size=None
+    )
+    out = joins.asof_join(ev, pur, by="user_id", on="ts",
+                          allow_exact_matches=False, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "prev_purchase": df["event_id_r"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment (8/1/1 by doc_id % 10)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
@@ -582,6 +617,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
+    "join_asof": q_join_asof,
     "split_assign": q_split_assign,
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
@@ -683,6 +719,13 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
         "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
         "ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+    ),
+    "join_asof": (
+        "WITH pur AS (SELECT user_id, ts, MAX(event_id) AS pid FROM events "
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT e.event_id, COALESCE(p.pid, -1) AS prev_purchase "
+        "FROM events e ASOF LEFT JOIN pur p "
+        "  ON e.user_id = p.user_id AND p.ts < e.ts"
     ),
     "split_assign": (
         "SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' "

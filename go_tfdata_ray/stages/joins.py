@@ -65,6 +65,71 @@ def semi_join_filter(big: rd.Dataset, keys, on: str, anti: bool = False) -> rd.D
                            concurrency=(1, 8))
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by: str,
+    on: str,
+    direction: Literal["backward", "forward"] = "backward",
+    allow_exact_matches: bool = True,
+    num_buckets: int = 32,
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """As-of join (the reference lacks it; Ray Data lacks it): for each left
+    row, the latest right row of the same ``by`` key with ``on`` ≤ (or <)
+    the left's ``on``. Implemented as bucket-by-key → ONE groupby shuffle →
+    per-bucket ``pd.merge_asof`` (sorted by ``on``, ``by=`` the key).
+    Partitioning assumption: all rows of one ``by`` key land in one bucket
+    (hash-bucketed), so the per-bucket merge is globally correct."""
+
+    def _schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
+
+    l_schema, r_schema = _schema(left), _schema(right)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_renamed = [c if c in (by, on) else c + right_suffix if c in l_cols else c
+                 for c in r_cols]
+    combined = pa.schema(
+        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [pa.field(n, t) for n, t in zip(r_renamed, r_schema.types) if n not in (by, on)]
+    )
+    out_r_cols = [c for c in r_renamed if c not in (by, on)]
+
+    def tag(side: int, names: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(names)
+            for f in combined:
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa.nulls(len(t), f.type))
+            t = t.select(combined.names)
+            b = hash_partition(t[by], num_buckets)
+            t = t.append_column("_b", pa.array(b))
+            return t.append_column("_side", pa.array(np.full(len(t), side, dtype=np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0, l_cols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][l_cols].sort_values(on, kind="mergesort")
+        r = g[g["_side"] == 1][[by, on] + out_r_cols].sort_values(on, kind="mergesort")
+        if len(l) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in combined.names})
+        return pd.merge_asof(
+            l, r, on=on, by=by, direction=direction,
+            allow_exact_matches=allow_exact_matches, suffixes=("", right_suffix),
+        )
+
+    return both.groupby("_b").map_groups(merge, batch_format="pandas")
+
+
 def storage_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

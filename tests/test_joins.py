@@ -81,3 +81,26 @@ def test_storage_hash_join_left(tmp_path):
     expect = big.to_pandas().merge(half, on="k", how="left")
     assert len(out) == len(expect)
     assert out["name"].isna().sum() == expect["name"].isna().sum()
+
+
+def test_asof_join_backward_strict():
+    import numpy as np
+    import pandas as pd
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    t = lambda s: base + np.timedelta64(s, "s")  # noqa: E731
+    left = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "u": [7, 7, 7, 8],
+         "ts": [t(10), t(20), t(30), t(10)]}
+    )
+    right = pd.DataFrame(
+        {"pid": [100, 101, 102], "u": [7, 7, 9], "ts": [t(5), t(20), t(1)]}
+    )
+    out = joins.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), by="u", on="ts",
+        allow_exact_matches=False, num_buckets=4,
+    ).to_pandas().sort_values("id")
+    got = dict(zip(out["id"], out["pid"].fillna(-1).astype(int)))
+    # id1@10: prior purchase 100@5; id2@20: strict < so still 100;
+    # id3@30: 101@20; id4 (u=8): none
+    assert got == {1: 100, 2: 100, 3: 101, 4: -1}
