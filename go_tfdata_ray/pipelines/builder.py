@@ -39,6 +39,24 @@ class DefaultPipeline:
         self._source = lambda: ds
         return self
 
+    def from_tar(self, paths, members: list[str] | None = None,
+                 require_complete: bool = True) -> "DefaultPipeline":
+        """↔ the TarStage (pipeline.go:65-76, archive/tar.go:50-55): tarball
+        members grouped by basename into keyed records. With ``members``
+        the wide per-sample layout is produced (one binary column per
+        extension); otherwise the long (``__key__``, member, data) rows."""
+
+        def _read():
+            from ..sources import tar as tarmod
+
+            ds = tarmod.read_tar_samples(paths)
+            if members is not None:
+                ds = tarmod.records(ds, members, require_complete=require_complete)
+            return ds
+
+        self._source = _read
+        return self
+
     def from_tfrecord(self, paths) -> "DefaultPipeline":
         """↔ the tar/TFRecord source stage (pipeline.go:65-76) — reads the
         reference's native interchange format (compat path)."""

@@ -463,6 +463,45 @@ def q_cdc_compacted_digest(sf_dir: str):
     return _digest_ds(eng.scan())
 
 
+def q_tar_pipeline(sf_dir: str):
+    """Tar source E2E (the reference's primary input, tar.go:50-55): build
+    a tarball from `documents` (one .txt + one .cls member per doc), read
+    it back through the tar stage, group members by key, emit per-doc
+    byte-length + lang. The original table is the oracle."""
+    import tarfile as _tarfile
+
+    tar_path = f"/tmp/graft_tar/sf{walmod.sf_from_dir(sf_dir):g}.tar"
+    os.makedirs(os.path.dirname(tar_path), exist_ok=True)
+    if not os.path.exists(tar_path):
+        import io as _io
+
+        docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+        tmp = tar_path + ".tmp"
+        with _tarfile.open(tmp, "w") as tf:
+            for r in docs.itertuples():
+                for ext, payload in (("txt", r.text.encode()), ("cls", r.lang.encode())):
+                    info = _tarfile.TarInfo(name=f"doc-{r.doc_id:08d}.{ext}")
+                    info.size = len(payload)
+                    tf.addfile(info, _io.BytesIO(payload))
+        os.rename(tmp, tar_path)
+
+    from .builder import DefaultPipeline
+
+    wide = DefaultPipeline().from_tar(tar_path, members=["txt", "cls"]).collect().do()
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = t["__key__"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(k.split("-")[-1]) for k in keys], pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(t["txt"]), pa.int64()),
+                "lang": pc.cast(t["cls"], pa.string()),
+            }
+        )
+
+    return wide.map_batches(finish, batch_format="pyarrow")
+
+
 def q_tfrecord_roundtrip(sf_dir: str):
     """TFRecord compat round-trip (the reference's native format,
     tfrecord.go:64-88/199-236): documents → TFRecord file (CRC32C framing)
@@ -624,6 +663,7 @@ QUERIES = {
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "cdc_compacted_digest": q_cdc_compacted_digest,
+    "tar_pipeline": q_tar_pipeline,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "doc_stats": q_doc_stats,
     "token_count": q_token_count,
@@ -763,6 +803,10 @@ ORACLE_SQL = {
         "CAST(tokens[1] AS BIGINT) AS tok_first, "
         "CAST(tokens[-1] AS BIGINT) AS tok_last "
         "FROM last WHERE op <> 'D'"
+    ),
+    "tar_pipeline": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang "
+        "FROM documents"
     ),
     "tfrecord_roundtrip": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "

@@ -295,3 +295,35 @@ def test_salted_groupby_mode_hot_keys(tmp_path):
                 frag_counts.get((f["path"].split("/")[0], f["epoch"]), 0) + 1
             )
     assert max(frag_counts.values()) > 1
+
+
+def test_corrupt_wal_segment_fails_cleanly(tmp_path):
+    """Error path (reference §5 pattern: invalid archive tests,
+    tar_test.go:93-121): a corrupted WAL shard makes apply_epoch raise
+    WITHOUT committing; the lake stays at its previous version and remains
+    scannable; repairing the shard lets the same epoch apply cleanly."""
+    import shutil
+
+    wal_dir, files = make_wal(tmp_path, n_events=4000, n_keys=500, num_epochs=2)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    segs = {e: p for e, p in __import__(
+        "go_tfdata_ray.sources.wal", fromlist=["list_segments"]).list_segments(wal_dir)}
+    eng.apply_epoch(0, segs[0])
+    v_before = eng.manifest.version
+
+    bad = segs[1][0]
+    backup = bad + ".bak"
+    shutil.copy(bad, backup)
+    with open(bad, "wb") as f:
+        f.write(b"garbage not parquet")
+    with pytest.raises(Exception):
+        eng.apply_epoch(1, segs[1])
+    assert eng.manifest.version == v_before  # nothing committed
+    assert eng.manifest.committed_epoch == 0
+    n_before = eng.scan_table().num_rows
+    assert n_before > 0  # lake still scannable
+
+    shutil.move(backup, bad)  # repair → epoch applies
+    r = eng.apply_epoch(1, segs[1])
+    assert not r["skipped"]
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))
