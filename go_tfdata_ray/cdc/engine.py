@@ -389,6 +389,7 @@ class CDCEngine:
         poll_secs: float = 1.0,
         idle_limit: int | None = None,
         max_epochs: int | None = None,
+        auto_compact: int | None = None,
     ) -> dict[str, Any]:
         """Continuous ingest: poll the WAL directory for new SEALED segments
         (``list_segments`` hides segments still carrying the producer's
@@ -413,6 +414,8 @@ class CDCEngine:
                     applied += 1
                     events += r.get("delta_rows", 0)
                     progressed = True
+                    if auto_compact:
+                        self.maybe_compact(auto_compact)
                 if max_epochs is not None and applied >= max_epochs:
                     break
             if max_epochs is not None and applied >= max_epochs:
@@ -531,6 +534,18 @@ class CDCEngine:
         mf.commit(self.lake_dir, new)
         self.manifest = new
         return {"compacted": len(intents), "version": new.version}
+
+    def maybe_compact(self, max_fragments: int = 8) -> dict[str, Any] | None:
+        """Compaction policy: fold when any partition's live fragment count
+        exceeds ``max_fragments`` (bounds merge-on-read read-amplification;
+        the LSM level-0 trigger). Used by ``tail`` for continuous ingest."""
+        worst = max((len(ps.files) for ps in self.manifest.partitions.values()),
+                    default=0)
+        if worst <= max_fragments:
+            return None
+        out = self.compact()
+        self.vacuum()
+        return out
 
     def vacuum(self) -> list[str]:
         return mf.vacuum(self.lake_dir)

@@ -324,6 +324,42 @@ def ngram_verified_dedup(
     return rd.from_pandas(out.reset_index(drop=True))
 
 
+def cluster_duplicates(
+    pairs: rd.Dataset, key_col: str = "doc_id", dup_col: str = "dup_of"
+) -> rd.Dataset:
+    """Transitive duplicate clusters from candidate pairs: connected
+    components with min-key representatives (a~b, b~c ⇒ {a,b,c} cluster to
+    min). Pairs are the LSH output — orders of magnitude smaller than the
+    corpus — so union-find runs in ONE task (path-compressed, vectorized
+    lookups); for pair sets beyond one task, rounds of min-label
+    propagation over a groupby converge in O(graph diameter) shuffles.
+    Returns (key_col, cluster) for every node appearing in a pair."""
+
+    def uf(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[key_col].to_numpy()
+        b = df[dup_col].to_numpy()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(a, b):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by min: smaller key becomes the root
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        nodes = sorted(set(a) | set(b))
+        return pd.DataFrame({key_col: nodes, "cluster": [find(n) for n in nodes]})
+
+    return pairs.repartition(1).map_batches(uf, batch_format="pandas", batch_size=None)
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 def embedding_neardup(

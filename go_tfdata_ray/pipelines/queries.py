@@ -590,6 +590,14 @@ def q_simhash_dedup(sf_dir: str):
     return dedup.simhash_dedup(ds)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive duplicate clusters: MinHash-LSH pairs → connected
+    components (min-key representative)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dedup.minhash_lsh_dedup(ds, threshold=0.5)
+    return dedup.cluster_duplicates(pairs)
+
+
 def q_embedding_neardup(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return dedup.embedding_neardup(ds, threshold=0.98)
@@ -673,6 +681,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "minhash_dedup": q_minhash_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,

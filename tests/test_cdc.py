@@ -327,3 +327,14 @@ def test_corrupt_wal_segment_fails_cleanly(tmp_path):
     r = eng.apply_epoch(1, segs[1])
     assert not r["skipped"]
     assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+
+def test_tail_auto_compact(tmp_path):
+    """Continuous ingest with the compaction policy: fragments stay bounded
+    and the state stays correct."""
+    wal_dir, files = make_wal(tmp_path, n_events=6000, n_keys=400, num_epochs=6)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01, auto_compact=2)
+    worst = max(len(ps.files) for ps in eng.manifest.partitions.values())
+    assert worst <= 3  # bounded by policy (threshold 2 + at most one new delta)
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))

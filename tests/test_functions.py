@@ -187,3 +187,11 @@ def test_frame_sampler():
     # n_frames = (i%30)+1 for i in 0..4 → 1,2,3,4,5 frames → 1 sample each
     assert len(out) == 5
     assert (out["frame_idx"] == 0).all()
+
+
+def test_cluster_duplicates_transitive():
+    pairs = pd.DataFrame({"doc_id": [5, 9, 3, 20], "dup_of": [1, 5, 1, 21]})
+    out = dedup.cluster_duplicates(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    # 1~5, 5~9, 1~3 → all cluster to 1; 20~21 cluster to 20
+    assert got == {1: 1, 3: 1, 5: 1, 9: 1, 20: 20, 21: 20}
