@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--poll", type=float, default=1.0)
             s.add_argument("--idle-limit", type=int, default=None)
             s.add_argument("--max-epochs", type=int, default=None)
+            s.add_argument("--auto-compact", type=int, default=None,
+                           help="compact when a partition exceeds N fragments")
 
     s = sub.add_parser("scan")
     s.add_argument("--lake", required=True)
@@ -96,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(json.dumps(eng.tail(
                 a.wal, poll_secs=a.poll, idle_limit=a.idle_limit,
-                max_epochs=a.max_epochs,
+                max_epochs=a.max_epochs, auto_compact=a.auto_compact,
             )))
         return 0
 
