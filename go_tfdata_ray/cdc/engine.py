@@ -349,6 +349,7 @@ class CDCEngine:
             fence_token=self.fence_token,
             schema=m.schema,
             stats=dict(m.stats),
+            epochs=list(m.epochs),
         )
         for k, ps in m.partitions.items():
             new.partitions[k] = mf.PartitionState(ps.watermark_seq, list(ps.files))
@@ -356,16 +357,31 @@ class CDCEngine:
         for it in intents:
             ps = new.part(int(it["part_id"]))
             ps.watermark_seq = max(ps.watermark_seq, int(it["max_seq"]))
-            ps.files.append(
+            applied += int(it["rows"])
+        if intents:
+            # the (fragment × partition) fan-out goes to a Parquet manifest
+            # segment, NOT the JSON (O(run_files × partitions) entries at
+            # scale); the JSON stays O(partitions + epochs). Name is
+            # version+fence unique: a racing writer's segment is orphaned
+            # when it loses the commit, then vacuumed.
+            seg_rel = os.path.join(
+                "_manifests", f"intents-v{new.version:06d}-{self.fence_token[:8]}.parquet"
+            )
+            seg_path = os.path.join(self.lake_dir, seg_rel)
+            os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+            seg_table = pa.table(
                 {
-                    "path": it["path"],
-                    "kind": "delta",
-                    "epoch": epoch,
-                    "rows": int(it["rows"]),
-                    "rg": int(it.get("rg", -1)),
+                    "part_id": pa.array([int(i["part_id"]) for i in intents], pa.int32()),
+                    "path": pa.array([i["path"] for i in intents], pa.string()),
+                    "rows": pa.array([int(i["rows"]) for i in intents], pa.int64()),
+                    "max_seq": pa.array([int(i["max_seq"]) for i in intents], pa.int64()),
+                    "rg": pa.array([int(i.get("rg", -1)) for i in intents], pa.int32()),
                 }
             )
-            applied += int(it["rows"])
+            tmp = seg_path + ".tmp"
+            pq.write_table(seg_table, tmp, compression="lz4")
+            os.rename(tmp, seg_path)
+            new.epochs.append({"epoch": epoch, "path": seg_rel, "rows": applied})
         wall = _time.perf_counter() - t_start
         # cumulative job metrics, part of the committed checkpoint state
         new.stats["last_epoch_rows"] = applied
@@ -439,23 +455,35 @@ class CDCEngine:
     # -- query -------------------------------------------------------------
 
     def _descriptors(self) -> list[dict[str, Any]]:
+        """Per-partition fragment lists: base files from the JSON, delta
+        fragments resolved from the epoch manifest segments (one small
+        Parquet read per applied-uncompacted epoch)."""
+        frags: dict[int, list[tuple[int, int, str, int]]] = {}  # part -> (order, rank, path, rg)
+        for k, ps in self.manifest.partitions.items():
+            for f in ps.files:  # bases (compaction output) — always rank-first
+                frags.setdefault(int(k), []).append((0, f["epoch"], f["path"], f.get("rg", -1)))
+        for ep in self.manifest.epochs:
+            t = pq.read_table(os.path.join(self.lake_dir, ep["path"]))
+            for part, path, rg in zip(
+                t["part_id"].to_numpy(zero_copy_only=False),
+                t["path"].to_pylist(),
+                t["rg"].to_numpy(zero_copy_only=False),
+            ):
+                frags.setdefault(int(part), []).append((1, int(ep["epoch"]), path, int(rg)))
         desc = []
-        for k, ps in sorted(self.manifest.partitions.items(), key=lambda kv: int(kv[0])):
-            if ps.files:
-                ordered = sorted(
-                    ps.files, key=lambda f: (0 if f["kind"] == "base" else 1, f["epoch"])
-                )
-                desc.append(
-                    {
-                        "part_id": int(k),
-                        "paths": [f["path"] for f in ordered],
-                        # commit rank = epoch: same-epoch fragments tie on
-                        # rank so last-write-wins falls through to seq
-                        "ranks": [f["epoch"] for f in ordered],
-                        # row-group index inside the run file (-1 = whole file)
-                        "rgs": [f.get("rg", -1) for f in ordered],
-                    }
-                )
+        for part in sorted(frags):
+            ordered = sorted(frags[part], key=lambda x: (x[0], x[1]))
+            desc.append(
+                {
+                    "part_id": part,
+                    "paths": [x[2] for x in ordered],
+                    # commit rank = epoch: same-epoch fragments tie on rank
+                    # so last-write-wins falls through to seq
+                    "ranks": [x[1] for x in ordered],
+                    # row-group index inside the run file (-1 = whole file)
+                    "rgs": [x[3] for x in ordered],
+                }
+            )
         return desc
 
     def scan(self, columns: list[str] | None = None) -> rd.Dataset:
@@ -523,6 +551,7 @@ class CDCEngine:
             version=m.version + 1, num_partitions=m.num_partitions,
             committed_epoch=m.committed_epoch, fence_token=self.fence_token,
             schema=m.schema, stats=dict(m.stats),
+            epochs=[],  # all folded into bases
         )
         for k, ps in m.partitions.items():
             new.partitions[k] = mf.PartitionState(ps.watermark_seq, list(ps.files))
@@ -536,16 +565,22 @@ class CDCEngine:
         return {"compacted": len(intents), "version": new.version}
 
     def maybe_compact(self, max_fragments: int = 8) -> dict[str, Any] | None:
-        """Compaction policy: fold when any partition's live fragment count
-        exceeds ``max_fragments`` (bounds merge-on-read read-amplification;
-        the LSM level-0 trigger). Used by ``tail`` for continuous ingest."""
-        worst = max((len(ps.files) for ps in self.manifest.partitions.values()),
-                    default=0)
-        if worst <= max_fragments:
+        """Compaction policy: fold when the number of uncompacted epoch
+        segments exceeds ``max_fragments`` (bounds both merge-on-read
+        read-amplification and manifest-segment count; the LSM level-0
+        trigger). Used by ``tail`` for continuous ingest."""
+        if len(self.manifest.epochs) <= max_fragments:
             return None
         out = self.compact()
         self.vacuum()
         return out
 
+    def _delta_paths(self) -> set[str]:
+        out: set[str] = set()
+        for ep in self.manifest.epochs:
+            t = pq.read_table(os.path.join(self.lake_dir, ep["path"]), columns=["path"])
+            out |= {os.path.join(self.lake_dir, p) for p in set(t["path"].to_pylist())}
+        return out
+
     def vacuum(self) -> list[str]:
-        return mf.vacuum(self.lake_dir)
+        return mf.vacuum(self.lake_dir, extra_live=self._delta_paths())

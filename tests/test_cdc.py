@@ -288,12 +288,15 @@ def test_salted_groupby_mode_hot_keys(tmp_path):
         tmp_path, wal_dir, files, num_partitions=4, write_mode="groupby", salt=4
     )
     # salting really produced multiple fragments for some partition+epoch
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
     frag_counts = {}
-    for ps in eng.manifest.partitions.values():
-        for f in ps.files:
-            frag_counts[(f["path"].split("/")[0], f["epoch"])] = (
-                frag_counts.get((f["path"].split("/")[0], f["epoch"]), 0) + 1
-            )
+    for ep in eng.manifest.epochs:
+        t = _pq.read_table(_os.path.join(eng.lake_dir, ep["path"]))
+        for part in t["part_id"].to_pylist():
+            frag_counts[(part, ep["epoch"])] = frag_counts.get((part, ep["epoch"]), 0) + 1
     assert max(frag_counts.values()) > 1
 
 
