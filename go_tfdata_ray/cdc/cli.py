@@ -122,11 +122,13 @@ def main(argv: list[str] | None = None) -> int:
         if m is None:
             print(json.dumps({"error": "no manifest"}))
             return 1
-        files = sum(len(ps.files) for ps in m.partitions.values())
+        bases = sum(len(ps.files) for ps in m.partitions.values())
         rows = sum(f.get("rows", 0) for ps in m.partitions.values() for f in ps.files)
+        rows += sum(ep.get("rows", 0) for ep in m.epochs)
         print(json.dumps({
             "version": m.version, "committed_epoch": m.committed_epoch,
-            "num_partitions": m.num_partitions, "live_files": files,
+            "num_partitions": m.num_partitions, "base_files": bases,
+            "uncompacted_epochs": len(m.epochs),
             "file_rows_upper_bound": rows, "stats": m.stats,
         }))
         return 0
