@@ -172,12 +172,16 @@ def normalize_and_write_fragments(
     return _intent_table(rows)
 
 
-def _read_fragment(path: str, rg: int) -> pa.Table:
+def _read_fragment(path: str, rg: int, columns: list[str] | None = None) -> pa.Table:
     """Read a delta/base fragment: a whole file (rg=-1) or one row group of
-    a multi-partition run file."""
+    a multi-partition run file. ``columns`` prunes at the Parquet reader —
+    a scan that doesn't need ``tokens`` never decodes the payload pages."""
     if rg < 0:
-        return pq.read_table(path)
-    return pq.ParquetFile(path).read_row_group(rg)
+        return pq.read_table(path, columns=columns)
+    f = pq.ParquetFile(path)
+    cols = columns if columns is None else [c for c in columns
+                                            if c in f.schema_arrow.names]
+    return f.read_row_group(rg, columns=cols)
 
 
 def write_delta(g: pa.Table, lake_dir: str, epoch: int, salt: int = 1) -> pa.Table:
@@ -222,12 +226,19 @@ class PartitionMergeReader:
         self.with_deleted = with_deleted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # merge needs the key/order/op columns even when the caller didn't
+        # ask for them; they are dropped again after the merge
+        read_cols = None
+        if self.columns:
+            need = {"doc_id", "seq", "op"} if not self.with_deleted else {"doc_id", "seq", "op", "part_id"}
+            read_cols = list(dict.fromkeys([*self.columns, *need]))
         out: list[pa.Table] = []
         for row in range(len(batch)):
             paths = batch["paths"][row].as_py()
             ranks = batch["ranks"][row].as_py()
             rgs = batch["rgs"][row].as_py()
-            tabs = [_read_fragment(os.path.join(self.lake_dir, p), rg) for p, rg in zip(paths, rgs)]
+            tabs = [_read_fragment(os.path.join(self.lake_dir, p), rg, read_cols)
+                    for p, rg in zip(paths, rgs)]
             if not tabs:
                 continue
             merged = merge_on_read(
