@@ -104,6 +104,81 @@ class FrameSampler:
         return pa.table({"media_id": pa.array(ids), "frame_idx": pa.array(frames, pa.int32())})
 
 
+class ImageResizer:
+    """Resize stub: payload → payload' with updated (width, height).
+
+    real: PIL `Image.resize` — NOT AVAILABLE here.
+    fake: deterministic byte decimation proportional to the area ratio, so
+    output payload length scales like a real resize would and downstream
+    batch-size math is exercised honestly.
+    """
+
+    def __init__(self, target_w: int, target_h: int, mode: str = "fake"):
+        self.target_w, self.target_h, self.mode = target_w, target_h, mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("image resize requires PIL — stub seam")
+        payloads = []
+        for buf, w, h in zip(t["payload"].to_pylist(), t["width"].to_pylist(),
+                             t["height"].to_pylist()):
+            ratio = max((w * h) / max(self.target_w * self.target_h, 1), 1.0)
+            step = max(int(round(ratio)), 1)
+            payloads.append(bytes(np.frombuffer(buf, dtype=np.uint8)[::step]))
+        n = len(t)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "payload": pa.array(payloads, pa.large_binary()),
+                "width": pa.array([self.target_w] * n, pa.int32()),
+                "height": pa.array([self.target_h] * n, pa.int32()),
+            }
+        )
+
+
+class AudioFeaturizer:
+    """Audio feature-extract stub: payload PCM bytes → per-window RMS energy
+    (fixed n_windows) — the librosa/libsndfile seam.
+
+    fake: interprets payload bytes as uint8 samples; real would decode at
+    ``sample_rate`` and window properly."""
+
+    def __init__(self, n_windows: int = 4, mode: str = "fake"):
+        self.n_windows, self.mode = n_windows, mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("audio decode requires libsndfile/ffmpeg — stub seam")
+        feats = []
+        for buf in t["payload"].to_pylist():
+            b = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+            wins = np.array_split(b, self.n_windows)
+            feats.append(np.array([np.sqrt((w ** 2).mean()) if len(w) else 0.0 for w in wins]))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "rms": pa.array(list(feats), pa.list_(pa.float64())),
+                "sample_rate": t["sample_rate"],
+            }
+        )
+
+
+def resize_images(ds: rd.Dataset, target_w: int = 32, target_h: int = 32,
+                  mode: str = "fake", concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        ImageResizer, fn_constructor_args=(target_w, target_h, mode),
+        batch_format="pyarrow", batch_size=64, concurrency=concurrency,
+    )
+
+
+def audio_features(ds: rd.Dataset, n_windows: int = 4, mode: str = "fake",
+                   concurrency=(1, 4)) -> rd.Dataset:
+    return ds.map_batches(
+        AudioFeaturizer, fn_constructor_args=(n_windows, mode),
+        batch_format="pyarrow", batch_size=64, concurrency=concurrency,
+    )
+
+
 def decode_images(ds: rd.Dataset, mode: str = "fake", concurrency=(1, 4)) -> rd.Dataset:
     return ds.map_batches(
         ImageDecoder, fn_constructor_args=(mode,), batch_format="pyarrow",

@@ -639,6 +639,24 @@ def q_media_decode(sf_dir: str):
     return multimodal.decode_images(ds, mode="fake")
 
 
+def q_media_resize(sf_dir: str):
+    """Resize stage (stubbed codec, real Ray plumbing) chained into the
+    decode: resize → feature-extract."""
+    from ..functions import multimodal
+
+    n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
+    ds = rd.from_arrow(multimodal.synth_media_table(n))
+    return multimodal.resize_images(ds, 32, 32, mode="fake")
+
+
+def q_audio_features(sf_dir: str):
+    from ..functions import multimodal
+
+    n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
+    ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="audio"))
+    return multimodal.audio_features(ds, n_windows=4, mode="fake")
+
+
 # --------------------------------------------------------------------------
 # registry + oracle SQL
 # --------------------------------------------------------------------------
@@ -688,6 +706,8 @@ QUERIES = {
     "ngram_dedup": q_ngram_dedup,
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
+    "audio_features": q_audio_features,
 }
 
 # The driver runs the oracle at sf=0.01; the CDC oracles read the

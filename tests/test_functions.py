@@ -195,3 +195,25 @@ def test_cluster_duplicates_transitive():
     got = dict(zip(out["doc_id"], out["cluster"]))
     # 1~5, 5~9, 1~3 → all cluster to 1; 20~21 cluster to 20
     assert got == {1: 1, 3: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_image_resize_stub():
+    t = multimodal.synth_media_table(10)
+    out = multimodal.resize_images(rd.from_arrow(t), 32, 32).to_pandas()
+    assert len(out) == 10
+    assert (out["width"] == 32).all() and (out["height"] == 32).all()
+    # payload shrank proportionally for larger sources
+    src = t.to_pandas()
+    big = src["width"] * src["height"] > 32 * 32
+    assert all(len(p) < 256 for p in out.loc[big.values, "payload"])
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageResizer(32, 32, mode="real")(t)
+
+
+def test_audio_features_stub():
+    t = multimodal.synth_media_table(6, media_type="audio")
+    out = multimodal.audio_features(rd.from_arrow(t), n_windows=4).to_pandas()
+    assert len(out) == 6
+    assert all(len(r) == 4 for r in out["rms"])
+    out2 = multimodal.audio_features(rd.from_arrow(t), n_windows=4).to_pandas()
+    assert (np.stack(out["rms"].to_numpy()) == np.stack(out2["rms"].to_numpy())).all()
