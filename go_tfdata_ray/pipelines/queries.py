@@ -153,6 +153,14 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_shuffle_seeded(sf_dir: str):
+    """ds.random_shuffle(seed): training-epoch reshuffle. Content is
+    order-insensitively identical to the input — which is exactly what the
+    driver's hash compare verifies."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.random_shuffle(seed=7)
+
+
 def q_sort_topk(sf_dir: str):
     """sort + limit (top-k) with deterministic tie-break."""
     ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
@@ -670,6 +678,7 @@ QUERIES = {
     "pipeline_chain": q_pipeline_chain,
     "agg_pricing": q_agg_pricing,
     "sort_topk": q_sort_topk,
+    "shuffle_seeded": q_shuffle_seeded,
     "distinct": q_distinct,
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
@@ -750,6 +759,7 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "shuffle_seeded": "SELECT o_orderkey, o_totalprice FROM orders",
     "distinct": "SELECT DISTINCT event_type FROM events",
     "join_broadcast": (
         "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
