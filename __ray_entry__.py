@@ -12,11 +12,38 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 from go_tfdata_ray.pipelines import queries as Q
 from go_tfdata_ray.sources import wal as walmod
+
+
+def _workers_can_import() -> bool:
+    """Ray workers inherit PYTHONPATH / the raylet cwd — not the driver's
+    late sys.path edits. If neither carries the repo, worker-side
+    ``import go_tfdata_ray`` would fail on every UDF."""
+    on_pp = _REPO in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    return on_pp or os.path.realpath(os.getcwd()) == os.path.realpath(_REPO)
+
+
+if not _workers_can_import():
+    # driver imported us from elsewhere: ship our functions BY VALUE so
+    # workers never need the module on their path
+    try:
+        from ray import cloudpickle as _cp
+
+        for _name, _mod in list(sys.modules.items()):
+            if _name == "go_tfdata_ray" or _name.startswith("go_tfdata_ray."):
+                _cp.register_pickle_by_value(_mod)
+    except Exception:
+        pass
 
 
 def entry() -> Any:
