@@ -341,3 +341,24 @@ def test_tail_auto_compact(tmp_path):
     worst = max(len(ps.files) for ps in eng.manifest.partitions.values())
     assert worst <= 3  # bounded by policy (threshold 2 + at most one new delta)
     assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(key_mode="roundrobin", dup_rate=0.05, num_epochs=3),
+        dict(key_mode="zipf", hot_frac=0.5, n_hot=3, dup_rate=0.1, num_epochs=5),
+        dict(op_mode="hash", num_epochs=2),
+    ],
+    ids=["roundrobin-dups", "zipf-hot-dups", "hash-ops"],
+)
+@pytest.mark.parametrize("mode_salt", [("direct", 1), ("groupby", 3)],
+                         ids=["direct", "groupby-salted"])
+def test_engine_config_matrix(tmp_path, cfg, mode_salt):
+    """Differential matrix: every WAL shape × apply strategy must equal the
+    oracle exactly (generalizes the reference's concurrency-variant tests,
+    tfrecord_test.go:132-238)."""
+    mode, salt = mode_salt
+    wal_dir, files = make_wal(tmp_path, n_events=8000, n_keys=900, **cfg)
+    run_and_check(tmp_path, wal_dir, files, num_partitions=4,
+                  write_mode=mode, salt=salt)
