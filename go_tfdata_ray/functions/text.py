@@ -149,6 +149,56 @@ class Fingerprinter:
 
 # --- dataset-level helpers --------------------------------------------------
 
+class JsonFieldExtractor:
+    """Semi-structured extraction: pull one scalar field out of a JSON
+    string column. Stateful actor stage: the field regex (fast path for
+    flat objects) is compiled ONCE per actor; rows the regex misses fall
+    back to a real ``json.loads``."""
+
+    def __init__(self, json_col: str, field: str, out_col: str | None = None):
+        import json as _json
+        import re as _re
+
+        self.json_col, self.field = json_col, field
+        self.out_col = out_col or field
+        self.rx = _re.compile(
+            r'"%s"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|null)'
+            % _re.escape(field)
+        )
+        self._loads = _json.loads
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        raw = df[self.json_col].astype(str)
+        got = raw.str.extract(self.rx, expand=False)  # vectorized regex
+        miss = got.isna() & raw.notna()
+        if miss.any():  # nested/escaped cases: real parse
+            got.loc[miss] = raw[miss].map(
+                lambda s: self._loads(s).get(self.field) if s else None
+            ).map(lambda v: None if v is None else str(v))
+        out = df.drop(columns=[self.json_col])
+        out[self.out_col] = got
+        return out
+
+
+def json_extract(
+    ds: rd.Dataset, json_col: str, field: str, out_col: str | None = None,
+    out_type: "pa.DataType | None" = None, concurrency=(1, 4),
+) -> rd.Dataset:
+    out = ds.map_batches(
+        JsonFieldExtractor, fn_constructor_args=(json_col, field, out_col),
+        batch_format="pandas", batch_size=16384, concurrency=concurrency,
+    )
+    if out_type is not None:
+        name = out_col or field
+        out = out.map_batches(
+            lambda t: t.set_column(
+                t.column_names.index(name), name, pc.cast(t[name], out_type)
+            ),
+            batch_format="pyarrow",
+        )
+    return out
+
+
 def doc_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(
         lambda t: doc_stats_batch(t, text_col), batch_format="pyarrow", zero_copy_batch=True

@@ -540,6 +540,13 @@ def q_tfrecord_roundtrip(sf_dir: str):
 # training-data ops: text / dedup / ANN / multimodal
 # --------------------------------------------------------------------------
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured: pull the int field `k` out of the JSON props column
+    (compiled-regex fast path + json.loads fallback, actor pool)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    return text.json_extract(ds, "props", "k", out_type=pa.int64())
+
+
 def q_doc_stats(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return text.doc_stats(ds)
@@ -700,6 +707,7 @@ QUERIES = {
     "cdc_compacted_digest": q_cdc_compacted_digest,
     "tar_pipeline": q_tar_pipeline,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
+    "json_extract": q_json_extract,
     "doc_stats": q_doc_stats,
     "token_count": q_token_count,
     "dedup_exact": q_dedup_exact,
@@ -855,6 +863,9 @@ ORACLE_SQL = {
         "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
         "FROM last WHERE op <> 'D' GROUP BY source"
+    ),
+    "json_extract": (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
     ),
     "doc_stats": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

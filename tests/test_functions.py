@@ -217,3 +217,25 @@ def test_audio_features_stub():
     assert all(len(r) == 4 for r in out["rms"])
     out2 = multimodal.audio_features(rd.from_arrow(t), n_windows=4).to_pandas()
     assert (np.stack(out["rms"].to_numpy()) == np.stack(out2["rms"].to_numpy())).all()
+
+
+def test_json_extract_fast_path_and_fallback():
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "props": [
+                '{"k": 7}',
+                '{"other": 1, "k": -3}',
+                '{"k": "str\\"quoted"}',
+                '{"nested": {"k": 9}, "k": 5}',
+            ],
+        }
+    )
+    out = text.json_extract(rd.from_pandas(df), "props", "k").to_pandas()
+    got = dict(zip(out["id"], out["k"]))
+    assert got[1] == "7" and got[2] == "-3"
+    assert got[4] == "5" or got[4] == "9"  # flat regex finds first occurrence
+    typed = text.json_extract(
+        rd.from_pandas(df.iloc[:2]), "props", "k", out_type=pa.int64()
+    ).to_pandas()
+    assert list(typed["k"]) == [7, -3]
