@@ -536,6 +536,31 @@ def q_tfrecord_roundtrip(sf_dir: str):
     return out.map_batches(unwrap, batch_format="pyarrow")
 
 
+def q_training_pipeline(sf_dir: str):
+    """Flagship composition — the full path a training-data user runs:
+    CDC lake snapshot → quality filter (n_tok ≥ 8) → deterministic
+    train split → context-length packing. Streams end to end; no stage
+    materializes the corpus."""
+    from ..functions import pack
+
+    eng = replayed_engine(sf_dir)
+    ds = eng.scan()
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tok"], 8)), batch_format="pyarrow"
+    )
+
+    def add_num(t: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 4, 99), pa.int64())
+        return t.append_column("doc_num", num)
+
+    ds = rel.assign_split(ds.map_batches(add_num, batch_format="pyarrow"), "doc_num")
+    train = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], pa.scalar("train"))),
+        batch_format="pyarrow",
+    )
+    return pack.pack_sequences(train, context_len=256, eod_token=50256)
+
+
 # --------------------------------------------------------------------------
 # training-data ops: text / dedup / ANN / multimodal
 # --------------------------------------------------------------------------
@@ -705,6 +730,7 @@ QUERIES = {
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "cdc_compacted_digest": q_cdc_compacted_digest,
+    "training_pipeline": q_training_pipeline,
     "tar_pipeline": q_tar_pipeline,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
     "json_extract": q_json_extract,

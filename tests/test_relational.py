@@ -106,3 +106,15 @@ def test_pack_sequences_roundtrip():
     assert stream[: len(want)] == want
     assert all(x == 0 for x in stream[len(want):])
     assert int(out["n_docs"].to_numpy().sum()) == 40
+
+
+def test_training_pipeline_composition():
+    """The flagship composed pipeline produces fixed-width packed sequences
+    from train-split docs only."""
+    from go_tfdata_ray.pipelines import queries as Q
+
+    out = Q.QUERIES["training_pipeline"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert len(df) > 0
+    assert all(len(t) == 256 for t in df["tokens"])
+    assert (df["fill_ratio"] <= 1.0).all() and (df["fill_ratio"] > 0).all()
