@@ -94,7 +94,8 @@ def run_bench() -> dict:
     query_names = [] if scaling else [
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
         "join_broadcast", "sort_topk", "dedup_exact", "token_count",
-        "ann_topk", "minhash_dedup", "udf_revenue"]
+        "ann_topk", "minhash_dedup", "udf_revenue", "json_extract",
+        "sessionize", "training_pipeline"]
     for name in query_names:
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()
