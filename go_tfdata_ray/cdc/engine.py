@@ -465,15 +465,16 @@ class CDCEngine:
 
     # -- query -------------------------------------------------------------
 
-    def _descriptors(self) -> list[dict[str, Any]]:
+    def _descriptors(self, manifest: mf.Manifest | None = None) -> list[dict[str, Any]]:
         """Per-partition fragment lists: base files from the JSON, delta
         fragments resolved from the epoch manifest segments (one small
         Parquet read per applied-uncompacted epoch)."""
+        m = manifest or self.manifest
         frags: dict[int, list[tuple[int, int, str, int]]] = {}  # part -> (order, rank, path, rg)
-        for k, ps in self.manifest.partitions.items():
+        for k, ps in m.partitions.items():
             for f in ps.files:  # bases (compaction output) — always rank-first
                 frags.setdefault(int(k), []).append((0, f["epoch"], f["path"], f.get("rg", -1)))
-        for ep in self.manifest.epochs:
+        for ep in m.epochs:
             t = pq.read_table(os.path.join(self.lake_dir, ep["path"]))
             for part, path, rg in zip(
                 t["part_id"].to_numpy(zero_copy_only=False),
@@ -497,9 +498,16 @@ class CDCEngine:
             )
         return desc
 
-    def scan(self, columns: list[str] | None = None) -> rd.Dataset:
-        """Merge-on-read snapshot of the lake as a streaming Dataset."""
-        desc = self._descriptors()
+    def scan(self, columns: list[str] | None = None,
+             at_version: int | None = None) -> rd.Dataset:
+        """Merge-on-read snapshot of the lake as a streaming Dataset.
+
+        ``at_version`` reads an OLDER committed manifest (time travel /
+        snapshot isolation): every manifest version is an immutable
+        snapshot; readers of v(N) are never affected by later commits.
+        Available within the vacuum retention window."""
+        m = None if at_version is None else mf.load_version(self.lake_dir, at_version)
+        desc = self._descriptors(m)
         cols = columns or LAKE_COLUMNS
         if not desc:
             empty = pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})

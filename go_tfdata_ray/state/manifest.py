@@ -121,7 +121,17 @@ def load_latest(lake_dir: str) -> Manifest | None:
     v = latest_version(lake_dir)
     if v < 0:
         return None
-    with open(os.path.join(_manifest_dir(lake_dir), f"manifest-v{v}.json")) as f:
+    return load_version(lake_dir, v)
+
+
+def load_version(lake_dir: str, version: int) -> Manifest:
+    """Load a specific committed manifest version (time travel — available
+    within the vacuum retention window, ``vacuum(keep_versions=...)``)."""
+    p = os.path.join(_manifest_dir(lake_dir), f"manifest-v{version}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"manifest v{version} not found (vacuumed or never committed)")
+    with open(p) as f:
         return Manifest.from_json(f.read())
 
 

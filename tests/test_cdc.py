@@ -362,3 +362,38 @@ def test_engine_config_matrix(tmp_path, cfg, mode_salt):
     wal_dir, files = make_wal(tmp_path, n_events=8000, n_keys=900, **cfg)
     run_and_check(tmp_path, wal_dir, files, num_partitions=4,
                   write_mode=mode, salt=salt)
+
+
+def test_time_travel_scan(tmp_path):
+    """Snapshot isolation: scan(at_version=v) returns exactly the state
+    after the epoch that committed v, regardless of later commits."""
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=400, num_epochs=3)
+    from go_tfdata_ray.sources.wal import list_segments
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    segs = list_segments(wal_dir)
+    versions = []
+    for e, paths in segs:
+        eng.apply_epoch(e, paths)
+        versions.append(eng.manifest.version)
+
+    import pyarrow.parquet as _pq
+
+    # oracle prefix: only epochs 0..k
+    for k, v in enumerate(versions):
+        prefix_files = [f for e, paths in segs[: k + 1] for f in paths]
+        want = oracle_final_state(prefix_files)
+        got_refs = eng.scan(at_version=v)
+        got = pa.concat_tables(
+            [t for t in [__import__("ray").get(r) for r in got_refs.to_arrow_refs()]
+             if t.num_rows],
+            promote_options="permissive",
+        )
+        assert_tables_equal(got, want)
+
+    # old version still readable after compaction (files retained until vacuum)
+    eng.compact()
+    got = eng.scan(at_version=versions[0])
+    n0 = got.count()
+    assert n0 == oracle_final_state([f for _, p in segs[:1] for f in p]).num_rows
