@@ -176,11 +176,15 @@ def _read_fragment(path: str, rg: int, columns: list[str] | None = None) -> pa.T
     """Read a delta/base fragment: a whole file (rg=-1) or one row group of
     a multi-partition run file. ``columns`` prunes at the Parquet reader —
     a scan that doesn't need ``tokens`` never decodes the payload pages."""
-    if rg < 0:
-        return pq.read_table(path, columns=columns)
     f = pq.ParquetFile(path)
+    # prune to columns PRESENT in this fragment: with add-column schema
+    # evolution, pre-evolution files lack the new column (it reads back as
+    # null via merge_on_read's permissive concat) — projecting an absent
+    # name would raise ArrowInvalid
     cols = columns if columns is None else [c for c in columns
                                             if c in f.schema_arrow.names]
+    if rg < 0:
+        return f.read(columns=cols)
     return f.read_row_group(rg, columns=cols)
 
 
@@ -594,12 +598,9 @@ class CDCEngine:
         self.vacuum()
         return out
 
-    def _delta_paths(self) -> set[str]:
-        out: set[str] = set()
-        for ep in self.manifest.epochs:
-            t = pq.read_table(os.path.join(self.lake_dir, ep["path"]), columns=["path"])
-            out |= {os.path.join(self.lake_dir, p) for p in set(t["path"].to_pylist())}
-        return out
-
-    def vacuum(self) -> list[str]:
-        return mf.vacuum(self.lake_dir, extra_live=self._delta_paths())
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Physically delete files no RETAINED manifest version references.
+        Time travel (``scan(at_version=)``) keeps working for every retained
+        version — the live set unions base + delta paths across all of them
+        (see ``state.manifest.vacuum``)."""
+        return mf.vacuum(self.lake_dir, keep_versions=keep_versions)

@@ -251,9 +251,25 @@ def open_segment(wal_dir: str, epoch: int) -> str:
     of the reference's emit-only-when-record-complete
     (`/root/reference/tfdata/archive/seekreader.go:125-133`)."""
     d = os.path.join(wal_dir, f"epoch-{epoch:05d}")
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, OPEN_MARKER), "w"):
+    if os.path.isdir(d):  # re-opening an existing segment (same producer)
+        with open(os.path.join(d, OPEN_MARKER), "w"):
+            pass
+        return d
+    # Atomic creation: the directory appears with the _OPEN marker already
+    # inside, so a concurrent tail poll can never observe a sealed-looking,
+    # shard-less segment in the mkdir→marker window (which apply_epoch would
+    # commit EMPTY, permanently skipping the epoch's real data).
+    os.makedirs(wal_dir, exist_ok=True)
+    tmp = f"{d}.opening-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, OPEN_MARKER), "w"):
         pass
+    try:
+        os.rename(tmp, d)
+    except OSError:  # lost a race with another producer of the same epoch
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(d, OPEN_MARKER), "w"):
+            pass
     return d
 
 

@@ -158,17 +158,46 @@ def commit(lake_dir: str, m: Manifest) -> None:
         os.unlink(tmp)
 
 
+def _segment_delta_paths(lake_dir: str, m: Manifest) -> set[str]:
+    """Delta run files referenced INSIDE a manifest's epoch intent segments
+    (the per-(fragment × partition) fan-out lives in Parquet, not the JSON)."""
+    import pyarrow.parquet as pq
+
+    out: set[str] = set()
+    for ep in m.epochs:
+        seg = os.path.join(lake_dir, ep["path"])
+        if not os.path.exists(seg):
+            continue
+        t = pq.read_table(seg, columns=["path"])
+        out |= {os.path.join(lake_dir, p) for p in set(t["path"].to_pylist())}
+    return out
+
+
 def vacuum(lake_dir: str, keep_versions: int = 2,
            extra_live: set[str] | None = None) -> list[str]:
-    """Delete data files not referenced by the latest manifest and manifests
-    older than the retention window. ``extra_live``: additional absolute
-    paths to preserve (the delta run files listed inside epoch intent
-    segments — the engine resolves them). Returns deleted paths."""
+    """Delete data files not referenced by ANY retained manifest version and
+    manifests older than the retention window.
+
+    The live set is the union over every retained version (latest and the
+    ``keep_versions - 1`` before it) of: base files, epoch intent segments,
+    and the delta run files those segments reference — so ``scan(at_version=)``
+    keeps working for every retained snapshot even after compact()+vacuum()
+    (time travel within the retention window is a hard contract, exercised by
+    ``tail(auto_compact=)`` on the normal continuous-ingest path).
+    Superseded / orphaned ``intents-*.parquet`` segments in ``_manifests``
+    (from compacted-away epochs or fenced-out racing writers) are deleted
+    too. ``extra_live``: additional absolute paths to preserve."""
     m = load_latest(lake_dir)
     if m is None:
         return []
-    live = {os.path.abspath(p) for p in m.live_files(lake_dir)}
-    live |= {os.path.abspath(p) for p in (extra_live or set())}
+    live: set[str] = {os.path.abspath(p) for p in (extra_live or set())}
+    for v in range(max(m.version - keep_versions + 1, 0), m.version + 1):
+        try:
+            mv = load_version(lake_dir, v)
+        except FileNotFoundError:
+            continue  # already outside a previous retention window
+        live |= {os.path.abspath(p) for p in mv.live_files(lake_dir)}
+        live |= {os.path.abspath(p) for p in _segment_delta_paths(lake_dir, mv)}
     deleted = []
     for root, _dirs, names in os.walk(lake_dir):
         if os.path.basename(root) == "_manifests":
@@ -180,8 +209,14 @@ def vacuum(lake_dir: str, keep_versions: int = 2,
                 deleted.append(p)
     md = _manifest_dir(lake_dir)
     for n in os.listdir(md):
+        p = os.path.abspath(os.path.join(md, n))
         mm = _MANIFEST_RE.match(n)
         if mm and int(mm.group(1)) <= m.version - keep_versions:
-            os.unlink(os.path.join(md, n))
-            deleted.append(os.path.join(md, n))
+            os.unlink(p)
+            deleted.append(p)
+        elif n.endswith(".parquet") and p not in live:
+            # intent segments not referenced by any retained version:
+            # compaction leftovers or a fenced-out writer's orphans
+            os.unlink(p)
+            deleted.append(p)
     return deleted

@@ -397,3 +397,115 @@ def test_time_travel_scan(tmp_path):
     got = eng.scan(at_version=versions[0])
     n0 = got.count()
     assert n0 == oracle_final_state([f for _, p in segs[:1] for f in p]).num_rows
+
+
+def test_time_travel_survives_compact_vacuum(tmp_path):
+    """ADVICE r01 (high): vacuum must keep files referenced by ANY retained
+    manifest version, so scan(at_version=) works within the retention window
+    even after compact()+vacuum() (the tail(auto_compact=) path)."""
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=400, num_epochs=3)
+    from go_tfdata_ray.sources.wal import list_segments
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    segs = list_segments(wal_dir)
+    for e, paths in segs:
+        eng.apply_epoch(e, paths)
+    v_pre = eng.manifest.version  # last apply version (retained: keep_versions=2)
+    eng.compact()
+    deleted = eng.vacuum()  # must NOT delete v_pre's delta run files
+    want = oracle_final_state(files)
+    # latest snapshot correct
+    assert_tables_equal(eng.scan_table(), want)
+    # previous retained version still fully readable (same final state here)
+    got = eng.scan(at_version=v_pre)
+    import ray as _ray
+
+    got_t = pa.concat_tables(
+        [t for t in [_ray.get(r) for r in got.to_arrow_refs()] if t.num_rows],
+        promote_options="permissive",
+    )
+    assert_tables_equal(got_t, want)
+    # and vacuum still deletes below-retention manifests eventually
+    eng.compact()
+    eng.vacuum()
+    with pytest.raises(FileNotFoundError):
+        eng.scan(at_version=v_pre)  # now outside retention — explicit error
+
+
+def test_vacuum_removes_stale_intent_segments(tmp_path):
+    """ADVICE r01 (low): superseded intents-*.parquet epoch segments must be
+    vacuumed once no retained manifest references them."""
+    wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=300, num_epochs=4)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    eng.apply_wal(wal_dir)
+    mdir = os.path.join(lake, "_manifests")
+    assert any(n.startswith("intents-") for n in os.listdir(mdir))
+    eng.compact()
+    eng.vacuum(keep_versions=1)  # only the compacted manifest retained
+    left = [n for n in os.listdir(mdir) if n.startswith("intents-")]
+    assert left == []  # no unbounded accumulation under continuous ingest
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+
+def test_projected_scan_after_add_column_evolution_groupby(tmp_path):
+    """ADVICE r01 (medium): projecting a post-evolution column over
+    pre-evolution whole-file fragments (groupby-mode deltas, rg<0) must not
+    raise — absent columns read back as null."""
+    from go_tfdata_ray.stages.schema import SchemaPolicy as _SP
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=2, write_mode="groupby",
+                    policy=_SP(target=DEFAULT_TARGET))
+    t0 = pa.table(
+        {
+            "seq": pa.array([0, 1], pa.int64()),
+            "op": pa.array(["I", "I"]),
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1], pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    t1 = pa.table(
+        {
+            "seq": pa.array([2], pa.int64()),
+            "op": pa.array(["U"]),
+            "doc_id": pa.array(["a"]),
+            "tokens": pa.array([[7]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1], pa.int32()),
+            "source": pa.array(["web"]),
+            "lang": pa.array(["en"]),
+        }
+    )
+    w = tmp_path / "walx"
+    os.makedirs(w, exist_ok=True)
+    pq.write_table(t0, str(w / "epoch-00000.parquet"))
+    pq.write_table(t1, str(w / "epoch-00001.parquet"))
+    eng.apply_wal(str(w))
+    out = eng.scan_table(columns=["doc_id", "lang"])  # lang absent in epoch-0 delta
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows["a"]["lang"] == "en" and rows["b"]["lang"] is None
+    # compacted bases (also whole-file fragments) keep working too
+    eng.compact()
+    out2 = eng.scan_table(columns=["doc_id", "lang"])
+    assert {r["doc_id"]: r["lang"] for r in out2.to_pylist()} == {"a": "en", "b": None}
+
+
+def test_open_segment_appears_atomically(tmp_path):
+    """ADVICE r01 (low): an epoch dir must never be observable without its
+    _OPEN marker (a marker-less, shard-less dir would commit as an empty
+    epoch and permanently skip the real data)."""
+    from go_tfdata_ray.sources import wal as walmod
+
+    wal = str(tmp_path / "wal")
+    d = walmod.open_segment(wal, 0)
+    assert os.path.exists(os.path.join(d, walmod.OPEN_MARKER))
+    # invisible to consumers while open; no stray temp dirs left behind
+    assert walmod.list_segments(wal) == []
+    assert [n for n in os.listdir(wal) if "opening" in n] == []
+    # seal → visible; re-open of an existing dir still works
+    walmod.seal_segment(d)
+    d2 = walmod.open_segment(wal, 0)
+    assert d2 == d and os.path.exists(os.path.join(d, walmod.OPEN_MARKER))
