@@ -39,24 +39,32 @@ def exact_dedup(
     """Keep, per distinct content value, the row with the smallest key.
 
     hash-partition + per-group first (SURVEY.md "Beyond the reference"):
-    content hash computed per batch (vectorized) with a per-batch partial
-    collapse (the combiner — duplicates inside a batch never reach the
-    shuffle), then ONE groupby on hash SHARDS with a vectorized in-shard
-    resolution (pandas groupby over the whole shard — per-hash map_groups
-    would pay Ray per-group overhead × #distinct values). True content
-    equality splits 64-bit collisions. Returns (key_col, n_copies).
+    a 128-BIT content hash (two independent fixed-key siphashes) is the sole
+    shuffle key — the document text itself NEVER crosses the wire; at 100 TB
+    the groupby moves ~32 B/doc, not the corpus. Per-batch partial collapse
+    (the combiner — duplicates inside a batch never reach the shuffle), then
+    ONE groupby on hash SHARDS with a vectorized in-shard resolution (pandas
+    groupby over the whole shard — per-hash map_groups would pay Ray
+    per-group overhead × #distinct values). 128-bit collisions are below
+    2^-64 per pair; paranoid deployments can re-verify winners with a
+    broadcast key-set fetch. Returns (key_col, n_copies).
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = _stable_hash(df[content_col].to_numpy()).astype(np.int64)
-        df = pd.DataFrame({key_col: df[key_col].to_numpy(), content_col: df[content_col].to_numpy(), "_h": h})
-        agg = df.groupby(["_h", content_col], sort=False)[key_col].agg(["min", "size"]).reset_index()
+        vals = df[content_col].to_numpy()
+        h1 = _stable_hash(vals).astype(np.int64)
+        h2 = pd.util.hash_array(
+            np.asarray(vals, dtype=object), categorize=False,
+            hash_key="beefcafe0badf00d",  # independent second 64-bit siphash
+        ).astype(np.int64)
+        df = pd.DataFrame({key_col: df[key_col].to_numpy(), "_h1": h1, "_h2": h2})
+        agg = df.groupby(["_h1", "_h2"], sort=False)[key_col].agg(["min", "size"]).reset_index()
         agg = agg.rename(columns={"min": key_col, "size": "n_copies"})
-        agg["shard"] = (agg["_h"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        agg["shard"] = (agg["_h1"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
         return agg
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["_h", content_col], sort=False).agg(
+        agg = g.groupby(["_h1", "_h2"], sort=False).agg(
             **{key_col: (key_col, "min"), "n_copies": ("n_copies", "sum")}
         ).reset_index()
         return pd.DataFrame(
@@ -208,14 +216,23 @@ def minhash_lsh_dedup(
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
     cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
 
-    # a doc may be flagged in several bands — keep the smallest dup_of
-    # (single-task final: the flagged set is ≪ the corpus)
-    def dedup_flags(df: pd.DataFrame) -> pd.DataFrame:
+    # a doc may be flagged in several bands — keep the smallest dup_of.
+    # The flagged set is 10-40% of a web corpus, NOT tiny: the final is a
+    # key-sharded groupby (distributed), never a single task.
+    def add_kshard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ks"] = (
+            _stable_hash(df[key_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return df
+
+    def flag_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, "dup_of", "est"], kind="mergesort")
         return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "est"]]
 
-    return cand.repartition(1).map_batches(dedup_flags, batch_format="pandas",
-                                           batch_size=None)
+    return cand.map_batches(add_kshard, batch_format="pandas").groupby("_ks").map_groups(
+        flag_shard, batch_format="pandas"
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -245,30 +262,115 @@ class SimHasher:
         return out
 
 
-def simhash_dedup(ds: rd.Dataset, text_col="text", key_col="doc_id", concurrency=(1, 4)) -> rd.Dataset:
-    """Exact-simhash-match dedup: signature groupby keeps min key.
-    (Hamming-distance banding would split the 64 bits into 4×16-bit bands
-    and bucket per band — same shape as MinHash-LSH above.)"""
+def simhash_dedup(ds: rd.Dataset, text_col="text", key_col="doc_id",
+                  concurrency=(1, 4), num_shards: int = 64) -> rd.Dataset:
+    """Exact-simhash-match dedup: signature groupby keeps min key. For
+    NEAR-dup detection via Hamming-banded buckets see
+    ``simhash_banded_neardup``."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_args=(text_col, key_col),
         batch_format="pandas", batch_size=2048, concurrency=concurrency,
     )
 
-    # associative (min-key, count) combine: per-batch partial then a
-    # single-task final over ≤ #signatures × #blocks partial rows
+    # associative (min-key, count) combine: per-batch partial, then a
+    # signature-sharded distributed final (#signatures ~ #docs at low dup
+    # rates — unbounded, so never a single-task final)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("simhash", sort=False)[key_col].agg(["min", "size"]).reset_index()
-        return g.rename(columns={"min": key_col, "size": "n_copies"})
+        g = g.rename(columns={"min": key_col, "size": "n_copies"})
+        g["_shard"] = (
+            g["simhash"].to_numpy().astype(np.uint64) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return g
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final_shard(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("simhash", sort=False).agg(
             **{key_col: (key_col, "min"), "n_copies": ("n_copies", "sum")}
         ).reset_index()
         g["n_copies"] = g["n_copies"].astype("int64")
         return g[[key_col, "n_copies", "simhash"]]
 
-    return sigs.map_batches(partial, batch_format="pandas").repartition(1).map_batches(
-        final, batch_format="pandas", batch_size=None
+    return sigs.map_batches(partial, batch_format="pandas").groupby("_shard").map_groups(
+        final_shard, batch_format="pandas"
+    )
+
+
+def simhash_banded_neardup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency=(1, 4),
+    num_shards: int = 64,
+) -> rd.Dataset:
+    """NEAR-dup SimHash: the 64-bit signature is split into 4×16-bit bands;
+    docs sharing ANY band land in one LSH bucket (any signature pair within
+    Hamming distance 3 shares at least one intact band — pigeonhole), then
+    candidates are verified by exact Hamming distance over the full 64 bits.
+    Same bucket-groupby shape as MinHash-LSH: the shuffle carries
+    (band, bucket, key, sig) — 8-byte signatures, never documents.
+    Returns (key_col, dup_of, hamming) for docs within ``max_hamming`` of
+    their bucket representative."""
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        sig = df["simhash"].to_numpy().astype(np.uint64)
+        n = len(sig)
+        if n == 0:
+            return pd.DataFrame({"shard": [], "band": [], "bucket": [],
+                                 key_col: [], "simhash": []})
+        bands = np.stack([(sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                          for b in range(4)], axis=1)  # n × 4
+        bucket = bands.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "shard": (bucket.reshape(-1) % num_shards).astype(np.int64),
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "bucket": bucket.reshape(-1),
+                key_col: np.repeat(df[key_col].to_numpy(), 4),
+                "simhash": np.repeat(sig, 4).astype(np.int64),
+            }
+        )
+
+    def resolve_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: [], "dup_of": [], "hamming": []})
+        g = g.sort_values(["band", "bucket", key_col], kind="mergesort").reset_index(drop=True)
+        sig = g["simhash"].to_numpy().astype(np.uint64)
+        band = g["band"].to_numpy()
+        bucket = g["bucket"].to_numpy()
+        new = np.r_[True, (np.diff(band) != 0) | (np.diff(bucket) != 0)]
+        rep = np.flatnonzero(new)[np.cumsum(new) - 1]
+        xor = sig ^ sig[rep]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(g), 8), axis=1).sum(axis=1)
+        mask = (ham <= max_hamming) & (np.arange(len(g)) != rep)
+        keys = g[key_col].to_numpy()
+        return pd.DataFrame(
+            {key_col: keys[mask], "dup_of": keys[rep[mask]],
+             "hamming": ham[mask].astype(np.int64)}
+        )
+
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_args=(text_col, key_col),
+        batch_format="pandas", batch_size=2048, concurrency=concurrency,
+    )
+    buckets = sigs.map_batches(to_buckets, batch_format="pandas")
+    cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
+
+    # flagged per band → keep the closest (then smallest) dup_of per key,
+    # via a distributed key-sharded final
+    def add_kshard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ks"] = (
+            _stable_hash(df[key_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return df
+
+    def flag_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "hamming", "dup_of"], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "hamming"]]
+
+    return cand.map_batches(add_kshard, batch_format="pandas").groupby("_ks").map_groups(
+        flag_shard, batch_format="pandas"
     )
 
 
@@ -284,6 +386,43 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / max(len(sa) + len(sb) - inter, 1)
 
 
+def _shingle_hash_sets(texts: list[str], k: int, seed: int = 7):
+    """Per-doc SORTED UNIQUE word-k-gram hash arrays, batch-vectorized with
+    the same flat-window machinery as ``MinHasher.batch_signatures`` (one
+    ``hash_array`` call for the whole batch, no string joins). Returns
+    (flat uint64 array of unique shingle hashes, per-doc offsets)."""
+    rng = np.random.default_rng(seed)
+    kmix = (rng.integers(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64) << 1) | 1
+    tok_lists = [t.lower().split() for t in texts]
+    flat: list[str] = []
+    lens = np.empty(len(tok_lists), dtype=np.int64)
+    for i, toks in enumerate(tok_lists):
+        flat.extend(toks)
+        if len(toks) < k:
+            flat.extend([""] * (k - len(toks)))
+            lens[i] = k
+        else:
+            lens[i] = len(toks)
+    h = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)
+    n_win = lens - k + 1
+    doc_off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    total = int(n_win.sum())
+    starts = np.repeat(doc_off, n_win) + (
+        np.arange(total) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    )
+    shingle = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        shingle += h[starts + j] * kmix[j]
+    win_off = np.concatenate(([0], np.cumsum(n_win)))
+    uniq: list[np.ndarray] = []
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i in range(len(texts)):
+        u = np.unique(shingle[win_off[i] : win_off[i + 1]])
+        uniq.append(u)
+        offs[i + 1] = offs[i] + len(u)
+    return (np.concatenate(uniq) if uniq else np.empty(0, np.uint64)), offs
+
+
 def ngram_verified_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -291,37 +430,102 @@ def ngram_verified_dedup(
     k: int = 3,
     threshold: float = 0.7,
     candidate_margin: float = 0.7,
+    num_shards: int = 64,
     **lsh_kw,
 ) -> rd.Dataset:
     """n-gram Jaccard dedup: MinHash-LSH generates candidates (with a looser
     signature threshold = threshold × candidate_margin), then each candidate
-    pair is verified with the EXACT word-k-gram Jaccard. Only candidate
-    pairs and their two texts are touched in verification — the corpus is
-    never compared all-pairs. Candidate texts are fetched with a broadcast
-    key-set filter; the pair set is collected driver-side (candidates ≪
-    corpus; at 100 TB shard the pair list and broadcast per shard instead).
+    pair is verified with the EXACT word-k-gram (hash-set) Jaccard.
+
+    Fully distributed — nothing corpus-sized ever touches the driver:
+    candidate pairs explode into (pair, member) rows; candidate TEXTS are
+    narrowed with a broadcast id-set filter (ids only on the driver — the
+    semi-join pattern) and routed to their pairs by ONE bucketed hash join;
+    verification then runs per PAIR-SHARD (groupby) with batch-vectorized
+    shingle hashing and sorted-array intersections — no ``.to_pandas()`` of
+    pairs-with-texts, no per-pair driver loop. At planetary candidate
+    counts swap the id broadcast for ``storage_hash_join`` (same shape).
     Returns (key_col, dup_of, jaccard) for verified duplicates."""
+    from ..stages.joins import bucket_hash_join, semi_join_filter
+
     cand = minhash_lsh_dedup(
         ds, text_col=text_col, key_col=key_col, k=k,
-        threshold=threshold * candidate_margin, **lsh_kw,
-    ).to_pandas()
-    if len(cand) == 0:
-        empty = pa.table({key_col: pa.array([], pa.int64()),
-                          "dup_of": pa.array([], pa.int64()),
+        threshold=threshold * candidate_margin, num_shards=num_shards, **lsh_kw,
+    )
+
+    # pair rows: flag output has ONE row per flagged key, so the flagged key
+    # itself is the pair id; explode to (pair, member, side)
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        keys = df[key_col].to_numpy()
+        dups = df["dup_of"].to_numpy()
+        return pd.DataFrame(
+            {
+                "pair": np.repeat(keys, 2),
+                "member": np.ravel(np.column_stack([keys, dups])),
+                "side": np.tile(np.array([0, 1], dtype=np.int64), n),
+            }
+        )
+
+    pair_rows = cand.map_batches(explode, batch_format="pandas")
+    # ids-only driver set for the broadcast semi-join narrow (≈16 B/candidate)
+    member_ids = set()
+    for b in pair_rows.select_columns(["member"]).iter_batches(batch_format="pyarrow"):
+        member_ids.update(b["member"].to_pylist())
+    if not member_ids:
+        try:
+            ktype = ds.schema().base_schema.field(key_col).type
+        except Exception:
+            ktype = pa.int64()
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "dup_of": pa.array([], ktype),
                           "jaccard": pa.array([], pa.float64())})
         return rd.from_arrow(empty)
-    from ..stages.joins import semi_join_filter
-
-    keys = set(cand[key_col]) | set(cand["dup_of"])
-    texts = semi_join_filter(ds, keys, on=key_col).to_pandas()
-    lookup = dict(zip(texts[key_col], texts[text_col]))
-    jac = np.array(
-        [ngram_jaccard(lookup[a], lookup[b], k=k)
-         for a, b in zip(cand[key_col], cand["dup_of"])]
+    texts_cand = semi_join_filter(
+        ds.map_batches(lambda t: t.select([key_col, text_col]), batch_format="pyarrow"),
+        member_ids, on=key_col,
+    ).map_batches(
+        lambda df: df.rename(columns={key_col: "member", text_col: "_text"}),
+        batch_format="pandas",
     )
-    out = cand.loc[jac >= threshold, [key_col, "dup_of"]].copy()
-    out["jaccard"] = jac[jac >= threshold]
-    return rd.from_pandas(out.reset_index(drop=True))
+    joined = bucket_hash_join(pair_rows, texts_cand, on="member",
+                              num_buckets=num_shards)
+
+    def add_pshard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ps"] = (
+            _stable_hash(df["pair"].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return df
+
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "side"], kind="mergesort").reset_index(drop=True)
+        pairs = g["pair"].to_numpy()
+        new = np.r_[True, pairs[1:] != pairs[:-1]]
+        starts = np.flatnonzero(new)
+        flat, offs = _shingle_hash_sets(g["_text"].astype(str).tolist(), k)
+        out_k, out_d, out_j = [], [], []
+        members = g["member"].to_numpy()
+        sides = g["side"].to_numpy()
+        for s in starts:
+            # each complete pair contributes exactly rows s (side 0) and s+1
+            if s + 1 >= len(g) or pairs[s + 1] != pairs[s]:
+                continue  # partner row missing (shouldn't happen)
+            a = flat[offs[s] : offs[s + 1]]
+            b = flat[offs[s + 1] : offs[s + 2]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac = inter / max(len(a) + len(b) - inter, 1)
+            if jac >= threshold:
+                i0, i1 = (s, s + 1) if sides[s] == 0 else (s + 1, s)
+                out_k.append(members[i0])
+                out_d.append(members[i1])
+                out_j.append(jac)
+        return pd.DataFrame({key_col: out_k, "dup_of": out_d,
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    return joined.map_batches(add_pshard, batch_format="pandas").groupby("_ps").map_groups(
+        verify_shard, batch_format="pandas"
+    )
 
 
 def cluster_duplicates(
@@ -362,6 +566,43 @@ def cluster_duplicates(
 
 # --- embedding cosine near-dup ----------------------------------------------
 
+class PlaneBucketer:
+    """Actor-pool bucketize stage for ``embedding_neardup``: hyperplanes are
+    generated ONCE per actor (``__init__``-style lazy cache keyed by dim —
+    the fixed seed keeps every actor's planes identical), vectors are
+    unit-normalized, bucket = sign pattern of the projections."""
+
+    def __init__(self, emb_col: str, key_col: str, n_planes: int, seed: int,
+                 num_shards: int):
+        self.emb_col, self.key_col = emb_col, key_col
+        self.n_planes, self.seed, self.num_shards = n_planes, seed, num_shards
+        self._planes: np.ndarray | None = None  # dim known at first batch
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        if self._planes is None or self._planes.shape[0] != dim:
+            self._planes = np.random.default_rng(self.seed).standard_normal(
+                (dim, self.n_planes)
+            )
+        return self._planes
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .ann import _to_matrix, _unit
+
+        emb = _to_matrix(t[self.emb_col])
+        unit = _unit(emb)
+        planes = self._planes_for(emb.shape[1])
+        signs = (unit @ planes) > 0
+        bucket = (signs * (1 << np.arange(self.n_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.key_col: t[self.key_col],
+                "shard": pa.array(bucket % self.num_shards),
+                "bucket": pa.array(bucket),
+                "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
+            }
+        )
+
+
 def embedding_neardup(
     ds: rd.Dataset,
     emb_col: str = "embedding",
@@ -369,41 +610,66 @@ def embedding_neardup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
+    num_shards: int = 64,
+    concurrency=(1, 8),
 ) -> rd.Dataset:
     """Cosine near-dup via random-hyperplane LSH buckets + exact in-bucket
-    cosine. Deterministic planes from a fixed seed; bucket = sign pattern.
-    Near-identical vectors share all signs w.h.p.; at scale, multi-probe or
-    repeated plane sets raise recall (documented tradeoff)."""
+    cosine. Deterministic planes from a fixed seed (cached per actor);
+    bucket = sign pattern — near-identical vectors share all signs w.h.p.;
+    at scale, multi-probe or repeated plane sets raise recall (documented
+    tradeoff). Resolution runs per bucket-hash SHARD (one vectorized call
+    per shard, not one per bucket): within each bucket, each vector is
+    flagged against its best EARLIER-keyed bucket member via an argmax over
+    the masked lower triangle of the unit-dot matrix — no per-row Python
+    loop. A pathological hot bucket (e.g. near-zero vectors all hashing
+    alike) is O(bucket²) — raise ``n_planes`` or pre-filter norms if the
+    corpus has one. Returns (key_col, dup_of, cos)."""
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(x, dtype=np.float64) for x in t[emb_col].to_pylist()])
-        dim = emb.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        signs = (emb @ planes) > 0
-        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        unit = emb / np.clip(norm, 1e-12, None)
-        return pa.table(
+    def resolve_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({key_col: np.array([], dtype=object),
+                                 "dup_of": np.array([], dtype=object),
+                                 "cos": np.array([], dtype=np.float64)})
+        g = g.sort_values(["bucket", key_col], kind="mergesort").reset_index(drop=True)
+        u = np.stack(g["unit"].to_numpy())
+        keys = g[key_col].to_numpy()
+        buckets = g["bucket"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1], True])
+        out_k, out_d, out_c = [], [], []
+        for bi in range(len(bounds) - 1):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            n = hi - lo
+            if n < 2:
+                continue
+            sub = u[lo:hi]
+            sims = sub @ sub.T
+            # best earlier-keyed member per row: argmax over the strict
+            # lower triangle (row 0 has none → stays -inf)
+            masked = np.where(np.tri(n, k=-1, dtype=bool), sims, -np.inf)
+            j = np.argmax(masked, axis=1)
+            best = masked[np.arange(n), j]
+            hit = best >= threshold
+            if hit.any():
+                idx = np.flatnonzero(hit)
+                out_k.append(keys[lo + idx])
+                out_d.append(keys[lo + j[idx]])
+                out_c.append(best[idx])
+        if not out_k:
+            return pd.DataFrame({key_col: np.array([], dtype=object),
+                                 "dup_of": np.array([], dtype=object),
+                                 "cos": np.array([], dtype=np.float64)})
+        return pd.DataFrame(
             {
-                key_col: t[key_col],
-                "bucket": pa.array(bucket),
-                "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
+                key_col: np.concatenate(out_k),
+                "dup_of": np.concatenate(out_d),
+                "cos": np.concatenate(out_c).astype(np.float64),
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({key_col: [], "dup_of": [], "cos": []})
-        g = g.sort_values(key_col).reset_index(drop=True)
-        u = np.stack(g["unit"].to_numpy())
-        keys = g[key_col].to_numpy()
-        sims = u @ u.T
-        out_k, out_d, out_c = [], [], []
-        for i in range(1, len(g)):
-            j = int(np.argmax(sims[i, :i]))
-            if sims[i, j] >= threshold:
-                out_k.append(keys[i]); out_d.append(keys[j]); out_c.append(float(sims[i, j]))
-        return pd.DataFrame({key_col: out_k, "dup_of": out_d, "cos": out_c})
-
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return buckets.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    buckets = ds.map_batches(
+        PlaneBucketer,
+        fn_constructor_args=(emb_col, key_col, n_planes, seed, num_shards),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    return buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")

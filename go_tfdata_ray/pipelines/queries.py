@@ -168,13 +168,11 @@ def q_sort_topk(sf_dir: str):
 
 
 def q_distinct(sf_dir: str):
-    """distinct via per-batch dedup (combiner) + single-task final — low
-    cardinality; high-cardinality distinct would use the groupby shuffle."""
+    """distinct via per-batch dedup (combiner) + content-sharded groupby
+    final — distributed output, no single-task final (unbounded cardinality
+    at scale)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
-    dd = lambda df: df.drop_duplicates()  # noqa: E731
-    return ds.map_batches(dd, batch_format="pandas").repartition(1).map_batches(
-        dd, batch_format="pandas", batch_size=None
-    )
+    return rel.distinct(ds)
 
 
 def q_join_broadcast(sf_dir: str):
@@ -332,15 +330,11 @@ def q_join_asof(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # unique per (user, ts): keep max event_id (well-defined asof tie-break)
-    def dedup_ts(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("event_id").groupby(["user_id", "ts"], as_index=False).last()
-
-    pur = pur.map_batches(dedup_ts, batch_format="pandas").repartition(1).map_batches(
-        dedup_ts, batch_format="pandas", batch_size=None
-    )
+    # unique per (user, ts) by max event_id (well-defined asof tie-break) —
+    # deduped INSIDE the per-bucket merge, not in a single-task pre-pass
     out = joins.asof_join(ev, pur, by="user_id", on="ts",
-                          allow_exact_matches=False, num_buckets=16)
+                          allow_exact_matches=False, num_buckets=16,
+                          right_dedup_max="event_id")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -74,13 +74,20 @@ def asof_join(
     allow_exact_matches: bool = True,
     num_buckets: int = 32,
     right_suffix: str = "_r",
+    right_dedup_max: str | None = None,
 ) -> rd.Dataset:
     """As-of join (the reference lacks it; Ray Data lacks it): for each left
     row, the latest right row of the same ``by`` key with ``on`` ≤ (or <)
     the left's ``on``. Implemented as bucket-by-key → ONE groupby shuffle →
     per-bucket ``pd.merge_asof`` (sorted by ``on``, ``by=`` the key).
     Partitioning assumption: all rows of one ``by`` key land in one bucket
-    (hash-bucketed), so the per-bucket merge is globally correct."""
+    (hash-bucketed), so the per-bucket merge is globally correct.
+
+    ``right_dedup_max``: make the right side unique per (by, on) INSIDE the
+    per-bucket merge by keeping the row with the max of this column (a
+    well-defined asof tie-break). This runs distributed — a driver-side or
+    ``repartition(1)`` pre-dedup of an O(input) right side would
+    materialize it in one task."""
 
     def _schema(ds: rd.Dataset) -> pa.Schema:
         s = ds.schema()
@@ -117,9 +124,17 @@ def asof_join(
         right.map_batches(tag(1, r_renamed), batch_format="pyarrow")
     )
 
+    dedup_col = (right_dedup_max + right_suffix
+                 if right_dedup_max and right_dedup_max + right_suffix in out_r_cols
+                 else right_dedup_max)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][l_cols].sort_values(on, kind="mergesort")
         r = g[g["_side"] == 1][[by, on] + out_r_cols].sort_values(on, kind="mergesort")
+        if dedup_col is not None and len(r):
+            r = (r.sort_values(dedup_col, kind="mergesort")
+                  .groupby([by, on], as_index=False, sort=False).last()
+                  .sort_values(on, kind="mergesort"))
         if len(l) == 0:
             return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in combined.names})
         return pd.merge_asof(

@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..cdc.collapse import hash_partition
+
 
 def combine_partials(
     partials: rd.Dataset,
@@ -43,6 +45,30 @@ def combine_partials(
             comb, batch_format="pandas", batch_size=None
         )
     return partials.repartition(1).map_batches(comb, batch_format="pandas", batch_size=None)
+
+
+def distinct(ds: rd.Dataset, cols: list[str] | None = None,
+             num_shards: int = 64) -> rd.Dataset:
+    """Distributed DISTINCT: per-batch dedup (the combiner) then ONE groupby
+    over hash shards of the row content — output cardinality is unbounded,
+    so there is never a single-task final holding every distinct row."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if cols:
+            df = df[cols]
+        df = df.drop_duplicates()
+        sh = (pd.util.hash_pandas_object(df, index=False).to_numpy()
+              % np.uint64(num_shards)).astype(np.int64)
+        df = df.copy()
+        df["_shard"] = sh
+        return df
+
+    def final_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_shard"]).drop_duplicates()
+
+    return ds.map_batches(partial, batch_format="pandas").groupby("_shard").map_groups(
+        final_shard, batch_format="pandas"
+    )
 
 
 def sample_mod(ds: rd.Dataset, col: str, m: int, r: int = 0) -> rd.Dataset:
@@ -85,30 +111,34 @@ def explode_list(
 
 def collect_group_csv(
     ds: rd.Dataset, group_col: str, value_col: str, out_col: str = "values_csv",
-    sep: str = ",",
+    sep: str = ",", num_shards: int = 64,
 ) -> rd.Dataset:
     """Group-members-by-key collect (the reference's tar Record grouping,
     `manager.go:57-63`), emitted as an order-canonical CSV string per group
-    so results are schema-stable and hashable. ONE groupby shuffle carrying
-    only (group, value)."""
+    so results are schema-stable and hashable.
+
+    Per-batch partial collect (the combiner) then ONE groupby shuffle over
+    hash SHARDS of the group key — the final merge is distributed across
+    ``num_shards`` tasks (collected values are the full group content; a
+    single-task final would materialize O(input) in one worker at scale)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(group_col, sort=False)[value_col].agg(list).reset_index()
-        return g.rename(columns={value_col: "_vals"})
+        g = g.rename(columns={value_col: "_vals"})
+        g["_shard"] = hash_partition(
+            pa.array(g[group_col].to_numpy()), num_shards
+        ).astype(np.int64)
+        return g
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final_shard(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(group_col, sort=False)["_vals"].agg(
             lambda ls: sorted(x for sub in ls for x in sub)
         ).reset_index()
         g[out_col] = g["_vals"].map(lambda v: sep.join(map(str, v)))
         return g[[group_col, out_col]]
 
-    # partial collect per batch (≤ groups rows each), single-task final merge
-    # (collected values are the full group content — for huge groups use the
-    # groupby(group).map_groups shuffle instead)
-    return ds.map_batches(partial, batch_format="pandas").repartition(1).map_batches(
-        final, batch_format="pandas", batch_size=None
-    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_shard").map_groups(final_shard, batch_format="pandas")
 
 
 def assign_split(
@@ -141,26 +171,48 @@ def assign_split(
 
 def sessionize(
     ds: rd.Dataset, user_col: str, ts_col: str, gap_s: int = 1800,
-    order_tiebreak: str | None = None,
+    order_tiebreak: str | None = None, num_shards: int = 64,
 ) -> rd.Dataset:
     """Session windows: per user, a new session starts when the gap since
-    the previous event exceeds ``gap_s``. ONE keyed shuffle (groupby user);
-    per-group sessionization is a vectorized diff/cumsum. Returns
-    (user_col, session_id, n_events)."""
+    the previous event exceeds ``gap_s``. Returns
+    (user_col, session_id, n_events).
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        by = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    ONE keyed shuffle — but grouped by hash SHARD of the user, not by user:
+    one vectorized call per shard (user/session boundaries via sorted diff)
+    instead of one Ray ``map_groups`` call per user, whose per-group
+    overhead × 10⁸ users would dominate at scale (same shard-resolve
+    pattern as ``functions/dedup.py`` resolve_shard)."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = hash_partition(t[user_col], num_shards).astype(np.int64)
+        return t.append_column("_shard", pa.array(sh))
+
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        by = [user_col, ts_col] + ([order_tiebreak] if order_tiebreak else [])
         g = g.sort_values(by, kind="mergesort")
+        users = g[user_col].to_numpy()
+        n = len(users)
+        if n == 0:
+            return pd.DataFrame({user_col: users, "session_id": [], "n_events": []})
+        new_user = np.r_[True, users[1:] != users[:-1]]
         ts = g[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)  # unit-safe
-        new = np.r_[True, np.diff(ts) > gap_s]
-        sid = np.cumsum(new)
-        out = pd.DataFrame({user_col: g[user_col].to_numpy(), "session_id": sid})
-        out = out.groupby([user_col, "session_id"], sort=False).size().reset_index(name="n_events")
-        out["session_id"] = out["session_id"].astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        new = new_user | np.r_[True, np.diff(ts) > gap_s]
+        cum = np.cumsum(new)
+        user_idx = np.cumsum(new_user) - 1
+        base = cum[np.flatnonzero(new_user)]  # cum value at each user's first row
+        sid = cum - base[user_idx] + 1  # restarts at 1 per user
+        starts = np.flatnonzero(new)
+        n_events = np.diff(np.r_[starts, n])
+        return pd.DataFrame(
+            {
+                user_col: users[starts],
+                "session_id": sid[starts].astype("int64"),
+                "n_events": n_events.astype("int64"),
+            }
+        )
 
-    return ds.groupby(user_col).map_groups(sess, batch_format="pandas")
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(sess_shard, batch_format="pandas")
 
 
 def topk_per_group(
