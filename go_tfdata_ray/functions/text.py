@@ -56,7 +56,10 @@ class TokenCounter:
 
 class QualityScorer:
     """Composite quality score from length / punctuation / stopword ratios —
-    deterministic heuristic, weights fixed."""
+    deterministic heuristic, weights fixed. Fully vectorized (stopword hits
+    counted with one compiled alternation regex, no per-row set lookups).
+    Emits the integer raw features (n_words, n_stop — SQL-reproducible, used
+    by the driver oracle) alongside the float ratios/score."""
 
     STOP = ("the", "a", "of", "and", "to", "in", "is", "for")
 
@@ -65,14 +68,17 @@ class QualityScorer:
 
         self.text_col = text_col
         self.word = re.compile(r"[a-z]+")
-        self.stop = set(self.STOP)
+        # \b-bounded alternation == membership of maximal [a-z]+ runs in STOP
+        self.stop_rx = re.compile(r"\b(?:" + "|".join(self.STOP) + r")\b")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         s = df[self.text_col].astype(str)
+        low = s.str.lower()
         n_chars = s.str.len().clip(lower=1)
-        words = s.str.lower().str.findall(self.word)
-        n_words = words.map(len).clip(lower=1)
-        stop_ratio = words.map(lambda ws: sum(w in self.stop for w in ws)) / n_words
+        n_words_raw = low.str.count(self.word).astype("int64")
+        n_stop = low.str.count(self.stop_rx).astype("int64")
+        n_words = n_words_raw.clip(lower=1)
+        stop_ratio = n_stop / n_words
         punct_ratio = s.str.count(f"[{_PUNCT}]") / n_chars
         mean_word_len = n_chars / n_words
         score = (
@@ -81,6 +87,8 @@ class QualityScorer:
             + 0.3 * (1.0 - np.clip(np.abs(mean_word_len - 5.0) / 5.0, 0, 1))
         )
         out = df.drop(columns=[self.text_col]).copy()
+        out["n_words"] = n_words_raw
+        out["n_stop"] = n_stop
         out["stop_ratio"] = stop_ratio
         out["punct_ratio"] = punct_ratio
         out["quality"] = score

@@ -24,7 +24,7 @@ from ..cdc.engine import CDCEngine
 from ..functions import ann, dedup, text
 from ..sources import wal as walmod
 from ..stages import joins, relational as rel, transforms as tr
-from ..stages.transforms import ByKey, ByKeyValue, ByPrefix
+from ..stages.transforms import ByKey, ByKeyValue, ByPrefix, BySubstring, BySuffix
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -55,6 +55,23 @@ def q_select_prefix(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
     )
     return tr.select(ds, ByKey("l_orderkey"), ByKey("l_linenumber"), ByPrefix("l_r"))
+
+
+def q_select_suffix(sf_dir: str):
+    """Projection via BySuffix (selection.go:62-65)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    )
+    return tr.select(ds, ByKey("l_orderkey"), BySuffix("status"))
+
+
+def q_select_substring(sf_dir: str):
+    """Projection via BySubstring (selection.go:67-69)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
+    )
+    return tr.select(ds, ByKey("event_id"), BySubstring("ser"))
 
 
 def q_predicate_keyvalue(sf_dir: str):
@@ -605,8 +622,10 @@ def q_lang_id(sf_dir: str):
 
 
 def q_quality(sf_dir: str):
+    """Quality scoring — the driver checks the integer raw features
+    (SQL-reproducible); the float ratios/score are covered by pytest."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return text.quality(ds)
+    return text.quality(ds).select_columns(["doc_id", "n_words", "n_stop"])
 
 
 def q_fingerprint(sf_dir: str):
@@ -633,8 +652,29 @@ def q_dedup_clusters(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Cosine near-dup over the embeddings table + PLANTED exact copies of
+    every 50th vector (vec_id + 1_000_000) — the natural max pairwise cosine
+    in the fixture is ~0.6, far below the 0.98 threshold, so the planted
+    copies are exactly the expected output (recall is 1 for identical
+    vectors: identical projections ⇒ identical sign buckets). This makes the
+    query oracle-checkable; scores stay float-free in the compare."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    return dedup.embedding_neardup(ds, threshold=0.98)
+
+    def plant(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copies = t.filter(pa.array(v % 50 == 0))
+        copies = copies.set_column(
+            copies.column_names.index("vec_id"), "vec_id",
+            pc.add(copies["vec_id"], pa.scalar(1_000_000)),
+        )
+        return pa.concat_tables([t, copies])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup.embedding_neardup(planted, threshold=0.98)
+    return out.map_batches(
+        lambda t: _i64(t.select(["vec_id", "dup_of"]), "vec_id", "dup_of"),
+        batch_format="pyarrow",
+    )
 
 
 def q_ann_lsh(sf_dir: str):
@@ -646,6 +686,56 @@ def q_ann_lsh(sf_dir: str):
         lambda t: _i64(t.select(["query_id", "vec_id", "rank"]), "query_id", "vec_id"),
         batch_format="pyarrow",
     )
+
+
+def q_simhash_neardup(sf_dir: str):
+    """Hamming-banded SimHash near-dup (4×16-bit bands, full-signature
+    Hamming verify ≤ 3) — pytest-verified on planted bit-flip fixtures."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup.simhash_banded_neardup(ds, max_hamming=3)
+
+
+def q_pack_conservation(sf_dir: str):
+    """Token conservation of sequence packing (the SQL-checkable projection
+    of pack_sequences): total non-pad content across all packed sequences
+    must equal Σ n_tok + one EOD per doc over the CDC lake — exact, and
+    independent of block layout (each batch's content is (n_seq-1)·ctx +
+    fill_last·ctx, summed via a combiner)."""
+    from ..functions import pack
+
+    eng = replayed_engine(sf_dir)
+    packed = pack.pack_sequences(eng.scan(), context_len=512, eod_token=50256)
+
+    def partial(t: pa.Table) -> pa.Table:
+        fill = t["fill_ratio"].to_numpy(zero_copy_only=False)
+        content = int(np.rint(fill.sum() * 512))
+        return pa.table({"content_tokens": pa.array([content], pa.int64())})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"content_tokens": [np.int64(df["content_tokens"].sum())]})
+
+    # partials are ONE row per block — the single-task final is bounded
+    return packed.map_batches(partial, batch_format="pyarrow").repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
+def q_dedup_clusters_planted(sf_dir: str):
+    """Connected-components clustering over a DETERMINISTIC planted pair
+    set (chains (d, d-1) for d % 5 ≠ 0 ⇒ clusters of 5 consecutive ids with
+    min-id representative) — oracle-checks the union-find contraction that
+    dedup_clusters applies to LSH pairs."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d % 5 != 0
+        return pa.table({"doc_id": pa.array(d[keep], pa.int64()),
+                         "dup_of": pa.array(d[keep] - 1, pa.int64())})
+
+    pairs = docs.map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup.cluster_duplicates(pairs)
+    return out.map_batches(lambda t: _i64(t, "doc_id", "cluster"), batch_format="pyarrow")
 
 
 def q_ngram_dedup(sf_dir: str):
@@ -698,6 +788,8 @@ def q_audio_features(sf_dir: str):
 QUERIES = {
     "rename_copy": q_rename_copy,
     "select_prefix": q_select_prefix,
+    "select_suffix": q_select_suffix,
+    "select_substring": q_select_substring,
     "predicate_keyvalue": q_predicate_keyvalue,
     "udf_revenue": q_udf_revenue,
     "coerce_widen": q_coerce_widen,
@@ -738,7 +830,10 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
+    "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
+    "pack_conservation": q_pack_conservation,
+    "dedup_clusters_planted": q_dedup_clusters_planted,
     "ann_lsh": q_ann_lsh,
     "ngram_dedup": q_ngram_dedup,
     "ann_ivf": q_ann_ivf,
@@ -762,6 +857,8 @@ last AS (
 ORACLE_SQL = {
     "rename_copy": "SELECT event_id, event_type, event_type AS etype FROM events",
     "select_prefix": "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+    "select_suffix": "SELECT l_orderkey, l_linestatus FROM lineitem",
+    "select_substring": "SELECT event_id, user_id FROM events",
     "predicate_keyvalue": "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
     "udf_revenue": (
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
@@ -906,5 +1003,41 @@ ORACLE_SQL = {
         "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
         "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
         "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "quality": (
+        r"SELECT doc_id, "
+        r"CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, "
+        r"CAST(len(regexp_extract_all(lower(text), "
+        r"'\b(?:the|a|of|and|to|in|is|for)\b')) AS BIGINT) AS n_stop "
+        r"FROM documents"
+    ),
+    "lang_id": (
+        # counts per language with the SAME \b-bounded marker alternations as
+        # text.LangId; tie-break = first max in alphabetical column order
+        r"WITH c AS (SELECT doc_id, "
+        r"len(regexp_extract_all(lower(text), '\b(?:der|und|die|nicht|ist|das)\b')) AS de, "
+        r"len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with|for)\b')) AS en, "
+        r"len(regexp_extract_all(lower(text), '\b(?:el|la|los|que|es|una)\b')) AS es, "
+        r"len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des|est)\b')) AS fr "
+        r"FROM documents) "
+        r"SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und' "
+        r"WHEN de >= en AND de >= es AND de >= fr THEN 'de' "
+        r"WHEN en >= es AND en >= fr THEN 'en' "
+        r"WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
+    ),
+    "embedding_neardup": (
+        # ground truth: the planted exact copies (natural max cosine ~0.6 is
+        # far below the 0.98 threshold, verified in tests)
+        "SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id, "
+        "CAST(vec_id AS BIGINT) AS dup_of FROM embeddings WHERE vec_id % 50 = 0"
+    ),
+    "pack_conservation": _CDC_LAST + (
+        "SELECT CAST(SUM(n_tok) + COUNT(*) AS BIGINT) AS content_tokens "
+        "FROM last WHERE op <> 'D'"
+    ),
+    "dedup_clusters_planted": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(doc_id - (doc_id % 5) AS BIGINT) AS cluster FROM documents "
+        "WHERE doc_id % 5 <> 0 OR doc_id < (SELECT MAX(doc_id) FROM documents)"
     ),
 }
