@@ -20,6 +20,17 @@ import ray.data as rd
 from ..stages import transforms as tr
 
 
+def _clean_row(r: dict) -> dict:
+    """Drop null cells (None, and the float-NaN that pandas records use for
+    missing values) before Example encoding — the reference's absent-key
+    permissiveness (sample.go:10)."""
+    return {
+        k: v
+        for k, v in r.items()
+        if v is not None and not (isinstance(v, float) and v != v)
+    }
+
+
 class DefaultPipeline:
     def __init__(self):
         self._source: Callable[[], rd.Dataset] | None = None
@@ -40,16 +51,23 @@ class DefaultPipeline:
         return self
 
     def from_tar(self, paths, members: list[str] | None = None,
-                 require_complete: bool = True) -> "DefaultPipeline":
+                 require_complete: bool = True,
+                 streaming: bool = False) -> "DefaultPipeline":
         """↔ the TarStage (pipeline.go:65-76, archive/tar.go:50-55): tarball
         members grouped by basename into keyed records. With ``members``
         the wide per-sample layout is produced (one binary column per
-        extension); otherwise the long (``__key__``, member, data) rows."""
+        extension); otherwise the long (``__key__``, member, data) rows.
+        ``streaming=True`` selects the bounded-memory two-pass reader
+        (TarSeekReader, seekreader.go:16-138) for archives that don't fit a
+        task's heap; default is the whole-archive Greedy reader."""
 
         def _read():
             from ..sources import tar as tarmod
 
-            ds = tarmod.read_tar_samples(paths)
+            if streaming:
+                ds = tarmod.read_tar_samples_streaming(paths)
+            else:
+                ds = tarmod.read_tar_samples(paths)
             if members is not None:
                 ds = tarmod.records(ds, members, require_complete=require_complete)
             return ds
@@ -59,15 +77,28 @@ class DefaultPipeline:
 
     def from_tfrecord(self, paths) -> "DefaultPipeline":
         """↔ the tar/TFRecord source stage (pipeline.go:65-76) — reads the
-        reference's native interchange format (compat path)."""
+        reference's native interchange format (compat path). ``paths`` may
+        be a file, a directory of ``*.tfrecord`` shards (the parallel
+        sink's layout — one read task per shard), or a list of files."""
 
         def _read():
             import importlib.util
+            import os as _os
 
+            plist = [paths] if isinstance(paths, str) else list(paths)
+            expanded: list[str] = []
+            for p in plist:
+                if _os.path.isdir(p):
+                    expanded += sorted(
+                        _os.path.join(p, n) for n in _os.listdir(p)
+                        if n.endswith(".tfrecord")
+                    )
+                else:
+                    expanded.append(p)
             # ray's ReadTFRecord needs tensorflow AT TASK TIME (lazy), so
             # probe for it up front rather than catching at execution
             if importlib.util.find_spec("tensorflow") is not None:
-                return rd.read_tfrecords(paths)
+                return rd.read_tfrecords(expanded)
             else:  # no fast parser in this env: compat reader
                 from ..sources.tfrecord import TFRecordReader
 
@@ -75,27 +106,67 @@ class DefaultPipeline:
                     with open(path_row["path"], "rb") as f:
                         yield from TFRecordReader(f).read_all_examples()
 
-                plist = [paths] if isinstance(paths, str) else list(paths)
-                return rd.from_items([{"path": p} for p in plist]).flat_map(gen_rows)
+                return rd.from_items([{"path": p} for p in expanded]).flat_map(gen_rows)
 
         self._source = _read
         return self
 
     def to_tfrecord(self, path: str) -> "DefaultPipeline":
-        """↔ ToTFRecord sink (pipeline.go:78-90). Single-file compat sink —
-        the scalable sink is ``to_parquet`` (or ``ds.write_tfrecords``)."""
+        """↔ ToTFRecord single-file sink — the WriteMessages serial path
+        (tfrecord.go:107-122): streaming batch drain, one writer, vectorized
+        per-batch CRCs. For parallel upstream + sharded files (the
+        WriteMessagesAsync analog, tfrecord.go:128-180) use
+        ``to_tfrecord_dir``."""
 
         def _sink(ds: rd.Dataset):
-            from ..sources.tfrecord import TFRecordWriter
+            from ..sources.tfrecord import TFRecordWriter, encode_example
 
             n = 0
             with open(path, "wb") as f:
                 w = TFRecordWriter(f)
-                for row in ds.iter_rows():  # streaming drain, single writer —
-                    # the WriteMessages serial path (tfrecord.go:107-122)
-                    w.write_examples([{k: v for k, v in row.items() if v is not None}])
-                    n += 1
+                for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+                    rows = batch.to_dict("records")
+                    n += w.write_many(
+                        [encode_example(_clean_row(r)) for r in rows]
+                    )
             return n
+
+        self._sink = _sink
+        return self
+
+    def to_tfrecord_dir(self, out_dir: str) -> "DefaultPipeline":
+        """↔ WriteMessagesAsync (tfrecord.go:128-180), Ray-native: upstream
+        stages execute in parallel and EVERY block writes its own shard file
+        (tmp name + rename — idempotent under task retry; readers glob
+        ``*.tfrecord`` so half-written tmp files are never visible). One
+        file per partition is the resumable-output layout; encode + CRC run
+        vectorized inside the tasks, not on the driver."""
+
+        def _sink(ds: rd.Dataset):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+
+            _os.makedirs(out_dir, exist_ok=True)
+
+            def write_shard(df) -> "_pa.Table":
+                from ..sources.tfrecord import TFRecordWriter, encode_example
+
+                rows = df.to_dict("records")
+                payloads = [encode_example(_clean_row(r)) for r in rows]
+                rel = f"part-{_uuid.uuid4().hex[:16]}.tfrecord"
+                tmp = _os.path.join(out_dir, rel + f".tmp-{_os.getpid()}")
+                with open(tmp, "wb") as f:
+                    TFRecordWriter(f).write_many(payloads)
+                _os.rename(tmp, _os.path.join(out_dir, rel))
+                return _pa.table({"path": _pa.array([rel]),
+                                  "rows": _pa.array([len(rows)], _pa.int64())})
+
+            intents = ds.map_batches(
+                write_shard, batch_format="pandas", batch_size=None
+            ).take_all()  # tiny: one intent row per shard
+            return sum(int(i["rows"]) for i in intents)
 
         self._sink = _sink
         return self

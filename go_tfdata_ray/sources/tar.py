@@ -49,6 +49,98 @@ def read_tar_members(path: str) -> list[tuple[str, str, bytes]]:
     return out
 
 
+def stream_tar_records(
+    path: str, batch_rows: int = 256, stats: dict | None = None
+):
+    """TarSeekReader analog (`/root/reference/tfdata/archive/seekreader.go:16-138`):
+    two-pass, bounded-memory streaming over one tarball.
+
+    Pass 1 walks the headers only (tarfile skips member data when the body
+    isn't extracted) and records each key's member count — ``prepareMeta``
+    (`seekreader.go:66-88`). Pass 2 streams the data and EMITS a record the
+    moment its last member is seen (`seekreader.go:125-133`), deleting it
+    from the incomplete-record map — so memory is O(incomplete records +
+    one output batch), never O(archive), and a 50 GB web-archive tarball
+    flows through a single task as a stream of batches. A record's rows are
+    never split across emitted batches (the ``records()`` pivot stays
+    batch-local correct). gzip inputs stream too (decompressed twice — the
+    price of two passes without a seekable index).
+
+    Yields ``pyarrow.Table`` batches in the LONG (__key__, member, data)
+    layout. ``stats`` (optional dict) receives ``max_pending`` — the high
+    -water mark of the incomplete map — for memory-bound assertions."""
+    mode = "r:gz" if path.endswith((".tar.gz", ".tgz")) else "r"
+    counts: dict[str, int] = {}
+    with tarfile.open(path, mode) as tf:
+        for info in tf:
+            if info.isreg():
+                key, _ = _split_name(info.name)
+                counts[key] = counts.get(key, 0) + 1
+
+    pending: dict[str, list[tuple[str, bytes]]] = {}
+    max_pending = 0
+    keys: list[str] = []
+    membs: list[str] = []
+    datas: list[bytes] = []
+
+    def flush() -> pa.Table:
+        t = pa.table(
+            {
+                KEY_COLUMN: pa.array(keys, pa.string()),
+                "member": pa.array(membs, pa.string()),
+                "data": pa.array(datas, pa.large_binary()),
+            }
+        )
+        keys.clear(), membs.clear(), datas.clear()
+        return t
+
+    with tarfile.open(path, mode) as tf:
+        for info in tf:
+            if not info.isreg():
+                continue
+            key, ext = _split_name(info.name)
+            rec = pending.setdefault(key, [])
+            rec.append((ext, tf.extractfile(info).read()))
+            max_pending = max(max_pending, len(pending))
+            if len(rec) >= counts[key]:  # complete → emit now, drop state
+                for m, d in rec:
+                    keys.append(key)
+                    membs.append(m)
+                    datas.append(d)
+                del pending[key]
+                if len(keys) >= batch_rows:
+                    yield flush()
+    # a tar whose pass-1/pass-2 views diverge (shouldn't happen) would
+    # strand rows in pending; emit them rather than drop silently
+    for key, rec in pending.items():
+        for m, d in rec:
+            keys.append(key)
+            membs.append(m)
+            datas.append(d)
+    if keys:
+        yield flush()
+    if stats is not None:
+        stats["max_pending"] = max_pending
+
+
+def read_tar_samples_streaming(
+    paths: str | list[str], batch_rows: int = 256
+) -> rd.Dataset:
+    """Streaming tar source: one task per tarball, but the task YIELDS
+    batches incrementally (generator UDF) with bounded memory — the
+    TarSeekReader path; ``read_tar_samples`` is the whole-archive Greedy
+    path for small tars."""
+    plist = [paths] if isinstance(paths, str) else list(paths)
+
+    def parse(batch: pa.Table):
+        for p in batch["path"].to_pylist():
+            yield from stream_tar_records(p, batch_rows=batch_rows)
+
+    return rd.from_items([{"path": p} for p in plist]).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+
+
 def read_tar_samples(paths: str | list[str]) -> rd.Dataset:
     """Dataset of (``__key__``, member, data) rows; one read task per
     tarball. Long layout: a key appears once per member (the reference's

@@ -31,6 +31,7 @@ import numpy as np
 
 _POLY = 0x82F63B78  # reflected Castagnoli
 _TABLE = None
+_TABLES8 = None
 
 
 def _table() -> np.ndarray:
@@ -46,13 +47,96 @@ def _table() -> np.ndarray:
     return _TABLE
 
 
+def _tables8() -> np.ndarray:
+    """Slicing-by-8 tables: T[0] is the classic byte table; T[k][i] advances
+    T[k-1][i] by one zero byte. Lets the vectorized kernel consume 8 bytes
+    per lockstep iteration."""
+    global _TABLES8
+    if _TABLES8 is None:
+        t0 = _table()
+        tabs = np.zeros((8, 256), dtype=np.uint32)
+        tabs[0] = t0
+        for k in range(1, 8):
+            prev = tabs[k - 1]
+            tabs[k] = (prev >> np.uint32(8)) ^ t0[prev & np.uint32(0xFF)]
+        _TABLES8 = tabs
+    return _TABLES8
+
+
 def crc32c(data: bytes) -> int:
-    """Software CRC32C (table-driven). Fine for compat-scale payloads."""
+    """Software CRC32C of one buffer (table-driven scalar loop) — kept for
+    the streaming one-record-at-a-time read path; batch paths use
+    ``crc32c_many`` (vectorized across records)."""
     tab = _table()
     crc = 0xFFFFFFFF
     for b in data:
         crc = (crc >> 8) ^ int(tab[(crc ^ b) & 0xFF])
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c_many(chunks: list[bytes]) -> np.ndarray:
+    """CRC32C of MANY buffers in lockstep, slicing-by-8: each iteration
+    consumes 8 bytes from EVERY active record via vectorized table lookups
+    (numpy fancy indexing) — ~2 orders of magnitude over the per-byte scalar
+    loop on typical batches; this is what makes the TFRecord sink a real
+    sink. Records are processed in length-sorted order so the active set
+    shrinks monotonically and a single long record doesn't drag the whole
+    batch through dead iterations; per-record tails (< 8 bytes) finish in at
+    most 7 masked byte passes."""
+    n = len(chunks)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")  # ascending: drop finished rows
+    tab = _table()
+    t8 = _tables8()
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    maxlen = int(lens[order[-1]])
+    mat = np.zeros((n, maxlen + 7), dtype=np.uint8)  # pad: safe 8-wide reads
+    for dst, src in enumerate(order):
+        c = chunks[src]
+        mat[dst, : len(c)] = np.frombuffer(c, dtype=np.uint8)
+    sorted_lens = lens[order]
+    aligned = (sorted_lens // 8) * 8  # 8-aligned prefix per record
+    start = 0  # first row whose aligned prefix still extends past this chunk
+    ff = np.uint32(0xFF)
+    for chunk in range(maxlen // 8):
+        pos = chunk * 8
+        while start < n and aligned[start] <= pos:
+            start += 1
+        sl = slice(start, n)
+        b = mat[sl, pos : pos + 8]
+        t = crc[sl] ^ (
+            b[:, 0].astype(np.uint32)
+            | (b[:, 1].astype(np.uint32) << np.uint32(8))
+            | (b[:, 2].astype(np.uint32) << np.uint32(16))
+            | (b[:, 3].astype(np.uint32) << np.uint32(24))
+        )
+        crc[sl] = (
+            t8[7][t & ff]
+            ^ t8[6][(t >> np.uint32(8)) & ff]
+            ^ t8[5][(t >> np.uint32(16)) & ff]
+            ^ t8[4][t >> np.uint32(24)]
+            ^ t8[3][b[:, 4]]
+            ^ t8[2][b[:, 5]]
+            ^ t8[1][b[:, 6]]
+            ^ t8[0][b[:, 7]]
+        )
+    # tails: up to 7 trailing bytes per record, masked byte passes
+    tail_len = sorted_lens - aligned
+    max_tail = int(tail_len.max()) if n else 0
+    rows = np.arange(n)
+    for t in range(max_tail):
+        active = tail_len > t
+        if not active.any():
+            break
+        r = rows[active]
+        byte = mat[r, aligned[active] + t]
+        c = crc[r]
+        crc[r] = (c >> np.uint32(8)) ^ tab[(c ^ byte) & ff]
+    out = np.empty(n, dtype=np.uint32)
+    out[order] = crc ^ np.uint32(0xFFFFFFFF)
+    return out
 
 
 _MASK_DELTA = 0xA282EAD8
@@ -62,6 +146,12 @@ def masked_crc(data: bytes) -> int:
     """TF's masked CRC (crc.go:36-45): rotate right 15 then add delta."""
     crc = crc32c(data)
     return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+def masked_crc_many(chunks: list[bytes]) -> np.ndarray:
+    crc = crc32c_many(chunks)
+    with np.errstate(over="ignore"):
+        return ((crc >> np.uint32(15)) | (crc << np.uint32(17))) + np.uint32(_MASK_DELTA)
 
 
 # --- protobuf wire helpers --------------------------------------------------
@@ -214,12 +304,27 @@ class TFRecordWriter:
         self.f.write(payload)
         self.f.write(struct.pack("<I", masked_crc(payload)))
 
+    def write_many(self, payloads: list[bytes]) -> int:
+        """Frame a whole batch with VECTORIZED CRCs (``crc32c_many``) and a
+        single buffered write — the batch analog of Write
+        (tfrecord.go:64-88)."""
+        if not payloads:
+            return 0
+        hdrs = [struct.pack("<Q", len(p)) for p in payloads]
+        hcrc = masked_crc_many(hdrs)
+        pcrc = masked_crc_many(payloads)
+        parts: list[bytes] = []
+        for h, p, hc, pc in zip(hdrs, payloads, hcrc, pcrc):
+            parts.append(h)
+            parts.append(struct.pack("<I", int(hc)))
+            parts.append(p)
+            parts.append(struct.pack("<I", int(pc)))
+        self.f.write(b"".join(parts))
+        return len(payloads)
+
     def write_examples(self, samples: Iterable[dict]) -> int:
-        n = 0
-        for s in samples:
-            self.write(encode_example(s))
-            n += 1
-        return n
+        batch = [encode_example(s) for s in samples]
+        return self.write_many(batch)
 
 
 class CorruptRecordError(IOError):
@@ -255,6 +360,36 @@ class TFRecordReader:
         while (p := self.read_next()) is not None:
             yield p
 
+    def read_all_payloads(self) -> list[bytes]:
+        """Drain the file and verify ALL record CRCs in two vectorized
+        passes (``crc32c_many``) instead of per-record scalar loops — the
+        sequential part is only the cheap length-prefixed frame walk."""
+        buf = self.f.read()
+        payloads: list[bytes] = []
+        hdrs: list[bytes] = []
+        crcs: list[tuple[int, int]] = []
+        i = 0
+        while i < len(buf):
+            if i + 12 > len(buf):
+                raise CorruptRecordError("truncated header")
+            ln = struct.unpack("<Q", buf[i : i + 8])[0]
+            lcrc = struct.unpack("<I", buf[i + 8 : i + 12])[0]
+            j = i + 12 + ln
+            if j + 4 > len(buf):
+                raise CorruptRecordError("truncated record")
+            pcrc = struct.unpack("<I", buf[j : j + 4])[0]
+            hdrs.append(buf[i : i + 8])
+            payloads.append(buf[i + 12 : j])
+            crcs.append((lcrc, pcrc))
+            i = j + 4
+        if payloads:
+            want = np.array(crcs, dtype=np.uint32)
+            if not (masked_crc_many(hdrs) == want[:, 0]).all():
+                raise CorruptRecordError("length crc mismatch")
+            if not (masked_crc_many(payloads) == want[:, 1]).all():
+                raise CorruptRecordError("payload crc mismatch")
+        return payloads
+
     def read_all_examples(self) -> list[dict]:
-        """↔ ReadAllExamples (tfrecord.go:241-259) — tests/small files."""
-        return [decode_example(p) for p in self]
+        """↔ ReadAllExamples (tfrecord.go:241-259)."""
+        return [decode_example(p) for p in self.read_all_payloads()]

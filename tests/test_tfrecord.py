@@ -112,3 +112,75 @@ def test_pipeline_tfrecord_source_and_sink(tmp_path):
     assert len(back) == 15
     toks = sorted(tuple(b["tokens"]) for b in back)
     assert toks[0] == (0, 1, 2, 3, 4)
+
+
+def test_crc32c_many_matches_scalar():
+    import numpy as np
+
+    from go_tfdata_ray.sources.tfrecord import crc32c, crc32c_many, masked_crc, masked_crc_many
+
+    rng = np.random.default_rng(9)
+    chunks = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8))
+              for n in rng.integers(0, 400, size=50)] + [b""]
+    many = crc32c_many(chunks)
+    for c, m in zip(chunks, many):
+        assert crc32c(c) == int(m)
+    masked = masked_crc_many(chunks)
+    for c, m in zip(chunks, masked):
+        assert masked_crc(c) == int(m)
+
+
+def test_crc32c_known_vector():
+    from go_tfdata_ray.sources.tfrecord import crc32c, crc32c_many
+
+    # RFC 3720 test vector: 32 zero bytes → 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert int(crc32c_many([b"\x00" * 32])[0]) == 0x8A9136AA
+
+
+def test_parallel_tfrecord_dir_roundtrip(tmp_path):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from go_tfdata_ray.pipelines.builder import DefaultPipeline
+
+    df = pd.DataFrame({"doc_id": range(1000), "val": [i * 3 for i in range(1000)]})
+    src = rd.from_pandas(df).repartition(8)  # several parallel shard writers
+    out = str(tmp_path / "shards")
+    n = DefaultPipeline().from_dataset(src).to_tfrecord_dir(out).do()
+    assert n == 1000
+    import os
+
+    parts = [p for p in os.listdir(out) if p.endswith(".tfrecord")]
+    assert len(parts) > 1  # genuinely sharded
+    back = DefaultPipeline().from_tfrecord(out).collect().do().to_pandas()
+    # int64 scalars round-trip as single-element lists (reference semantics)
+    got = sorted((int(r[0]), int(v[0])) for r, v in zip(back["doc_id"], back["val"]))
+    assert got == [(i, i * 3) for i in range(1000)]
+
+
+def test_tfrecord_sink_throughput(tmp_path):
+    """The vectorized-CRC sink must beat the scalar-loop regime (~1 MB/s)
+    by a wide margin even single-threaded — soft bound to dodge CI noise."""
+    import time
+
+    import numpy as np
+
+    from go_tfdata_ray.sources.tfrecord import TFRecordReader, TFRecordWriter
+
+    rng = np.random.default_rng(4)
+    payloads = [bytes(rng.integers(0, 256, size=1024, dtype=np.uint8)) for _ in range(20_000)]
+    path = tmp_path / "big.tfrecord"
+    t0 = time.perf_counter()
+    with open(path, "wb") as f:
+        TFRecordWriter(f).write_many(payloads)
+    dt_w = time.perf_counter() - t0
+    mb = 20_000 * 1024 / 1e6
+    assert mb / dt_w > 20, f"write {mb/dt_w:.1f} MB/s"
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        got = TFRecordReader(f).read_all_payloads()
+    dt_r = time.perf_counter() - t0
+    assert got == payloads
+    assert mb / dt_r > 20, f"read {mb/dt_r:.1f} MB/s"
