@@ -43,6 +43,43 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
 
 
+def _finalize_topk(cand: rd.Dataset, key_col: str, k: int, n_queries: int,
+                   num_shards: int = 64) -> rd.Dataset:
+    """Global top-k per query from per-batch partial candidates.
+
+    Candidates are ≤ k × queries × blocks rows. With few queries a single
+    coalesced combine task is the cheapest final (tree-reduce; Ray's
+    groupby shuffle costs seconds of fixed overhead). At larger query
+    counts the final output itself is O(k × Q) — unbounded in Q — so the
+    combine shards by query hash (groupby), keeping both the reduce and
+    its output distributed."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", key_col],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
+        return df
+
+    if n_queries < 256:
+        return cand.repartition(1).map_batches(topk, batch_format="pandas",
+                                               batch_size=None)
+
+    def add_qshard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_qs"] = (
+            pd.util.hash_array(df["query_id"].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return df
+
+    def topk_shard(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df.drop(columns=["_qs"]))
+
+    return cand.map_batches(add_qshard, batch_format="pandas").groupby("_qs").map_groups(
+        topk_shard, batch_format="pandas"
+    )
+
+
 class BruteForceScorer:
     """Actor-pool stage: queries fetched from the object store once per
     actor; per batch one (B×dim)·(dim×Q) matmul + per-query top-k."""
@@ -105,18 +142,7 @@ def brute_force_topk(
         zero_copy_batch=True,
     )
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # single-task final combine: candidates are ≤ k × queries × blocks
-        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
-        # fixed cost; at larger query counts add an intermediate level
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True], kind="mergesort")
-        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
-        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
-        return df
-
-    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                           batch_size=None)
+    return _finalize_topk(cand, key_col, k, len(q_ids))
 
 
 def _train_centroids(
@@ -213,18 +239,7 @@ def ivf_topk(
     cand = ds.map_batches(IVFScan, batch_format="pyarrow", batch_size=8192,
                           concurrency=concurrency, zero_copy_batch=True)
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # single-task final combine: candidates are ≤ k × queries × blocks
-        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
-        # fixed cost; at larger query counts add an intermediate level
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True], kind="mergesort")
-        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
-        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
-        return df
-
-    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                           batch_size=None)
+    return _finalize_topk(cand, key_col, k, len(q_ids))
 
 
 class LSHBucketer:
@@ -300,15 +315,4 @@ def lsh_topk(
     cand = ds.map_batches(BucketScan, batch_format="pyarrow", batch_size=8192,
                           concurrency=(1, 4), zero_copy_batch=True)
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # single-task final combine: candidates are ≤ k × queries × blocks
-        # rows (already top-k'd per batch) — far below Ray's groupby-shuffle
-        # fixed cost; at larger query counts add an intermediate level
-        df = df.sort_values(["query_id", "score", key_col],
-                            ascending=[True, False, True], kind="mergesort")
-        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
-        df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1).astype(np.int64)
-        return df
-
-    return cand.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                           batch_size=None)
+    return _finalize_topk(cand, key_col, k, len(queries))

@@ -195,7 +195,8 @@ def minhash_lsh_dedup(
 
     def resolve_shard(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
-            return pd.DataFrame({key_col: [], "dup_of": [], "est": []})
+            return pd.DataFrame({key_col: [], "dup_of": [], "est": [],
+                                 "_ks": pd.Series([], dtype="int64")})
         g = g.sort_values(["band", "bucket", key_col], kind="mergesort").reset_index(drop=True)
         sig = np.frombuffer(b"".join(g["sig"]), dtype=np.int64).reshape(len(g), -1)
         band = g["band"].to_numpy()
@@ -205,9 +206,14 @@ def minhash_lsh_dedup(
         est = (sig == sig[rep]).mean(axis=1)
         mask = (est >= threshold) & (np.arange(len(g)) != rep)
         keys = g[key_col].to_numpy()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {key_col: keys[mask], "dup_of": keys[rep[mask]], "est": est[mask]}
         )
+        # key-shard for the flag-dedup exchange, emitted here to save a pass
+        out["_ks"] = (
+            _stable_hash(out[key_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return out
 
     sigs = ds.map_batches(
         MinHasher, fn_constructor_args=(text_col, key_col, k, n_perm),
@@ -219,20 +225,11 @@ def minhash_lsh_dedup(
     # a doc may be flagged in several bands — keep the smallest dup_of.
     # The flagged set is 10-40% of a web corpus, NOT tiny: the final is a
     # key-sharded groupby (distributed), never a single task.
-    def add_kshard(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_ks"] = (
-            _stable_hash(df[key_col].to_numpy()) % np.uint64(num_shards)
-        ).astype(np.int64)
-        return df
-
     def flag_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, "dup_of", "est"], kind="mergesort")
         return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "est"]]
 
-    return cand.map_batches(add_kshard, batch_format="pandas").groupby("_ks").map_groups(
-        flag_shard, batch_format="pandas"
-    )
+    return cand.groupby("_ks").map_groups(flag_shard, batch_format="pandas")
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -59,9 +59,8 @@ class Manifest:
 
     def live_files(self, lake_dir: str) -> list[str]:
         """Base files + epoch intent-segment files. Delta run files are
-        referenced INSIDE the segments — callers that physically delete
-        data (vacuum) must also read the segments (see ``vacuum``'s
-        ``extra_live``)."""
+        referenced INSIDE the segments — ``vacuum`` resolves them per
+        retained version via ``_segment_delta_paths``."""
         out = []
         for ps in self.partitions.values():
             out += [os.path.join(lake_dir, f["path"]) for f in ps.files]
