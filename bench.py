@@ -95,7 +95,7 @@ def run_bench() -> dict:
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
         "join_broadcast", "sort_topk", "dedup_exact", "token_count",
         "ann_topk", "minhash_dedup", "udf_revenue", "json_extract",
-        "sessionize", "training_pipeline"]
+        "sessionize", "training_pipeline", "tokenize_pack"]
     for name in query_names:
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()

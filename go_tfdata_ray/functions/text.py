@@ -155,6 +155,58 @@ class Fingerprinter:
         return out.drop(columns=[self.text_col])
 
 
+class Tokenizer:
+    """Deterministic hash-vocabulary tokenizer: the GPT-2-shaped
+    pretokenizer regex (same shape as ``TokenCounter.bpe``) splits text
+    into pieces; each piece maps to a stable id in ``[0, vocab)`` via the
+    fixed-key siphash (one ``hash_array`` call for the WHOLE batch's
+    pieces — no per-token Python hashing). No external model files in this
+    container; the operator's point is the Ray shape: actor-pool
+    ``map_batches`` (regex compiled once per actor), vectorized id
+    assignment, ``list<int32>`` output matching the lake schema
+    (``doc_id, tokens, n_tok``) so documents flow straight into
+    ``pack_sequences`` / the CDC lake."""
+
+    def __init__(self, text_col: str = "text", key_col: str = "doc_id",
+                 vocab: int = 50257):
+        import re
+
+        self.text_col, self.key_col, self.vocab = text_col, key_col, vocab
+        self.bpe = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        pieces = [self.bpe.findall(s or "") for s in texts]
+        lens = np.fromiter((len(p) for p in pieces), dtype=np.int64,
+                           count=len(pieces))
+        flat = np.array([w for sub in pieces for w in sub], dtype=object)
+        if len(flat):
+            ids = (pd.util.hash_array(flat, categorize=False)
+                   % np.uint64(self.vocab)).astype(np.int32)
+        else:
+            ids = np.zeros(0, dtype=np.int32)
+        offs = np.zeros(len(pieces) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        tokens = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                          pa.array(ids, pa.int32()))
+        return pa.table(
+            {
+                self.key_col: t[self.key_col],
+                "tokens": tokens,
+                "n_tok": pa.array(lens.astype(np.int32)),
+            }
+        )
+
+
+def tokenize(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id",
+             vocab: int = 50257, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        Tokenizer, fn_constructor_args=(text_col, key_col, vocab),
+        batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
 # --- dataset-level helpers --------------------------------------------------
 
 class JsonFieldExtractor:

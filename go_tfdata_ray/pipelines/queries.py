@@ -594,6 +594,45 @@ def q_token_count(sf_dir: str):
     return out.select_columns(["doc_id", "n_ws_tokens"])
 
 
+_BPE_RX = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
+
+
+def q_tokenize(sf_dir: str):
+    """Deterministic hash-vocab tokenizer over documents. The driver checks
+    the SQL-reproducible projection (doc_id, n_tok) — the ids themselves
+    are siphash-derived (pytest-verified for determinism/range)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = text.tokenize(ds)
+    return out.map_batches(
+        lambda t: _i64(t.select(["doc_id", "n_tok"]), "doc_id", "n_tok"),
+        batch_format="pyarrow",
+    )
+
+
+def q_tokenize_pack(sf_dir: str):
+    """Full text→training-sequences pipeline: documents → tokenize
+    (hash-vocab, list<int32>) → pack into 256-token sequences. Checked via
+    exact token conservation (Σ pretokenizer pieces + one EOD per doc),
+    which SQL reproduces with the same regex — layout-independent."""
+    from ..functions import pack
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    toks = text.tokenize(ds)
+    packed = pack.pack_sequences(toks, context_len=256, eod_token=50256)
+
+    def partial(t: pa.Table) -> pa.Table:
+        fill = t["fill_ratio"].to_numpy(zero_copy_only=False)
+        return pa.table({"content_tokens": pa.array(
+            [int(np.rint(fill.sum() * 256))], pa.int64())})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"content_tokens": [np.int64(df["content_tokens"].sum())]})
+
+    return packed.map_batches(partial, batch_format="pyarrow").repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dedup.exact_dedup(ds, content_col="text", key_col="doc_id")
@@ -822,6 +861,8 @@ QUERIES = {
     "json_extract": q_json_extract,
     "doc_stats": q_doc_stats,
     "token_count": q_token_count,
+    "tokenize": q_tokenize,
+    "tokenize_pack": q_tokenize_pack,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "lang_id": q_lang_id,
@@ -1003,6 +1044,15 @@ ORACLE_SQL = {
         "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
         "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
         "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "tokenize": (
+        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+')) AS BIGINT) AS n_tok FROM documents"
+    ),
+    "tokenize_pack": (
+        r"SELECT CAST(SUM(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+'))) + COUNT(*) AS BIGINT) "
+        r"AS content_tokens FROM documents"
     ),
     "quality": (
         r"SELECT doc_id, "

@@ -331,3 +331,40 @@ def test_pack_token_conservation():
     content = int(round(packed["fill_ratio"].sum() * 64))
     assert content == int(lens.sum()) + 200  # Σ n_tok + one EOD per doc
     assert all(len(s) == 64 for s in packed["tokens"])  # fixed-width output
+
+
+def test_tokenizer_deterministic_and_lake_shaped():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello, world! 42 times", "", "repeat repeat repeat"],
+        }
+    )
+    out1 = text.tokenize(rd.from_pandas(df), vocab=1000).to_pandas().set_index("doc_id")
+    out2 = text.tokenize(rd.from_pandas(df), vocab=1000).to_pandas().set_index("doc_id")
+    # deterministic ids, identical across runs
+    for d in (1, 2, 3):
+        assert list(out1.loc[d, "tokens"]) == list(out2.loc[d, "tokens"])
+    # piece counts: Hello / , / world / ! / 42 / times = 6
+    assert out1.loc[1, "n_tok"] == 6 and len(out1.loc[1, "tokens"]) == 6
+    assert out1.loc[2, "n_tok"] == 0 and len(out1.loc[2, "tokens"]) == 0
+    # same piece → same id; ids within vocab
+    t3 = list(out1.loc[3, "tokens"])
+    assert len(set(t3)) == 1 and 0 <= t3[0] < 1000
+    # n_tok agrees with TokenCounter's bpe count (same regex)
+    tc = text.token_counts(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert (tc["n_bpe_tokens"].sort_index() == out1["n_tok"].sort_index()).all()
+
+
+def test_tokenize_then_pack_conserves_tokens():
+    from go_tfdata_ray.functions import pack
+
+    df = pd.DataFrame(
+        {"doc_id": list(range(50)),
+         "text": [f"doc {i} body word{i} end." for i in range(50)]}
+    )
+    toks = text.tokenize(rd.from_pandas(df))
+    packed = pack.pack_sequences(toks, context_len=32, eod_token=999).to_pandas()
+    content = int(round(packed["fill_ratio"].sum() * 32))
+    n_pieces = text.token_counts(rd.from_pandas(df)).to_pandas()["n_bpe_tokens"].sum()
+    assert content == int(n_pieces) + 50
