@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from .text import _worker_cached
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -215,9 +217,10 @@ def minhash_lsh_dedup(
         ).astype(np.int64)
         return out
 
+    # light state (permutation arrays) → worker-cached task, not actor pool
     sigs = ds.map_batches(
-        MinHasher, fn_constructor_args=(text_col, key_col, k, n_perm),
-        batch_format="pandas", batch_size=1024, concurrency=concurrency,
+        _worker_cached(MinHasher, text_col, key_col, k, n_perm),
+        batch_format="pandas", batch_size=1024,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
     cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
@@ -265,8 +268,8 @@ def simhash_dedup(ds: rd.Dataset, text_col="text", key_col="doc_id",
     NEAR-dup detection via Hamming-banded buckets see
     ``simhash_banded_neardup``."""
     sigs = ds.map_batches(
-        SimHasher, fn_constructor_args=(text_col, key_col),
-        batch_format="pandas", batch_size=2048, concurrency=concurrency,
+        _worker_cached(SimHasher, text_col, key_col),
+        batch_format="pandas", batch_size=2048,
     )
 
     # associative (min-key, count) combine: per-batch partial, then a
@@ -347,8 +350,8 @@ def simhash_banded_neardup(
         )
 
     sigs = ds.map_batches(
-        SimHasher, fn_constructor_args=(text_col, key_col),
-        batch_format="pandas", batch_size=2048, concurrency=concurrency,
+        _worker_cached(SimHasher, text_col, key_col),
+        batch_format="pandas", batch_size=2048,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
     cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
@@ -663,10 +666,9 @@ def embedding_neardup(
             }
         )
 
+    # light state (planes, KBs) → worker-cached task, not actor pool
     buckets = ds.map_batches(
-        PlaneBucketer,
-        fn_constructor_args=(emb_col, key_col, n_planes, seed, num_shards),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency,
-        zero_copy_batch=True,
+        _worker_cached(PlaneBucketer, emb_col, key_col, n_planes, seed, num_shards),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
     )
     return buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")

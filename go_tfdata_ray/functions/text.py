@@ -1,10 +1,19 @@
 """Text-analysis stages for large-scale training-data pipelines.
 
 All stages are vectorized ``map_batches`` callables; the stateful ones
-(compiled regexes, marker-word tables) are callable CLASSES so the setup
-runs once per actor (`__init__`), per the actor-pool pattern — the Ray
-analog of the reference's stateful reader-wrapping stages
-(`/root/reference/README.md:67-117`).
+(compiled regexes, marker-word tables) are callable CLASSES whose setup
+runs once — the Ray analog of the reference's stateful reader-wrapping
+stages (`/root/reference/README.md:67-117`).
+
+State-size-aware scheduling: these stages hold LIGHT state (a compiled
+regex, a marker table — microseconds to build), so the dataset helpers run
+them as plain TASKS with a per-worker-process construction cache
+(``_worker_cached``) instead of a dedicated actor pool — Ray reuses worker
+processes, so the state still builds once per worker, while a per-query
+actor pool would pay ~1.5 s of spin-up latency per stage per session
+(measured; compute for the whole sf0.1 stage is ~0.2 s). Actor pools
+remain the right tool for HEAVY state (models, broadcast query matrices,
+codec contexts) — see ``functions/ann.py`` / ``functions/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -17,6 +26,24 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 _PUNCT = ".,!?;:"
+
+# per-worker-process stage cache: (cls, args) → constructed instance
+_STAGE_CACHE: dict = {}
+
+
+def _worker_cached(cls, *args):
+    """A plain-task map_batches fn that constructs ``cls(*args)`` once per
+    worker process and reuses it across tasks and queries."""
+
+    def fn(batch):
+        key = (cls.__qualname__, args)
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE.setdefault(key, cls(*args))
+        return inst(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
 
 
 def doc_stats_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
@@ -199,11 +226,10 @@ class Tokenizer:
 
 
 def tokenize(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id",
-             vocab: int = 50257, concurrency=(1, 8)) -> rd.Dataset:
+             vocab: int = 50257) -> rd.Dataset:
     return ds.map_batches(
-        Tokenizer, fn_constructor_args=(text_col, key_col, vocab),
-        batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
-        zero_copy_batch=True,
+        _worker_cached(Tokenizer, text_col, key_col, vocab),
+        batch_format="pyarrow", batch_size=2048, zero_copy_batch=True,
     )
 
 
@@ -242,11 +268,11 @@ class JsonFieldExtractor:
 
 def json_extract(
     ds: rd.Dataset, json_col: str, field: str, out_col: str | None = None,
-    out_type: "pa.DataType | None" = None, concurrency=(1, 4),
+    out_type: "pa.DataType | None" = None,
 ) -> rd.Dataset:
     out = ds.map_batches(
-        JsonFieldExtractor, fn_constructor_args=(json_col, field, out_col),
-        batch_format="pandas", batch_size=16384, concurrency=concurrency,
+        _worker_cached(JsonFieldExtractor, json_col, field, out_col),
+        batch_format="pandas", batch_size=16384,
     )
     if out_type is not None:
         name = out_col or field
@@ -265,29 +291,28 @@ def doc_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     )
 
 
-def token_counts(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(
-        TokenCounter, fn_constructor_args=(text_col,), batch_format="pandas",
-        batch_size=4096, concurrency=concurrency,
+        _worker_cached(TokenCounter, text_col), batch_format="pandas",
+        batch_size=4096,
     )
 
 
-def lang_id(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+def lang_id(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(
-        LangId, fn_constructor_args=(text_col,), batch_format="pandas",
-        batch_size=4096, concurrency=concurrency,
+        _worker_cached(LangId, text_col), batch_format="pandas", batch_size=4096,
     )
 
 
-def quality(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+def quality(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(
-        QualityScorer, fn_constructor_args=(text_col,), batch_format="pandas",
-        batch_size=4096, concurrency=concurrency,
+        _worker_cached(QualityScorer, text_col), batch_format="pandas",
+        batch_size=4096,
     )
 
 
-def fingerprints(ds: rd.Dataset, text_col: str = "text", concurrency=(1, 4)) -> rd.Dataset:
+def fingerprints(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     return ds.map_batches(
-        Fingerprinter, fn_constructor_args=(text_col,), batch_format="pandas",
-        batch_size=4096, concurrency=concurrency,
+        _worker_cached(Fingerprinter, text_col), batch_format="pandas",
+        batch_size=4096,
     )
