@@ -222,12 +222,17 @@ def write_delta(g: pa.Table, lake_dir: str, epoch: int, salt: int = 1) -> pa.Tab
 class PartitionMergeReader:
     """Scan-side merge-on-read: one descriptor row per partition, each task
     reads that partition's base+delta files locally and emits the merged
-    table — no shuffle (files are already hash-partitioned by doc_id)."""
+    table — no shuffle (files are already hash-partitioned by doc_id).
+    ``key_filter``: restrict to these doc_ids — applied per FRAGMENT right
+    after the read (point-lookup path: only the keys' rows survive into the
+    merge)."""
 
-    def __init__(self, lake_dir: str, columns: list[str] | None, with_deleted: bool = False):
+    def __init__(self, lake_dir: str, columns: list[str] | None,
+                 with_deleted: bool = False, key_filter: list | None = None):
         self.lake_dir = lake_dir
         self.columns = columns
         self.with_deleted = with_deleted
+        self.key_filter = None if key_filter is None else pa.array(list(key_filter))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # merge needs the key/order/op columns even when the caller didn't
@@ -243,6 +248,9 @@ class PartitionMergeReader:
             rgs = batch["rgs"][row].as_py()
             tabs = [_read_fragment(os.path.join(self.lake_dir, p), rg, read_cols)
                     for p, rg in zip(paths, rgs)]
+            if self.key_filter is not None:
+                tabs = [t.filter(pc.is_in(t["doc_id"], value_set=self.key_filter))
+                        for t in tabs]
             if not tabs:
                 continue
             merged = merge_on_read(
@@ -521,6 +529,114 @@ class CDCEngine:
             batch_format="pyarrow",
             batch_size=1,  # one partition per task — full merge parallelism
         )
+
+    def lookup(self, doc_ids: list[str],
+               columns: list[str] | None = None) -> pa.Table:
+        """Point query: hash-route each key to its partition and
+        merge-on-read ONLY those partitions' fragments, filtering to the
+        keys at the fragment reads — O(partitions touched), never a full
+        scan. Returns the current row per found key (tombstoned / absent
+        keys are simply missing)."""
+        ids = list(doc_ids)
+        if not ids:
+            return pa.table({})
+        parts = set(int(p) for p in hash_partition(pa.array(ids), self.num_partitions))
+        desc = [d for d in self._descriptors() if d["part_id"] in parts]
+        cols = columns or LAKE_COLUMNS
+        if not desc:
+            return pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
+        ds = rd.from_items(desc).map_batches(
+            PartitionMergeReader(self.lake_dir, cols, key_filter=ids),
+            batch_format="pyarrow", batch_size=1,
+        )
+        tabs = [t for t in [ray.get(r) for r in ds.to_arrow_refs()] if t.num_rows]
+        return (pa.concat_tables(tabs, promote_options="permissive") if tabs
+                else pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols}))
+
+    def changes(self, since_version: int, collapsed: bool = False) -> rd.Dataset:
+        """Incremental CDC-out feed: the change rows committed AFTER
+        manifest version ``since_version`` (epochs above that version's
+        committed_epoch), tombstones ('D') included — what a downstream
+        consumer needs to roll its own copy forward. Reads only the delta
+        fragments of the newer epochs, never base files.
+
+        ``collapsed=True`` collapses to one row per doc_id (latest
+        (epoch, seq) wins) across the selected epochs — the net change set.
+
+        Raises if any needed epoch was already folded by compaction
+        (manifest.epochs cleared) — the consumer must then full-resync from
+        ``scan()``, the standard change-data-feed retention contract."""
+        old = mf.load_version(self.lake_dir, since_version)
+        new_epoch_ids = [int(ep["epoch"]) for ep in self.manifest.epochs
+                         if int(ep["epoch"]) > old.committed_epoch]
+        missing = [e for e in range(old.committed_epoch + 1,
+                                    self.manifest.committed_epoch + 1)
+                   if e not in new_epoch_ids]
+        if missing:
+            raise RuntimeError(
+                f"epochs {missing} were compacted away; incremental changes "
+                "unavailable — full-resync from scan()")
+        frags: list[dict[str, Any]] = []
+        for ep in self.manifest.epochs:
+            if int(ep["epoch"]) <= old.committed_epoch:
+                continue
+            t = pq.read_table(os.path.join(self.lake_dir, ep["path"]))
+            for part, path, rg in zip(
+                t["part_id"].to_numpy(zero_copy_only=False),
+                t["path"].to_pylist(),
+                t["rg"].to_numpy(zero_copy_only=False),
+            ):
+                frags.append({"part_id": int(part), "epoch": int(ep["epoch"]),
+                              "path": path, "rg": int(rg)})
+        if not frags:
+            empty = pa.table({f.name: pa.array([], f.type) for f in WAL_SCHEMA
+                              if f.name != "epoch"})
+            return rd.from_arrow(empty)
+        lake = self.lake_dir
+
+        if not collapsed:
+            def read_frag(batch: pa.Table) -> pa.Table:
+                out = [_read_fragment(os.path.join(lake, p), int(rg))
+                       for p, rg in zip(batch["path"].to_pylist(),
+                                        batch["rg"].to_numpy(zero_copy_only=False))]
+                t = pa.concat_tables(out, promote_options="permissive")
+                return t.drop_columns([c for c in ("part_id",) if c in t.column_names])
+
+            return rd.from_items(frags).map_batches(
+                read_frag, batch_format="pyarrow", batch_size=8)
+
+        # collapsed: group fragments per partition, latest (epoch, seq) wins,
+        # tombstones retained (op='D' rows mark deletions in the net set)
+        by_part: dict[int, list[dict[str, Any]]] = {}
+        for f in frags:
+            by_part.setdefault(f["part_id"], []).append(f)
+        desc = [{"part_id": p, "paths": [f["path"] for f in fs],
+                 "ranks": [f["epoch"] for f in fs], "rgs": [f["rg"] for f in fs]}
+                for p, fs in sorted(by_part.items())]
+
+        def collapse_part(batch: pa.Table) -> pa.Table:
+            out = []
+            for i in range(len(batch)):
+                tabs = [_read_fragment(os.path.join(lake, p), rg)
+                        for p, rg in zip(batch["paths"][i].as_py(),
+                                         batch["rgs"][i].as_py())]
+                ranks = batch["ranks"][i].as_py()
+                ranked = [t.append_column(
+                    "_rank", pa.array(np.full(len(t), r, dtype=np.int64)))
+                    for r, t in zip(ranks, tabs) if len(t)]
+                if not ranked:
+                    continue
+                merged = pa.concat_tables(ranked, promote_options="permissive")
+                merged = collapse_latest(merged, order_cols=("_rank", "seq"))
+                merged = merged.drop_columns(
+                    [c for c in ("_rank", "part_id") if c in merged.column_names])
+                out.append(merged)
+            if not out:
+                return pa.table({})
+            return pa.concat_tables(out, promote_options="permissive")
+
+        return rd.from_items(desc).map_batches(
+            collapse_part, batch_format="pyarrow", batch_size=1)
 
     def scan_table(self, columns: list[str] | None = None) -> pa.Table:
         """Small-scale convenience: full merged snapshot as one Arrow table."""

@@ -509,3 +509,73 @@ def test_open_segment_appears_atomically(tmp_path):
     walmod.seal_segment(d)
     d2 = walmod.open_segment(wal, 0)
     assert d2 == d and os.path.exists(os.path.join(d, walmod.OPEN_MARKER))
+
+
+def test_point_lookup_hash_routed(tmp_path):
+    """lookup(doc_ids) reads only the keys' partitions and returns exactly
+    the live rows (deleted/absent keys missing)."""
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=300, num_epochs=3)
+    eng, _ = run_and_check(tmp_path, wal_dir, files, num_partitions=8)
+    state = oracle_replay_dict(files)
+    live = sorted(state)[:5]
+    dead = [k for k in (f"doc-{i:08d}" for i in range(300)) if k not in state][:2]
+    got = eng.lookup(live + dead + ["doc-99999999"])
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert sorted(rows) == sorted(live)
+    for k in live:
+        assert rows[k]["tokens"] == state[k]["tokens"]
+    # column projection works on the lookup path too
+    slim = eng.lookup(live, columns=["doc_id", "n_tok"])
+    assert set(slim.column_names) == {"doc_id", "n_tok"}
+
+
+def test_changes_feed_incremental_consumer(tmp_path):
+    """changes(since_version): applying the collapsed change set on top of
+    the old snapshot reproduces the new snapshot exactly — the downstream
+    CDC consumer contract. After compaction the feed refuses (full-resync
+    signal)."""
+    import pyarrow as _pa
+    import ray as _ray
+
+    from go_tfdata_ray.sources.wal import list_segments
+
+    wal_dir, files = make_wal(tmp_path, n_events=4000, n_keys=400, num_epochs=4)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    segs = list_segments(wal_dir)
+    eng.apply_epoch(segs[0][0], segs[0][1])
+    v1 = eng.manifest.version
+    for e, paths in segs[1:]:
+        eng.apply_epoch(e, paths)
+
+    # raw feed: tombstones present, only epochs > v1's committed epoch
+    raw = pa.concat_tables(
+        [t for t in [_ray.get(r) for r in eng.changes(v1).to_arrow_refs()]
+         if t.num_rows], promote_options="permissive")
+    assert set(raw["op"].to_pylist()) >= {"U"}
+    assert raw.num_rows > 0
+
+    # collapsed feed applied over the old snapshot == new snapshot
+    old_t = {r["doc_id"]: r for t in
+             [_ray.get(r) for r in eng.scan(at_version=v1).to_arrow_refs()]
+             for r in t.to_pylist()}
+    net = pa.concat_tables(
+        [t for t in [_ray.get(r) for r in eng.changes(v1, collapsed=True).to_arrow_refs()]
+         if t.num_rows], promote_options="permissive")
+    seen = set()
+    for r in net.to_pylist():
+        assert r["doc_id"] not in seen  # one net row per key
+        seen.add(r["doc_id"])
+        if r["op"] == "D":
+            old_t.pop(r["doc_id"], None)
+        else:
+            old_t[r["doc_id"]] = {k: r[k] for k in ("doc_id", "tokens", "n_tok", "source")}
+    new_state = oracle_replay_dict(files)
+    assert sorted(old_t) == sorted(new_state)
+    for k, v in old_t.items():
+        assert v["tokens"] == new_state[k]["tokens"]
+
+    # compaction folds the epochs → incremental feed must refuse
+    eng.compact()
+    with pytest.raises(RuntimeError, match="full-resync"):
+        eng.changes(v1)
