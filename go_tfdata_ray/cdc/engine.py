@@ -553,6 +553,20 @@ class CDCEngine:
         return (pa.concat_tables(tabs, promote_options="permissive") if tabs
                 else pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols}))
 
+    def version_at_epoch(self, epoch: int) -> int:
+        """Earliest RETAINED manifest version whose committed_epoch >= epoch
+        — the ``since_version`` a consumer passes to ``changes()`` to read
+        everything after that epoch. Raises if no retained version qualifies
+        (vacuumed past it)."""
+        for v in range(1, self.manifest.version + 1):
+            try:
+                m = mf.load_version(self.lake_dir, v)
+            except FileNotFoundError:
+                continue
+            if m.committed_epoch >= epoch:
+                return v
+        raise RuntimeError(f"no retained manifest version at epoch {epoch}")
+
     def changes(self, since_version: int, collapsed: bool = False) -> rd.Dataset:
         """Incremental CDC-out feed: the change rows committed AFTER
         manifest version ``since_version`` (epochs above that version's
@@ -631,8 +645,9 @@ class CDCEngine:
                 merged = merged.drop_columns(
                     [c for c in ("_rank", "part_id") if c in merged.column_names])
                 out.append(merged)
-            if not out:
-                return pa.table({})
+            if not out:  # schema-stable empty block (downstream digests)
+                return pa.table({f.name: pa.array([], f.type)
+                                 for f in WAL_SCHEMA if f.name != "epoch"})
             return pa.concat_tables(out, promote_options="permissive")
 
         return rd.from_items(desc).map_batches(

@@ -285,6 +285,96 @@ def q_window_hourly(sf_dir: str):
     )
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding window (60 min window, 15 min slide): each event lands in 4
+    windows — replicated INSIDE the per-batch partial (vectorized tile),
+    so the shuffle only carries (window_start, count) partials."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
+        base = (s // 900) * 900
+        ws = np.concatenate([base - k * 900 for k in range(4)])
+        df = pd.DataFrame({"window_start": ws})
+        g = df.groupby("window_start", sort=False, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+
+    out = rel.combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), ["window_start"], ["n"]
+    )
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["window_start", "n_events"]),
+                       "window_start", "n_events"),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_range(sf_dir: str):
+    """Range join, by-key routed: for each purchase, how many same-user
+    events fall within [purchase.ts, purchase.ts + 30 min]. One groupby
+    shuffle (all rows of a user share a bucket), per-bucket masked merge,
+    then partial-count combine on the purchase id."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    pur = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def mk_windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "purchase_id": df["event_id"],
+                "user_id": df["user_id"],
+                "lo": df["ts"],
+                "hi": df["ts"] + pd.Timedelta(minutes=30),
+            }
+        )
+
+    windows = pur.map_batches(mk_windows, batch_format="pandas")
+    joined = joins.range_join(ev, windows, on="ts", lo="lo", hi="hi", by="user_id")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=np.int64(1))
+        return df.groupby("purchase_id", sort=False, as_index=False)[["n"]].sum()
+
+    out = rel.combine_partials(
+        joined.map_batches(partial, batch_format="pandas"), ["purchase_id"], ["n"]
+    )
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(["purchase_id", "n_events"]),
+                       "purchase_id", "n_events"),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_range_bins(sf_dir: str):
+    """Range join, binned (no key): parts whose retail price falls in a
+    nation-indexed price band [n*200, n*200+150]. Intervals replicate into
+    the price bins they overlap; each matching pair meets in the part's
+    bin — no key column shared between the sides."""
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_retailprice"])
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey"])
+
+    def mk_bands(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_nationkey": df["n_nationkey"],
+                "lo": df["n_nationkey"] * 200.0,
+                "hi": df["n_nationkey"] * 200.0 + 150.0,
+            }
+        )
+
+    bands = nat.map_batches(mk_bands, batch_format="pandas")
+    joined = joins.range_join(
+        part, bands, on="p_retailprice", lo="lo", hi="hi", bin_width=50.0
+    )
+    return joined.map_batches(
+        lambda t: _i64(t.select(["p_partkey", "n_nationkey"]),
+                       "p_partkey", "n_nationkey"),
+        batch_format="pyarrow",
+    )
+
+
 def q_union_all(sf_dir: str):
     """ds.union of two filtered streams (same schema both sides)."""
     base = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
@@ -417,28 +507,37 @@ def replayed_engine(sf_dir: str, num_partitions: int = 16) -> CDCEngine:
     return eng
 
 
-def _digest_ds(ds):
+def _digest_ds(ds, extra_cols: tuple[str, ...] = ()):
     """Per-row token digests (sum, first, last, n_tok) — the SQL-checkable
-    projection of exact token-array state."""
+    projection of exact token-array state. ``extra_cols`` pass through
+    (e.g. op/seq for the changes feed)."""
 
     def digest(t: pa.Table) -> pa.Table:
         toks = t["tokens"].combine_chunks()
         vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        sums = np.add.reduceat(vals, offs[:-1]) if len(vals) else np.zeros(0, dtype=np.int64)
-        sums[offs[:-1] == offs[1:]] = 0
-        first = np.where(offs[:-1] < offs[1:], vals[np.minimum(offs[:-1], len(vals) - 1)], 0)
-        last = np.where(offs[:-1] < offs[1:], vals[np.maximum(offs[1:] - 1, 0)], 0)
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tok": pc.cast(t["n_tok"], pa.int64()),
-                "source": t["source"],
-                "tok_sum": pa.array(sums, pa.int64()),
-                "tok_first": pa.array(first, pa.int64()),
-                "tok_last": pa.array(last, pa.int64()),
-            }
-        )
+        # cumsum-difference (reduceat chokes on EMPTY lists — tombstone rows
+        # in the changes feed have tokens=[], whose start offset can equal
+        # len(vals)); empty lists fall out as cs[i]-cs[i] = 0 naturally
+        cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(vals)])
+        sums = cs[offs[1:]] - cs[offs[:-1]]
+        if len(vals):
+            first = np.where(offs[:-1] < offs[1:], vals[np.minimum(offs[:-1], len(vals) - 1)], 0)
+            last = np.where(offs[:-1] < offs[1:], vals[np.maximum(offs[1:] - 1, 0)], 0)
+        else:  # every list empty (all-tombstone block)
+            first = last = np.zeros(len(offs) - 1, dtype=np.int64)
+        cols = {
+            "doc_id": t["doc_id"],
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "source": t["source"],
+            "tok_sum": pa.array(sums, pa.int64()),
+            "tok_first": pa.array(first, pa.int64()),
+            "tok_last": pa.array(last, pa.int64()),
+        }
+        for c in extra_cols:
+            col = t[c]
+            cols[c] = pc.cast(col, pa.int64()) if pa.types.is_integer(col.type) else col
+        return pa.table(cols)
 
     return ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -480,6 +579,21 @@ def q_cdc_compacted_digest(sf_dir: str):
         eng.compact()
         eng.vacuum()
     return _digest_ds(eng.scan())
+
+
+def q_cdc_changes_digest(sf_dir: str):
+    """Incremental CDC-out feed: the NET change set (latest (epoch, seq)
+    per key, tombstones retained) committed after the first epoch's
+    manifest version — what a downstream consumer applies to roll its copy
+    forward. Digested per-row for the SQL hash check."""
+    wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
+    lake = os.path.join("/tmp/graft_lake",
+                        f"sf{walmod.sf_from_dir(sf_dir):g}-changes-v1")
+    eng = CDCEngine(lake, num_partitions=16)
+    eng.apply_wal(wal_dir)  # idempotent: committed epochs are skipped
+    first_epoch = walmod.list_segments(wal_dir)[0][0]
+    v1 = eng.version_at_epoch(first_epoch)
+    return _digest_ds(eng.changes(v1, collapsed=True), extra_cols=("op", "seq"))
 
 
 def q_tar_pipeline(sf_dir: str):
@@ -852,6 +966,10 @@ QUERIES = {
     "split_assign": q_split_assign,
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
+    "window_sliding": q_window_sliding,
+    "join_range": q_join_range,
+    "join_range_bins": q_join_range_bins,
+    "cdc_changes_digest": q_cdc_changes_digest,
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "cdc_compacted_digest": q_cdc_compacted_digest,
@@ -994,6 +1112,36 @@ ORACLE_SQL = {
     "join_anti": (
         "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
         "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    ),
+    "window_sliding": (
+        "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
+    ),
+    "join_range": (
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
+        "  WHERE event_type = 'purchase') "
+        "SELECT p.purchase_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM p JOIN events e ON e.user_id = p.user_id "
+        "  AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 30 MINUTE "
+        "GROUP BY p.purchase_id"
+    ),
+    "join_range_bins": (
+        "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, "
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey FROM part, nation "
+        "WHERE p_retailprice BETWEEN n_nationkey*200 AND n_nationkey*200 + 150"
+    ),
+    "cdc_changes_digest": (
+        f"WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')), "
+        "ch AS (SELECT * FROM w WHERE epoch > (SELECT MIN(epoch) FROM w)), "
+        "net AS (SELECT * FROM ch QUALIFY row_number() OVER "
+        "  (PARTITION BY doc_id ORDER BY epoch DESC, seq DESC) = 1) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
+        "CAST(COALESCE(list_sum(tokens), 0) AS BIGINT) AS tok_sum, "
+        "CAST(COALESCE(tokens[1], 0) AS BIGINT) AS tok_first, "
+        "CAST(COALESCE(tokens[-1], 0) AS BIGINT) AS tok_last, "
+        "op, CAST(seq AS BIGINT) AS seq "
+        "FROM net"
     ),
     "cdc_replay_digest": _CDC_LAST + (
         "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "

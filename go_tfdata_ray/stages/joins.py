@@ -264,6 +264,118 @@ def storage_hash_join(
                                            batch_size=1)
 
 
+def _domain_i64(s: pd.Series | np.ndarray) -> np.ndarray:
+    """Numeric routing domain for binning: timestamps → whole SECONDS
+    (unit-safe — never assumes ns vs us storage), numerics unchanged."""
+    arr = np.asarray(s)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[s]").astype(np.int64)
+    return arr
+
+
+def range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    lo: str,
+    hi: str,
+    by: str | None = None,
+    num_buckets: int = 32,
+    bin_width: float | None = None,
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """Range (interval) join — the reference lacks it and so does Ray Data:
+    inner-join each left "point" row to every right "interval" row with
+    ``r.lo <= l.on <= r.hi`` (SQL BETWEEN). Two shuffle-once routings:
+
+    - ``by=``: all rows of one key hash to ONE bucket (same partitioning
+      assumption as ``asof_join``); per-bucket pandas merge on the key then
+      the range mask. Right for per-entity windows (events within N minutes
+      of that user's purchase). A pathologically hot key can be salted with
+      the replicate-build pattern from ``bucket_hash_join`` — intervals are
+      the build side.
+    - ``bin_width=`` (no key): the ``on`` domain is cut into fixed bins
+      (timestamps bin by SECONDS, unit-safe); points route to their bin,
+      intervals REPLICATE into every bin they overlap, so each matching
+      pair meets in exactly the point's bin — no post-dedup. Replication
+      factor is interval_width/bin_width: pick bin_width ≈ the typical
+      interval width. Per-bin resolve is a masked cross-merge, so bins must
+      be small — at scale this is the partition-pruned routing that avoids
+      an all-pairs comparison entirely.
+
+    Output columns: left's, then right's (minus ``by``), right-side
+    collisions renamed with ``right_suffix``.
+    """
+    if (by is None) == (bin_width is None):
+        raise ValueError("exactly one of by= or bin_width= is required")
+
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
+
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_renamed = [c if c == by else (c + right_suffix if c in l_cols else c)
+                 for c in r_cols]
+    lo_c = r_renamed[r_cols.index(lo)]
+    hi_c = r_renamed[r_cols.index(hi)]
+    combined = pa.schema(
+        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [pa.field(n, t) for n, t in zip(r_renamed, r_schema.types) if n != by]
+    )
+    out_r_cols = [c for c in r_renamed if c != by]
+
+    def tag(side: int, names: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(names)
+            for f in combined:
+                if f.name not in t.column_names:
+                    t = t.append_column(f.name, pa.nulls(len(t), f.type))
+            t = t.select(combined.names)
+            if by is not None:
+                b = hash_partition(t[by], num_buckets).astype(np.int64)
+            elif side == 0:
+                v = _domain_i64(t[on].to_numpy(zero_copy_only=False))
+                b = np.floor_divide(v, bin_width).astype(np.int64)
+            else:
+                lov = _domain_i64(t[lo_c].to_numpy(zero_copy_only=False))
+                hiv = _domain_i64(t[hi_c].to_numpy(zero_copy_only=False))
+                lob = np.floor_divide(lov, bin_width).astype(np.int64)
+                hib = np.floor_divide(hiv, bin_width).astype(np.int64)
+                counts = hib - lob + 1  # replicate into every overlapped bin
+                idx = np.repeat(np.arange(len(t)), counts)
+                offs = np.arange(len(idx)) - np.repeat(
+                    np.cumsum(counts) - counts, counts)
+                b = np.repeat(lob, counts) + offs
+                t = t.take(pa.array(idx))
+            t = t.append_column("_b", pa.array(b))
+            return t.append_column(
+                "_side", pa.array(np.full(len(t), side, dtype=np.int8)))
+
+        return fn
+
+    both = left.map_batches(tag(0, l_cols), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        right.map_batches(tag(1, r_renamed), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][l_cols]
+        r = g[g["_side"] == 1][([by] if by else []) + out_r_cols]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+                                 for c in combined.names})
+        m = l.merge(r, on=by) if by is not None else l.merge(r, how="cross")
+        return m[(m[on] >= m[lo_c]) & (m[on] <= m[hi_c])][combined.names]
+
+    return both.groupby("_b").map_groups(merge, batch_format="pandas")
+
+
 def bucket_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,

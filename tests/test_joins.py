@@ -161,3 +161,77 @@ def test_asof_join_right_dedup_inside_bucket():
         right_dedup_max="rv",
     ).to_pandas().sort_values(["u", "ts"]).reset_index(drop=True)
     assert list(out["rv"]) == [9, 4, 7]  # non-clashing right col keeps its name
+
+
+def _range_fixture(n_pts=2000, n_iv=300, seed=7):
+    rng = np.random.default_rng(seed)
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(n_pts, dtype=np.int64)),
+            "key": pa.array(rng.integers(0, 40, n_pts)),
+            "x": pa.array(rng.uniform(0, 1000, n_pts)),
+        }
+    )
+    lo = rng.uniform(0, 950, n_iv)
+    iv = pa.table(
+        {
+            "iid": pa.array(np.arange(n_iv, dtype=np.int64)),
+            "key": pa.array(rng.integers(0, 40, n_iv)),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + rng.uniform(0, 80, n_iv)),
+        }
+    )
+    return pts, iv
+
+
+def _brute_pairs(pts, iv, by=None):
+    l, r = pts.to_pandas(), iv.to_pandas()
+    m = l.merge(r, on=by) if by else l.merge(r, how="cross")
+    m = m[(m["x"] >= m["lo"]) & (m["x"] <= m["hi"])]
+    return set(zip(m["pid"], m["iid"]))
+
+
+def test_range_join_by_key():
+    pts, iv = _range_fixture()
+    out = joins.range_join(
+        rd.from_arrow(pts), rd.from_arrow(iv.rename_columns(["iid", "key", "lo", "hi"])),
+        on="x", lo="lo", hi="hi", by="key", num_buckets=8,
+    ).to_pandas()
+    assert set(zip(out["pid"], out["iid"])) == _brute_pairs(pts, iv, by="key")
+
+
+def test_range_join_binned_no_key():
+    pts, iv = _range_fixture()
+    out = joins.range_join(
+        rd.from_arrow(pts.drop_columns(["key"])), rd.from_arrow(iv.drop_columns(["key"])),
+        on="x", lo="lo", hi="hi", bin_width=50.0, num_buckets=8,
+    ).to_pandas()
+    assert set(zip(out["pid"], out["iid"])) == _brute_pairs(pts, iv)
+
+
+def test_range_join_timestamp_bins():
+    """Timestamp domains bin by unit-safe SECONDS."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(500, dtype=np.int64)),
+            "ts": pa.array(base + np.arange(500).astype("timedelta64[s]").astype("timedelta64[us]") * 37),
+        }
+    )
+    lo = base + np.arange(40).astype("timedelta64[s]").astype("timedelta64[us]") * 450
+    iv = pa.table(
+        {
+            "iid": pa.array(np.arange(40, dtype=np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + np.timedelta64(120_000_000, "us")),
+        }
+    )
+    out = joins.range_join(
+        rd.from_arrow(pts), rd.from_arrow(iv),
+        on="ts", lo="lo", hi="hi", bin_width=60.0, num_buckets=8,
+    ).to_pandas()
+    l, r = pts.to_pandas(), iv.to_pandas()
+    m = l.merge(r, how="cross")
+    m = m[(m["ts"] >= m["lo"]) & (m["ts"] <= m["hi"])]
+    assert set(zip(out["pid"], out["iid"])) == set(zip(m["pid"], m["iid"]))
+    assert len(out) > 0
