@@ -375,6 +375,58 @@ def q_join_range_bins(sf_dir: str):
     )
 
 
+def q_rolling_value(sf_dir: str):
+    """Per-key running aggregate (SQL windowed SUM ... ROWS UNBOUNDED
+    PRECEDING): cumulative event value per user in (ts, event_id) order.
+    Values go through integer CENTS (floor) so the accumulation is
+    bit-exact in both engines."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.floor(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return t.drop_columns(["value"]).append_column("cents", pa.array(c))
+
+    out = rel.rolling_per_key(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", ["ts", "event_id"], "cents", out_col="run_cents",
+    )
+    return out.map_batches(
+        lambda t: _i64(t.select(["event_id", "user_id", "run_cents"]), "run_cents"),
+        batch_format="pyarrow",
+    )
+
+
+def q_quantiles_grouped(sf_dir: str):
+    """Exact per-group discrete quantiles (median + p95 order price per
+    priority class) — quantile_disc semantics, value column pruned at the
+    read so only (group, value) pairs shuffle."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    return rel.quantiles_per_group(
+        ds, "o_orderpriority", "o_totalprice", {"p50": 0.5, "p95": 0.95}
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified deterministic sample: 3 orders per priority class, chosen
+    by a Knuth-hash order on the key (replayable, no RNG) — per-batch
+    partial top-k caps the shuffle at k × groups × blocks."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority"])
+
+    def hsh(t: pa.Table) -> pa.Table:
+        h = (t["o_orderkey"].to_numpy(zero_copy_only=False) * 2654435761) % 4294967296
+        return t.append_column("_h", pa.array(h.astype(np.int64)))
+
+    out = rel.topk_per_group(
+        ds.map_batches(hsh, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderpriority", "_h", k=3, descending=False, tie_col="o_orderkey",
+    )
+    return out.map_batches(lambda t: t.select(["o_orderkey", "o_orderpriority"]),
+                           batch_format="pyarrow")
+
+
 def q_union_all(sf_dir: str):
     """ds.union of two filtered streams (same schema both sides)."""
     base = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
@@ -967,6 +1019,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "pack_sequences": q_pack_sequences,
     "window_sliding": q_window_sliding,
+    "rolling_value": q_rolling_value,
+    "quantiles_grouped": q_quantiles_grouped,
+    "sample_stratified": q_sample_stratified,
     "join_range": q_join_range,
     "join_range_bins": q_join_range_bins,
     "cdc_changes_digest": q_cdc_changes_digest,
@@ -1117,6 +1172,21 @@ ORACLE_SQL = {
         "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
         "CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
+    ),
+    "rolling_value": (
+        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value*100) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM events"
+    ),
+    "quantiles_grouped": (
+        "SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS p50, "
+        "quantile_disc(o_totalprice, 0.95) AS p95 FROM orders "
+        "GROUP BY o_orderpriority"
+    ),
+    "sample_stratified": (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) <= 3"
     ),
     "join_range": (
         "WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "

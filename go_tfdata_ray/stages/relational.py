@@ -215,6 +215,72 @@ def sessionize(
     return sharded.groupby("_shard").map_groups(sess_shard, batch_format="pandas")
 
 
+def rolling_per_key(
+    ds: rd.Dataset, key_col: str, order_cols: list[str], value_col: str,
+    out_col: str = "running", num_shards: int = 64,
+) -> rd.Dataset:
+    """Per-key running sum (SQL ``SUM(v) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)``). ONE keyed shuffle, grouped by
+    hash SHARD of the key (not per key — same rationale as ``sessionize``):
+    per shard, one mergesort + one cumsum with per-key base subtraction.
+    Use an integer value column (e.g. cents) for bit-exact results — float
+    accumulation order would otherwise differ between engines."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = hash_partition(t[key_col], num_shards).astype(np.int64)
+        return t.append_column("_shard", pa.array(sh))
+
+    def roll_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort").drop(columns=["_shard"])
+        if not len(g):
+            return g.assign(**{out_col: np.array([], dtype=np.int64)})
+        keys = g[key_col].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        cs = np.cumsum(v)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        base = (cs - v)[np.flatnonzero(new_key)]  # prefix sum before each key's first row
+        key_idx = np.cumsum(new_key) - 1
+        return g.assign(**{out_col: cs - base[key_idx]})
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(roll_shard, batch_format="pandas")
+
+
+def quantiles_per_group(
+    ds: rd.Dataset, group_col: str, value_col: str, qs: dict[str, float],
+    num_shards: int = 16,
+) -> rd.Dataset:
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: 0-based index ``ceil(q*n) - 1`` of the sorted values).
+    Shuffles only the (group, value) pair columns — prune the read to
+    those two; exactness requires each group's full value multiset on one
+    task, the inherent cost of exact quantiles. ``qs``: out-column → q.
+    At larger-than-memory group sizes switch to a two-pass histogram
+    narrow-in; this operator is the exact path."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = hash_partition(t[group_col], num_shards).astype(np.int64)
+        return t.select([group_col, value_col]).append_column("_shard", pa.array(sh))
+
+    def quant_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, value_col], kind="mergesort")
+        keys = g[group_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        if not len(g):
+            return pd.DataFrame({group_col: keys, **{c: vals for c in qs}})
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.r_[starts, len(keys)])
+        out = {group_col: keys[starts]}
+        for name, q in qs.items():
+            idx = starts + np.ceil(q * counts).astype(np.int64) - 1
+            out[name] = vals[idx]
+        return pd.DataFrame(out)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("_shard").map_groups(quant_shard, batch_format="pandas")
+
+
 def topk_per_group(
     ds: rd.Dataset, group_col: str, order_col: str, k: int,
     descending: bool = True, tie_col: str | None = None,

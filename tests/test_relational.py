@@ -118,3 +118,40 @@ def test_training_pipeline_composition():
     assert len(df) > 0
     assert all(len(t) == 256 for t in df["tokens"])
     assert (df["fill_ratio"] <= 1.0).all() and (df["fill_ratio"] > 0).all()
+
+
+def test_rolling_per_key_matches_pandas():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, 3000),
+            "o": rng.permutation(3000).astype(np.int64),
+            "v": rng.integers(-50, 100, 3000),
+        }
+    )
+    out = rel.rolling_per_key(
+        rd.from_pandas(df), "k", ["o"], "v", out_col="run", num_shards=7
+    ).to_pandas()
+    want = df.sort_values(["k", "o"]).assign(
+        run=lambda d: d.groupby("k")["v"].cumsum()
+    )
+    got = out.sort_values(["k", "o"]).reset_index(drop=True)
+    assert (got["run"].to_numpy() == want["run"].to_numpy()).all()
+    assert len(got) == 3000
+
+
+def test_quantiles_per_group_duckdb_semantics():
+    """quantile_disc rule: 0-based index ceil(q*n)-1 of sorted values."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 6, 500), "v": rng.uniform(0, 1000, 500)}
+    )
+    out = rel.quantiles_per_group(
+        rd.from_pandas(df), "g", "v", {"p50": 0.5, "p90": 0.9}, num_shards=4
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    for g, grp in df.groupby("g"):
+        vs = np.sort(grp["v"].to_numpy())
+        n = len(vs)
+        row = out[out["g"] == g].iloc[0]
+        assert row["p50"] == vs[int(np.ceil(0.5 * n)) - 1]
+        assert row["p90"] == vs[int(np.ceil(0.9 * n)) - 1]
