@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-container — the reference's image path, `/root/reference/tfdata/core/example.go:131-146`,
-uses Go's stdlib codecs): ``mode="fake"`` produces deterministic
-bytes-derived features so the Ray-side plumbing — schema, actor-pool
-signatures, batch sizing, output layout — is real and tested; ``mode="real"``
-raises ``NotImplementedError`` at the exact seam where PIL/libsndfile/ffmpeg
-would plug in.
+Image and audio kernels are REAL for the formats the standard library can
+carry — PNG and WAV via ``functions/codecs.py`` (from-spec zlib/numpy and
+RIFF implementations, mirroring the reference's use of Go stdlib codecs at
+/root/reference/tfdata/core/example.go:131-146): ``mode="real"`` decodes
+actual pixels/samples. JPEG/GIF and video frame extraction still raise
+``NotImplementedError`` at the same seam (they need PIL/ffmpeg, absent in
+this container); ``mode="fake"`` keeps the deterministic bytes-derived
+path for plumbing tests and for payloads that aren't PNG/WAV.
 
 Payload-aware batch sizing: media rows are KB–MB wide, so these stages use
 small ``batch_size`` (default 64) — batch_bytes ≈ batch_size × payload, and
@@ -21,6 +22,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from . import codecs
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.string()),
@@ -34,11 +37,36 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int, media_type: str = "image", seed: int = 5) -> pa.Table:
-    """Deterministic fake media rows (payload = index-derived bytes)."""
+def synth_image(i: int, w: int, h: int, seed: int = 5) -> np.ndarray:
+    """Deterministic RGB test image: index-keyed gradients + a checker."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * (i + seed)) % 256
+    g = (yy * 3 + i) % 256
+    b = ((xx // 8 + yy // 8) % 2) * 255
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synth_audio(i: int, n_samples: int = 4096, rate: int = 16000) -> np.ndarray:
+    """Deterministic int16 clip: sine at an index-keyed frequency + ramp."""
+    t = np.arange(n_samples) / rate
+    f = 220.0 * (1 + (i % 8))
+    x = 0.5 * np.sin(2 * np.pi * f * t) + 0.1 * (t * (i % 3 + 1) % 0.5)
+    return (x * 20000).astype(np.int16)
+
+
+def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
+                      payload: str = "raw") -> pa.Table:
+    """Deterministic media rows. ``payload="raw"`` = index-derived opaque
+    bytes (plumbing tests); ``"png"`` / ``"wav"`` = REAL encoded payloads
+    for the real decode kernels."""
     ids = [f"m-{i:06d}" for i in range(n)]
-    payloads = [bytes(((np.arange(256) * (i + seed)) % 251).astype(np.uint8)) for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
+    if payload == "png":
+        payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
+    elif payload == "wav":
+        payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
+    else:
+        payloads = [bytes(((np.arange(256) * (i + seed)) % 251).astype(np.uint8)) for i in range(n)]
     return pa.table(
         {
             "media_id": pa.array(ids),
@@ -56,7 +84,9 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5) -> pa.Ta
 class ImageDecoder:
     """Actor-pool decode stage: payload bytes → fixed-dim feature vector.
 
-    real: PIL decode + resize + channel stats — NOT AVAILABLE here.
+    real: PNG decode (``codecs.decode_png``) → [width, height, channels,
+    pixel mean, pixel std, min, max, mean |horizontal gradient|]. JPEG/GIF
+    payloads raise at the same seam a PIL kernel would plug into.
     fake: deterministic 8-dim moments of the raw bytes (tests the plumbing).
     """
 
@@ -66,12 +96,28 @@ class ImageDecoder:
         self.mode, self.out_dim = mode, out_dim
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "image decode requires PIL/opencv — not in this container; "
-                "plug the real kernel in here (same signature)"
-            )
         feats = []
+        if self.mode == "real":
+            widths, heights = [], []
+            for buf in t["payload"].to_pylist():
+                img = codecs.decode_png(buf)  # raises on non-PNG magic
+                px = img.astype(np.float64)
+                grad = np.abs(np.diff(px, axis=1)).mean() if img.shape[1] > 1 else 0.0
+                feats.append(np.array([
+                    img.shape[1], img.shape[0],
+                    img.shape[2] if img.ndim == 3 else 1,
+                    px.mean(), px.std(), px.min(), px.max(), grad,
+                ]))
+                widths.append(img.shape[1])
+                heights.append(img.shape[0])
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "features": pa.array(list(feats), pa.list_(pa.float64())),
+                    "width": pa.array(widths, pa.int32()),
+                    "height": pa.array(heights, pa.int32()),
+                }
+            )
         for buf in t["payload"].to_pylist():
             b = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
             chunks = np.array_split(b, self.out_dim)
@@ -118,7 +164,20 @@ class ImageResizer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("image resize requires PIL — stub seam")
+            payloads = []
+            for buf in t["payload"].to_pylist():
+                img = codecs.decode_png(buf)
+                payloads.append(codecs.encode_png(
+                    codecs.resize_nearest(img, self.target_w, self.target_h)))
+            n = len(t)
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "payload": pa.array(payloads, pa.large_binary()),
+                    "width": pa.array([self.target_w] * n, pa.int32()),
+                    "height": pa.array([self.target_h] * n, pa.int32()),
+                }
+            )
         payloads = []
         for buf, w, h in zip(t["payload"].to_pylist(), t["width"].to_pylist(),
                              t["height"].to_pylist()):
@@ -137,19 +196,38 @@ class ImageResizer:
 
 
 class AudioFeaturizer:
-    """Audio feature-extract stub: payload PCM bytes → per-window RMS energy
-    (fixed n_windows) — the librosa/libsndfile seam.
+    """Audio feature-extract: payload bytes → per-window RMS energy
+    (fixed n_windows).
 
-    fake: interprets payload bytes as uint8 samples; real would decode at
-    ``sample_rate`` and window properly."""
+    real: WAV PCM decode (``codecs.decode_wav``), samples normalized to
+    [-1, 1], stereo averaged to mono, RMS per window; sample_rate comes
+    from the RIFF header. Other containers (mp3/flac) would plug in at
+    this seam.
+    fake: interprets payload bytes as uint8 samples (plumbing tests)."""
 
     def __init__(self, n_windows: int = 4, mode: str = "fake"):
         self.n_windows, self.mode = n_windows, mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError("audio decode requires libsndfile/ffmpeg — stub seam")
         feats = []
+        if self.mode == "real":
+            rates = []
+            for buf in t["payload"].to_pylist():
+                samples, rate = codecs.decode_wav(buf)
+                x = samples.astype(np.float64) / 32768.0
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+                wins = np.array_split(x, self.n_windows)
+                feats.append(np.array(
+                    [np.sqrt((w ** 2).mean()) if len(w) else 0.0 for w in wins]))
+                rates.append(rate)
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "rms": pa.array(list(feats), pa.list_(pa.float64())),
+                    "sample_rate": pa.array(rates, pa.int32()),
+                }
+            )
         for buf in t["payload"].to_pylist():
             b = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
             wins = np.array_split(b, self.n_windows)

@@ -960,30 +960,31 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → actor-pool decode stub."""
+    """Multimodal decode: synthetic PNG payloads → actor-pool REAL PNG
+    decode (pure zlib+numpy codec) → per-image feature vector."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n))
-    return multimodal.decode_images(ds, mode="fake")
+    ds = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
+    return multimodal.decode_images(ds, mode="real")
 
 
 def q_media_resize(sf_dir: str):
-    """Resize stage (stubbed codec, real Ray plumbing) chained into the
-    decode: resize → feature-extract."""
+    """Real PNG resize: decode → nearest-neighbor resample → re-encode,
+    per batch in the actor pool."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n))
-    return multimodal.resize_images(ds, 32, 32, mode="fake")
+    ds = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
+    return multimodal.resize_images(ds, 32, 32, mode="real")
 
 
 def q_audio_features(sf_dir: str):
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="audio"))
-    return multimodal.audio_features(ds, n_windows=4, mode="fake")
+    ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="audio", payload="wav"))
+    return multimodal.audio_features(ds, n_windows=4, mode="real")
 
 
 # --------------------------------------------------------------------------

@@ -176,8 +176,9 @@ def test_multimodal_decode_fake_and_real_stub():
     assert (
         np.stack(out["features"].to_numpy()) == np.stack(out2["features"].to_numpy())
     ).all()
+    # real mode on a non-PNG payload fails at the codec seam
     dec = multimodal.ImageDecoder(mode="real")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PNG"):
         dec(t)
 
 
@@ -206,7 +207,7 @@ def test_image_resize_stub():
     src = t.to_pandas()
     big = src["width"] * src["height"] > 32 * 32
     assert all(len(p) < 256 for p in out.loc[big.values, "payload"])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PNG"):  # raw bytes at the codec seam
         multimodal.ImageResizer(32, 32, mode="real")(t)
 
 
@@ -368,3 +369,106 @@ def test_tokenize_then_pack_conserves_tokens():
     content = int(round(packed["fill_ratio"].sum() * 32))
     n_pieces = text.token_counts(rd.from_pandas(df)).to_pandas()["n_bpe_tokens"].sum()
     assert content == int(n_pieces) + 50
+
+
+# -- real codecs (PNG / WAV, functions/codecs.py) ---------------------------
+
+from go_tfdata_ray.functions import codecs
+
+
+def test_png_roundtrip_all_shapes():
+    rng = np.random.default_rng(3)
+    for shape in ((17, 23), (16, 16, 3), (9, 31, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+
+def test_png_decode_all_filters():
+    """Decoder handles every spec filter; streams are hand-filtered here
+    (the encoder itself always emits filter 0)."""
+    import struct, zlib
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    h, w, nch = img.shape
+    rows = img.reshape(h, w * nch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        prev = rows[y - 1] if y else np.zeros(w * nch, dtype=np.int32)
+        for i in range(w * nch):
+            cur = int(rows[y][i])
+            left = int(rows[y][i - nch]) if i >= nch else 0
+            up = int(prev[i])
+            ul = int(prev[i - nch]) if i >= nch else 0
+            pred = (0, left, up, (left + up) // 2, paeth(left, up, ul))[f]
+            raw.append((cur - pred) % 256)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    out = codecs.decode_png(buf)
+    assert (out == img).all()
+
+
+def test_resize_nearest_identity_and_downscale():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert (codecs.resize_nearest(img, 48, 32) == img).all()
+    small = codecs.resize_nearest(img, 12, 8)
+    assert small.shape == (8, 12, 3)
+    assert set(np.unique(small)) <= set(np.unique(img))
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(8)
+    mono = rng.integers(-30000, 30000, 1000).astype(np.int16)
+    s, rate = codecs.decode_wav(codecs.encode_wav(mono, 8000))
+    assert rate == 8000 and (s == mono).all()
+    stereo = rng.integers(-30000, 30000, (500, 2)).astype(np.int16)
+    s2, rate2 = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (500, 2) and (s2 == stereo).all()
+
+
+def test_image_decoder_real_features():
+    t = multimodal.synth_media_table(6, payload="png")
+    dec = multimodal.ImageDecoder(mode="real")
+    out = dec(t)
+    feats = np.array(out["features"].to_pylist())
+    assert (feats[:, 0] == t["width"].to_numpy(zero_copy_only=False)).all()
+    assert (feats[:, 2] == 3).all()  # RGB
+    assert ((feats[:, 3] > 0) & (feats[:, 3] < 255)).all()
+
+
+def test_image_resizer_real_roundtrip():
+    t = multimodal.synth_media_table(4, payload="png")
+    rs = multimodal.ImageResizer(16, 16, mode="real")
+    out = rs(t)
+    for buf in out["payload"].to_pylist():
+        img = codecs.decode_png(buf)
+        assert img.shape == (16, 16, 3)
+
+
+def test_audio_featurizer_real_sine_rms():
+    t = multimodal.synth_media_table(3, media_type="audio", payload="wav")
+    af = multimodal.AudioFeaturizer(n_windows=4, mode="real")
+    out = af(t)
+    assert (out["sample_rate"].to_numpy(zero_copy_only=False) == 16000).all()
+    rms = np.array(out["rms"].to_pylist())
+    # clip 0 is a 0.5-amplitude sine (+ small ramp): windowed RMS near
+    # 0.5*20000/32768/sqrt(2) ~ 0.216
+    assert rms.shape == (3, 4)
+    assert (abs(rms[0] - 0.216) < 0.04).all()
