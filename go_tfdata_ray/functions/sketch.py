@@ -1,0 +1,84 @@
+"""Distributed cardinality sketches: HyperLogLog approx-distinct.
+
+The reference has no sketches (its only wide op is group-by-key collect,
+/root/reference/tfdata/archive/manager.go:6-9); at 100 TB an exact
+``unique`` on a high-cardinality column is an all-to-all shuffle of every
+distinct value, while an HLL needs ONE pass and ships ``2^p`` one-byte
+registers per block — the canonical combiner shape:
+
+- partial: per batch, hash values (fixed-key siphash — deterministic across
+  processes, like everything else in this repo), bucket by the low ``p``
+  bits, register = max leading-zero rank of the high bits; emit one
+  2^p-byte register row per batch.
+- merge: element-wise max of registers — associative and commutative, so
+  the final fold is a tiny tree over #blocks rows regardless of input size.
+- estimate: classic bias-corrected harmonic mean (Flajolet et al. 2007),
+  with the small-range linear-counting correction.
+
+Standard error ≈ 1.04/sqrt(2^p): p=12 (4 KB/partial) → ~1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _registers(values: np.ndarray, p: int) -> np.ndarray:
+    """uint8[2^p] HLL registers for one batch of values."""
+    h = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+    idx = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    rest = (h >> np.uint64(p)).astype(np.uint64)
+    # rank = #leading zeros of the (64-p)-bit remainder + 1, via bit_length
+    nbits = 64 - p
+    # bit_length of rest: position of highest set bit
+    bl = np.zeros(len(rest), dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        r[mask] >>= np.uint64(shift)
+    bl += (rest != 0).astype(np.int64)  # bit_length; 0 for rest == 0
+    rank = (nbits - bl + 1).astype(np.int64)  # in [1, nbits+1]
+    regs = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(regs, idx, rank)
+    return regs.astype(np.uint8)
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    r = regs.astype(np.float64)
+    est = alpha * m * m / np.sum(np.exp2(-r))
+    if est <= 2.5 * m:  # linear counting for the small range
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:
+    """Approximate number of distinct values of ``col`` in one streaming
+    pass. Shuffle volume: one 2^p-byte register row per block, merged with
+    an element-wise max fold — independent of both row count and
+    cardinality."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _registers(t[col].to_numpy(zero_copy_only=False), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        bufs = t["regs"].to_pylist()
+        out = np.zeros(1 << p, dtype=np.uint8)
+        for b in bufs:
+            np.maximum(out, np.frombuffer(b, dtype=np.uint8), out=out)
+        return pa.table({"regs": pa.array([out.tobytes()], pa.large_binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                                 batch_size=None)
+    (row,) = merged.take_all()
+    return int(round(_estimate(np.frombuffer(row["regs"], dtype=np.uint8))))

@@ -427,6 +427,19 @@ def q_sample_stratified(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_approx_ndv(sf_dir: str):
+    """HyperLogLog approx-distinct of the event user population: one
+    streaming pass, 4 KB of registers per block on the wire (vs an exact
+    unique's all-to-all value shuffle). Deterministic (fixed-key siphash) —
+    error bound vs exact asserted in pytest (no SQL oracle: DuckDB's
+    approx_count_distinct is a different sketch)."""
+    from ..functions import sketch
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    n = sketch.approx_ndv(ds, "user_id", p=12)
+    return pa.table({"approx_ndv": pa.array([n], pa.int64())})
+
+
 def q_union_all(sf_dir: str):
     """ds.union of two filtered streams (same schema both sides)."""
     base = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
@@ -1021,6 +1034,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "window_sliding": q_window_sliding,
     "rolling_value": q_rolling_value,
+    "approx_ndv": q_approx_ndv,
     "quantiles_grouped": q_quantiles_grouped,
     "sample_stratified": q_sample_stratified,
     "join_range": q_join_range,

@@ -472,3 +472,22 @@ def test_audio_featurizer_real_sine_rms():
     # 0.5*20000/32768/sqrt(2) ~ 0.216
     assert rms.shape == (3, 4)
     assert (abs(rms[0] - 0.216) < 0.04).all()
+
+
+def test_hll_approx_ndv_error_bound_and_determinism():
+    from go_tfdata_ray.functions import sketch
+
+    rng = np.random.default_rng(12)
+    # 40k rows over ~9k distinct keys (zipf-ish repeats)
+    keys = rng.integers(0, 9000, 40_000)
+    df = pd.DataFrame({"k": [f"u-{v}" for v in keys]})
+    exact = df["k"].nunique()
+    est = sketch.approx_ndv(rd.from_pandas(df), "k", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    est2 = sketch.approx_ndv(rd.from_pandas(df), "k", p=12)
+    assert est == est2  # fixed-key hash -> deterministic
+
+    # small range exercises the linear-counting correction
+    small = pd.DataFrame({"k": [f"s-{i}" for i in range(150)] * 3})
+    est_small = sketch.approx_ndv(rd.from_pandas(small), "k", p=12)
+    assert abs(est_small - 150) / 150 < 0.03
