@@ -95,7 +95,8 @@ def run_bench() -> dict:
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
         "join_broadcast", "sort_topk", "dedup_exact", "token_count",
         "ann_topk", "minhash_dedup", "udf_revenue", "json_extract",
-        "sessionize", "training_pipeline", "tokenize_pack"]
+        "sessionize", "training_pipeline", "tokenize_pack",
+        "join_range", "rolling_value"]
     for name in query_names:
         fn = Q.QUERIES[name]
         best = None
