@@ -1,4 +1,4 @@
-"""Distributed cardinality sketches: HyperLogLog approx-distinct.
+"""Distributed sketches: HyperLogLog approx-distinct + Bloom membership.
 
 The reference has no sketches (its only wide op is group-by-key collect,
 /root/reference/tfdata/archive/manager.go:6-9); at 100 TB an exact
@@ -58,6 +58,58 @@ def _estimate(regs: np.ndarray) -> float:
         if zeros:
             return m * np.log(m / zeros)
     return float(est)
+
+
+def _bloom_bits(values: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """Bit positions (flat, deduped) for a batch — double hashing
+    h1 + i·h2 over two independent fixed-key siphashes."""
+    obj = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(obj, categorize=False)
+    h2 = pd.util.hash_array(obj, categorize=False, hash_key="beefcafe0badf00d")
+    h2 |= np.uint64(1)  # odd step → full-period over power-of-two n_bits
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) & np.uint64(n_bits - 1)).ravel()
+
+
+def build_bloom(ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 7) -> bytes:
+    """Distributed Bloom filter build: per-block bit arrays OR-folded —
+    like the HLL, shuffle volume is n_bits/8 per block regardless of rows.
+    FP rate ≈ (1 - e^{-k·n/m})^k; defaults give <1% up to ~10^5 keys.
+    At 100 TB this is the semi-join prefilter: ship the filter once
+    (``ray.put``), drop non-members inside map_batches, and only the
+    survivors reach the exact verify."""
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        pos = _bloom_bits(t[col].to_numpy(zero_copy_only=False), n_bits, k)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = np.zeros(n_bits // 8, dtype=np.uint8)
+        for b in t["bits"].to_pylist():
+            np.bitwise_or(out, np.frombuffer(b, dtype=np.uint8), out=out)
+        return pa.table({"bits": pa.array([out.tobytes()], pa.large_binary())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    (row,) = merged.take_all()
+    return row["bits"]
+
+
+def bloom_contains(bloom: bytes, values: np.ndarray, k: int = 7) -> np.ndarray:
+    """Vectorized membership test → bool mask (false positives possible,
+    false negatives never)."""
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    n_bits = len(bits) * 8
+    pos = _bloom_bits(values, n_bits, k).reshape(k, -1)
+    ok = np.ones(pos.shape[1], dtype=bool)
+    for row in pos:
+        ok &= (bits[row >> np.uint64(3)]
+               & (np.uint8(1) << (row & np.uint64(7)).astype(np.uint8))) != 0
+    return ok
 
 
 def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:

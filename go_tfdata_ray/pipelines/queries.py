@@ -263,6 +263,30 @@ def q_join_storage(sf_dir: str):
     )
 
 
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP: item counts + quantity at (flag, status), (flag)
+    and grand-total levels. Input aggregates once (combiner); coarser
+    levels derive from the finest result."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n=np.int64(1),
+                         qty=df["l_quantity"].round().astype("int64"))[
+            ["l_returnflag", "l_linestatus", "n", "qty"]]
+
+    out = rel.rollup(ds.map_batches(prep, batch_format="pandas"),
+                     ["l_returnflag", "l_linestatus"], ["n", "qty"])
+    return out.map_batches(
+        lambda t: _i64(t.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_items", "sum_qty"]),
+            "n_items", "sum_qty"),
+        batch_format="pyarrow",
+    )
+
+
 def q_window_hourly(sf_dir: str):
     """Streaming-shaped tumbling window: count per (user_id, hour bucket).
     Partial counts per batch, then the groupby shuffle over partials."""
@@ -486,6 +510,32 @@ def _big_order_custkeys(sf_dir: str):
         batch_format="pyarrow",
     )
     return ds.unique("o_custkey")
+
+
+def q_join_semi_bloom(sf_dir: str):
+    """Semi join through a distributed-built Bloom prefilter + exact
+    verify — the at-scale shape where the build side is too large to ship
+    as a set: the filter (8 KB here) broadcasts instead, and only bloom
+    survivors hit the exact check. Same oracle as join_semi."""
+    from ..functions import sketch
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    bloom = sketch.build_bloom(big, "o_custkey", n_bits=1 << 16)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        mask = sketch.bloom_contains(bloom, t["c_custkey"].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(mask))
+
+    survivors = cust.map_batches(prefilter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return joins.semi_join_filter(survivors, _big_order_custkeys(sf_dir),
+                                  on="c_custkey")
 
 
 def q_join_asof(sf_dir: str):
@@ -1035,6 +1085,8 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "rolling_value": q_rolling_value,
     "approx_ndv": q_approx_ndv,
+    "rollup_pricing": q_rollup_pricing,
+    "join_semi_bloom": q_join_semi_bloom,
     "quantiles_grouped": q_quantiles_grouped,
     "sample_stratified": q_sample_stratified,
     "join_range": q_join_range,
@@ -1187,6 +1239,15 @@ ORACLE_SQL = {
         "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
         "CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
+    ),
+    "join_semi_bloom": (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    ),
+    "rollup_pricing": (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     ),
     "rolling_value": (
         "SELECT event_id, user_id, CAST(SUM(CAST(floor(value*100) AS BIGINT)) "

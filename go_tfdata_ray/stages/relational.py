@@ -215,6 +215,40 @@ def sessionize(
     return sharded.groupby("_shard").map_groups(sess_shard, batch_format="pandas")
 
 
+def rollup(
+    ds: rd.Dataset, group_cols: list[str], sum_cols: list[str],
+) -> rd.Dataset:
+    """GROUP BY ROLLUP(group_cols): aggregates at every prefix level —
+    (a, b), (a), and grand total — with NULLs in the rolled-up columns.
+
+    Only the FINEST level aggregates over the input (per-batch combiner →
+    tiny combine); every coarser level re-aggregates the finest RESULT
+    (≤ distinct(group_cols) rows), so the input is read once and nothing
+    wide shuffles twice."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_cols, sort=False, as_index=False)[sum_cols].sum()
+
+    finest = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), group_cols, sum_cols
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        levels = [df]
+        for i in range(len(group_cols) - 1, -1, -1):
+            keep = group_cols[:i]
+            if keep:
+                lv = df.groupby(keep, sort=False, as_index=False)[sum_cols].sum()
+            else:
+                lv = df[sum_cols].sum().to_frame().T
+            for c in group_cols[i:]:
+                lv[c] = None
+            levels.append(lv[group_cols + sum_cols])
+        return pd.concat(levels, ignore_index=True)
+
+    return finest.map_batches(expand, batch_format="pandas", batch_size=None)
+
+
 def rolling_per_key(
     ds: rd.Dataset, key_col: str, order_cols: list[str], value_col: str,
     out_col: str = "running", num_shards: int = 64,

@@ -491,3 +491,40 @@ def test_hll_approx_ndv_error_bound_and_determinism():
     small = pd.DataFrame({"k": [f"s-{i}" for i in range(150)] * 3})
     est_small = sketch.approx_ndv(rd.from_pandas(small), "k", p=12)
     assert abs(est_small - 150) / 150 < 0.03
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    from go_tfdata_ray.functions import sketch
+
+    rng = np.random.default_rng(21)
+    members = [f"k-{i}" for i in range(20_000)]
+    ds = rd.from_pandas(pd.DataFrame({"k": members}))
+    bloom = sketch.build_bloom(ds, "k", n_bits=1 << 20, k=7)
+    # every member reports present
+    assert sketch.bloom_contains(bloom, np.array(members, dtype=object)).all()
+    # non-members: FP rate well under 1% at this load factor
+    others = np.array([f"x-{i}" for i in range(20_000)], dtype=object)
+    fp = sketch.bloom_contains(bloom, others).mean()
+    assert fp < 0.01, fp
+
+
+def test_rollup_levels():
+    from go_tfdata_ray.stages import relational as rel
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["1", "2", "1", "1", "2"],
+            "n": [1, 1, 1, 1, 1],
+            "v": [10, 20, 30, 40, 50],
+        }
+    )
+    out = rel.rollup(rd.from_pandas(df), ["a", "b"], ["n", "v"]).to_pandas()
+    # 4 finest + 2 per-a + 1 total = 7 rows
+    assert len(out) == 7
+    total = out[out["a"].isna()]
+    assert len(total) == 1 and total["v"].iloc[0] == 150 and total["n"].iloc[0] == 5
+    xa = out[(out["a"] == "x") & (out["b"].isna())]
+    assert xa["v"].iloc[0] == 30
+    fine = out[out["b"].notna()]
+    assert len(fine) == 4 and fine["v"].sum() == 150
