@@ -37,42 +37,52 @@ import ray.data as rd
 from ..cdc.collapse import hash_partition
 
 
+# per-worker-process cache of deserialized broadcast sides, keyed by object
+# ref: ray.get of the SAME ref on the same worker re-deserializes pandas
+# objects each task, and a dedicated actor pool costs ~1.5 s spin-up per
+# query (measured) — plain tasks + this cache get both right. Entries live
+# for the worker's lifetime, bounded by #distinct broadcast sides.
+_BCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        obj = _BCAST_CACHE.setdefault(key, ray.get(ref))
+    return obj
+
+
 def broadcast_join(
     big: rd.Dataset,
     small: pd.DataFrame,
     on: str | list[str],
     how: Literal["inner", "left"] = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> rd.Dataset:
-    """Broadcast hash join: ``small`` is put in the object store once; each
-    actor fetches it in __init__ and merges per batch."""
+    """Broadcast hash join: ``small`` is put in the object store ONCE; each
+    worker process fetches + deserializes it once (``_BCAST_CACHE``) and
+    merges per batch — no shuffle, no actor-pool spin-up."""
     ref = ray.put(small)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def joiner(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(_cached_get(ref), on=on, how=how)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
-
-    return big.map_batches(Joiner, batch_format="pandas", batch_size=16384,
-                           concurrency=concurrency)
+    joiner.__name__ = "broadcast_join"
+    return big.map_batches(joiner, batch_format="pandas", batch_size=16384)
 
 
 def semi_join_filter(big: rd.Dataset, keys, on: str, anti: bool = False) -> rd.Dataset:
-    """Semi/anti join via a broadcast key set (Bloom filter at real scale)."""
+    """Semi/anti join via a broadcast key set (use ``sketch.build_bloom``
+    as the prefilter when the build side is too large to ship exactly)."""
     ref = ray.put(set(keys))
 
-    class Filt:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[on].isin(_cached_get(ref))
+        return df[~mask] if anti else df[mask]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = df[on].isin(self.keys)
-            return df[~mask] if anti else df[mask]
-
-    return big.map_batches(Filt, batch_format="pandas", batch_size=16384,
-                           concurrency=(1, 8))
+    filt.__name__ = "semi_join_filter"
+    return big.map_batches(filt, batch_format="pandas", batch_size=16384)
 
 
 def asof_join(
