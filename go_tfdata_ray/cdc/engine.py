@@ -225,14 +225,32 @@ class PartitionMergeReader:
     table — no shuffle (files are already hash-partitioned by doc_id).
     ``key_filter``: restrict to these doc_ids — applied per FRAGMENT right
     after the read (point-lookup path: only the keys' rows survive into the
-    merge)."""
+    merge).
+    ``where``: [(col, op, value), ...] conjunctive predicate applied AFTER
+    the merge — value predicates must see the CURRENT row version (an old
+    version of a key may pass while its newest fails), so they cannot be
+    pushed below the merge; only key predicates prune fragments (lookup)."""
+
+    _OPS = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+            ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}
 
     def __init__(self, lake_dir: str, columns: list[str] | None,
-                 with_deleted: bool = False, key_filter: list | None = None):
+                 with_deleted: bool = False, key_filter: list | None = None,
+                 where: list[tuple] | None = None):
         self.lake_dir = lake_dir
         self.columns = columns
         self.with_deleted = with_deleted
         self.key_filter = None if key_filter is None else pa.array(list(key_filter))
+        self.where = where
+
+    def _apply_where(self, t: pa.Table) -> pa.Table:
+        for col, op, val in self.where:
+            if op == "in":
+                mask = pc.is_in(t[col], value_set=pa.array(list(val)))
+            else:
+                mask = self._OPS[op](t[col], val)
+            t = t.filter(mask)
+        return t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # merge needs the key/order/op columns even when the caller didn't
@@ -240,6 +258,8 @@ class PartitionMergeReader:
         read_cols = None
         if self.columns:
             need = {"doc_id", "seq", "op"} if not self.with_deleted else {"doc_id", "seq", "op", "part_id"}
+            if self.where:  # predicate columns must survive into the merge
+                need |= {w[0] for w in self.where}
             read_cols = list(dict.fromkeys([*self.columns, *need]))
         out: list[pa.Table] = []
         for row in range(len(batch)):
@@ -256,6 +276,8 @@ class PartitionMergeReader:
             merged = merge_on_read(
                 tabs, ranks=ranks, drop_internal=() if self.with_deleted else _INTERNAL
             )
+            if self.where:
+                merged = self._apply_where(merged)
             if self.columns:
                 merged = merged.select([c for c in self.columns if c in merged.column_names])
             out.append(merged)
@@ -511,13 +533,20 @@ class CDCEngine:
         return desc
 
     def scan(self, columns: list[str] | None = None,
-             at_version: int | None = None) -> rd.Dataset:
+             at_version: int | None = None,
+             where: list[tuple] | None = None) -> rd.Dataset:
         """Merge-on-read snapshot of the lake as a streaming Dataset.
 
         ``at_version`` reads an OLDER committed manifest (time travel /
         snapshot isolation): every manifest version is an immutable
         snapshot; readers of v(N) are never affected by later commits.
-        Available within the vacuum retention window."""
+        Available within the vacuum retention window.
+
+        ``where``: conjunctive [(col, op, value), ...] with op in
+        {==, !=, >, >=, <, <=, in} — evaluated against the CURRENT row
+        version inside each partition's merge task (a value predicate
+        cannot prune fragments: an old version may pass while the newest
+        fails; use ``lookup()`` for key-predicate pruning)."""
         m = None if at_version is None else mf.load_version(self.lake_dir, at_version)
         desc = self._descriptors(m)
         cols = columns or LAKE_COLUMNS
@@ -525,23 +554,26 @@ class CDCEngine:
             empty = pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
             return rd.from_arrow(empty)
         return rd.from_items(desc).map_batches(
-            PartitionMergeReader(self.lake_dir, cols),
+            PartitionMergeReader(self.lake_dir, cols, where=where),
             batch_format="pyarrow",
             batch_size=1,  # one partition per task — full merge parallelism
         )
 
     def lookup(self, doc_ids: list[str],
-               columns: list[str] | None = None) -> pa.Table:
+               columns: list[str] | None = None,
+               at_version: int | None = None) -> pa.Table:
         """Point query: hash-route each key to its partition and
         merge-on-read ONLY those partitions' fragments, filtering to the
         keys at the fragment reads — O(partitions touched), never a full
         scan. Returns the current row per found key (tombstoned / absent
-        keys are simply missing)."""
+        keys are simply missing). ``at_version`` reads an older retained
+        manifest snapshot (the pre-image path for incremental consumers)."""
         ids = list(doc_ids)
         if not ids:
             return pa.table({})
+        m = None if at_version is None else mf.load_version(self.lake_dir, at_version)
         parts = set(int(p) for p in hash_partition(pa.array(ids), self.num_partitions))
-        desc = [d for d in self._descriptors() if d["part_id"] in parts]
+        desc = [d for d in self._descriptors(m) if d["part_id"] in parts]
         cols = columns or LAKE_COLUMNS
         if not desc:
             return pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
@@ -577,10 +609,16 @@ class CDCEngine:
         ``collapsed=True`` collapses to one row per doc_id (latest
         (epoch, seq) wins) across the selected epochs — the net change set.
 
-        Raises if any needed epoch was already folded by compaction
-        (manifest.epochs cleared) — the consumer must then full-resync from
-        ``scan()``, the standard change-data-feed retention contract."""
-        old = mf.load_version(self.lake_dir, since_version)
+        Raises RuntimeError (mentioning "full-resync") if any needed epoch
+        was already folded by compaction OR the since_version manifest was
+        vacuumed — the consumer must then full-resync from ``scan()``, the
+        standard change-data-feed retention contract."""
+        try:
+            old = mf.load_version(self.lake_dir, since_version)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"manifest v{since_version} vacuumed; incremental changes "
+                "unavailable — full-resync from scan()") from e
         new_epoch_ids = [int(ep["epoch"]) for ep in self.manifest.epochs
                          if int(ep["epoch"]) > old.committed_epoch]
         missing = [e for e in range(old.committed_epoch + 1,

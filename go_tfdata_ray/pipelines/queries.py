@@ -711,6 +711,30 @@ def q_cdc_changes_digest(sf_dir: str):
     return _digest_ds(eng.changes(v1, collapsed=True), extra_cols=("op", "seq"))
 
 
+def q_cdc_incremental_rollup(sf_dir: str):
+    """Materialized per-source rollup maintained INCREMENTALLY by a CDC
+    consumer — refreshed from the changes feed (+ pre-image lookups at the
+    old version) after every epoch, never rescanning the lake. Must equal
+    the from-scratch grouped aggregate (same oracle as
+    cdc_counts_by_source)."""
+    from ..cdc.consumer import SourceRollup
+
+    wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
+    lake = os.path.join("/tmp/graft_lake",
+                        f"sf{walmod.sf_from_dir(sf_dir):g}-incr-v1")
+    eng = CDCEngine(lake, num_partitions=16)
+    view = SourceRollup(eng)
+    applied_any = False
+    for e, paths in walmod.list_segments(wal_dir):
+        st = eng.apply_epoch(e, paths)
+        if not st.get("skipped"):
+            applied_any = True
+            view.refresh()
+    if not applied_any:  # lake pre-materialized from an earlier run
+        view.full_refresh()
+    return view.table()
+
+
 def q_tar_pipeline(sf_dir: str):
     """Tar source E2E (the reference's primary input, tar.go:50-55): build
     a tarball from `documents` (one .txt + one .cls member per doc), read
@@ -1092,6 +1116,7 @@ QUERIES = {
     "join_range": q_join_range,
     "join_range_bins": q_join_range_bins,
     "cdc_changes_digest": q_cdc_changes_digest,
+    "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_replay_digest": q_cdc_replay_digest,
     "cdc_counts_by_source": q_cdc_counts_by_source,
     "cdc_compacted_digest": q_cdc_compacted_digest,
@@ -1276,6 +1301,11 @@ ORACLE_SQL = {
         "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, "
         "CAST(n_nationkey AS BIGINT) AS n_nationkey FROM part, nation "
         "WHERE p_retailprice BETWEEN n_nationkey*200 AND n_nationkey*200 + 150"
+    ),
+    "cdc_incremental_rollup": _CDC_LAST + (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
+        "FROM last WHERE op <> 'D' GROUP BY source"
     ),
     "cdc_changes_digest": (
         f"WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')), "
