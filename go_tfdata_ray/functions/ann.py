@@ -261,18 +261,30 @@ def lsh_topk(
     key_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 23,
+    probe_flips: int = 1,
 ) -> rd.Dataset:
-    """Bucketed ANN: corpus rows route to their LSH bucket; each query scans
-    only its own bucket (single-probe; recall < brute force by design).
-    Bucket assignment is one map_batches; the join of queries to buckets is a
-    broadcast (queries are small)."""
+    """Bucketed ANN with MULTI-PROBE: corpus rows route to their LSH bucket
+    once; each query scans its own bucket plus every bucket within
+    ``probe_flips`` sign flips of its code (Hamming ball — the standard
+    multi-probe recall recovery: a near neighbor differs in few plane
+    signs). probe_flips=0 is single-probe; 1 probes 1+n_planes buckets per
+    query. Candidate volume stays the probed fraction of the corpus —
+    corpus vectors are never replicated. Bucket assignment is one
+    map_batches; queries are broadcast."""
     q_mat = np.stack(queries[emb_col].to_numpy()).astype(np.float64)
     dim = q_mat.shape[1]
     bucketer = LSHBucketer(dim, n_planes, seed)
     q_buckets = bucketer.bucket(q_mat)
     q_by_bucket: dict[int, list[int]] = {}
     for qid, b in zip(queries[key_col].to_numpy(), q_buckets):
-        q_by_bucket.setdefault(int(b), []).append(qid)
+        codes = {int(b)}
+        if probe_flips >= 1:
+            codes |= {int(b) ^ (1 << i) for i in range(n_planes)}
+        if probe_flips >= 2:
+            codes |= {int(b) ^ (1 << i) ^ (1 << j)
+                      for i in range(n_planes) for j in range(i + 1, n_planes)}
+        for c in codes:
+            q_by_bucket.setdefault(c, []).append(qid)
     q_unit = _unit(q_mat)
     q_index = {int(qid): i for i, qid in enumerate(queries[key_col].to_numpy())}
     ref = ray.put((q_by_bucket, q_unit, q_index))

@@ -564,6 +564,136 @@ def cluster_duplicates(
     return pairs.repartition(1).map_batches(uf, batch_format="pandas", batch_size=None)
 
 
+def cluster_duplicates_distributed(
+    pairs: rd.Dataset, key_col: str = "doc_id", dup_col: str = "dup_of",
+    num_buckets: int = 32, max_rounds: int = 25,
+) -> rd.Dataset:
+    """Connected components for pair sets too large for one task: rounds of
+    MIN-LABEL PROPAGATION (label(v) <- min over v's neighbors' labels) plus
+    POINTER JUMPING (label(v) <- label(label(v)), path halving -> O(log
+    diameter) rounds). Implemented as an EXPLICIT hash-sharded task shuffle
+    over raw Ray tasks - the documented last-resort tier for iterative
+    shared-state algorithms: this Ray version's streaming executor
+    reproducibly deadlocks when an iterated plan chains two groupby
+    shuffles across a union, and per-round Dataset fixed costs (seconds
+    per sort shuffle) would dominate anyway. Each round:
+
+      answer stage: one task per shard s holding the label rows whose
+        hash(node)=s ("have") - answers label lookups for edge endpoints
+        (hash(nbr)=s, routed once up front) and pointer-jump requests
+        (hash(label)=s, re-routed each round); emits (node, label)
+        candidates routed by hash(node).
+      min stage: one task per shard - elementwise min of its label rows
+        and incoming candidates; returns the new shard + Sigma-label
+        (monotone convergence witness).
+
+    All exchange goes through the object store as per-shard Arrow tables -
+    the same volume a Dataset shuffle would move, without its control
+    plane. Labels only decrease; fixpoint when Sigma-label stops changing.
+    Same output contract as ``cluster_duplicates`` (min-key cluster reps),
+    numeric keys required."""
+    from ..cdc.collapse import hash_partition
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a, b = t[key_col].combine_chunks(), t[dup_col].combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                         "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
+
+    edge_tabs = [ray.get(r) for r in
+                 pairs.map_batches(to_edges, batch_format="pyarrow").to_arrow_refs()]
+    edge_tabs = [t for t in edge_tabs if t.num_rows]
+
+    B = num_buckets
+
+    def _route(tab: pa.Table, col: str) -> list[pa.Table]:
+        sh = hash_partition(tab[col], B)
+        order = np.argsort(sh, kind="stable")
+        tab = tab.take(pa.array(order))
+        sh = sh[order]
+        bounds = np.searchsorted(sh, np.arange(B + 1))
+        return [tab.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                for i in range(B)]
+
+    # edges routed ONCE by hash(nbr) (the ask key for neighbor lookups)
+    edge_shards: list[list[pa.Table]] = [[] for _ in range(B)]
+    for t in edge_tabs:
+        for s, part in enumerate(_route(t.select(["node", "nbr"]), "nbr")):
+            if part.num_rows:
+                edge_shards[s].append(part)
+    edge_refs = [ray.put(pa.concat_tables(ts) if ts else
+                         pa.table({"node": pa.array([], pa.int64()),
+                                   "nbr": pa.array([], pa.int64())}))
+                 for ts in edge_shards]
+
+    # initial labels: label(v) = v, sharded by hash(node)
+    all_nodes = np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in edge_tabs]))
+    init = pa.table({"node": pa.array(all_nodes, pa.int64()),
+                     "label": pa.array(all_nodes, pa.int64())})
+    label_refs = [ray.put(p) for p in _route(init, "node")]
+
+    @ray.remote
+    def answer(label_tab: pa.Table, edge_tab: pa.Table,
+               jump_reqs: list[pa.Table]) -> list[pa.Table]:
+        have = label_tab.to_pandas()
+        asks = [edge_tab.to_pandas().rename(columns={"nbr": "ask"})]
+        for jr in jump_reqs:
+            if jr.num_rows:
+                asks.append(jr.to_pandas())
+        req = pd.concat(asks, ignore_index=True)
+        out = req.merge(have.rename(columns={"node": "ask"}), on="ask")[["node", "label"]]
+        cand = pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
+                         "label": pa.array(out["label"].to_numpy(), pa.int64())})
+        sh = hash_partition(cand["node"], B)
+        order = np.argsort(sh, kind="stable")
+        cand = cand.take(pa.array(order))
+        bounds = np.searchsorted(sh[order], np.arange(B + 1))
+        return [cand.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                for i in range(B)]
+
+    @ray.remote
+    def min_shard(label_tab: pa.Table, cands: list[pa.Table]):
+        frames = [label_tab.to_pandas()] + [c.to_pandas() for c in cands if c.num_rows]
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby("node", sort=False, as_index=False)["label"].min()
+        new = pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
+                        "label": pa.array(out["label"].to_numpy(), pa.int64())})
+        # jump requests for NEXT round: (ask=label(v), node=v), pre-routed
+        jt = pa.table({"ask": new["label"], "node": new["node"]})
+        sh = hash_partition(jt["ask"], B)
+        order = np.argsort(sh, kind="stable")
+        jt = jt.take(pa.array(order))
+        bounds = np.searchsorted(sh[order], np.arange(B + 1))
+        jumps = [jt.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                 for i in range(B)]
+        return new, int(out["label"].sum()), jumps
+
+    # round 0 jump requests from the initial labels
+    jump_out = []
+    for ref in label_refs:
+        t = ray.get(ref)
+        jt = pa.table({"ask": t["label"], "node": t["node"]})
+        jump_out.append(_route(jt, "ask"))
+    prev_sum = None
+    for _ in range(max_rounds):
+        cand_lists = [answer.remote(label_refs[s], edge_refs[s],
+                                    [jump_out[src][s] for src in range(B)])
+                      for s in range(B)]
+        cand_lists = ray.get(cand_lists)
+        results = ray.get([
+            min_shard.remote(label_refs[s], [cand_lists[src][s] for src in range(B)])
+            for s in range(B)
+        ])
+        label_refs = [ray.put(r[0]) for r in results]
+        cur_sum = sum(r[1] for r in results)
+        jump_out = [r[2] for r in results]
+        if cur_sum == prev_sum:  # labels are non-increasing -> fixpoint
+            break
+        prev_sum = cur_sum
+    final = pa.concat_tables([ray.get(r) for r in label_refs])
+    return rd.from_arrow(final.rename_columns([key_col, "cluster"]))
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 class PlaneBucketer:

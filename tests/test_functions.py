@@ -528,3 +528,48 @@ def test_rollup_levels():
     assert xa["v"].iloc[0] == 30
     fine = out[out["b"].notna()]
     assert len(fine) == 4 and fine["v"].sum() == 150
+
+
+def test_cluster_duplicates_distributed_matches_union_find():
+    rng = np.random.default_rng(17)
+    # random graph: 200 edges over 60 nodes, several components + chains
+    a = rng.integers(0, 60, 200)
+    b = (a + rng.integers(1, 5, 200)) % 60
+    pairs = pd.DataFrame({"doc_id": a.astype(np.int64), "dup_of": b.astype(np.int64)})
+    want = dedup.cluster_duplicates(rd.from_pandas(pairs)).to_pandas()
+    got = dedup.cluster_duplicates_distributed(
+        rd.from_pandas(pairs), num_buckets=8).to_pandas()
+    w = dict(zip(want["doc_id"], want["cluster"]))
+    g = dict(zip(got["doc_id"], got["cluster"]))
+    assert g == w
+
+    # chain graph stresses diameter: pointer jumping must close an
+    # 8-hop chain in ~log2 rounds, well under max_rounds
+    chain = pd.DataFrame({"doc_id": np.arange(1, 9, dtype=np.int64),
+                          "dup_of": np.arange(0, 8, dtype=np.int64)})
+    got_c = dedup.cluster_duplicates_distributed(
+        rd.from_pandas(chain), num_buckets=4).to_pandas()
+    assert set(got_c["cluster"]) == {0} and len(got_c) == 9
+
+
+def test_lsh_multiprobe_recall_beats_single_probe():
+    df = synth_embeddings(400, 16, seed=9)
+    ds = rd.from_pandas(df)
+    q = df[df["vec_id"] < 4]
+    exact = ann.brute_force_topk(ds, q, k=5).to_pandas()
+    def recall(out):
+        tot, hit = 0, 0
+        for qid in q["vec_id"]:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(out[out["query_id"] == qid]["vec_id"])
+            tot += len(e)
+            hit += len(e & a)
+        return hit / tot
+    single = recall(ann.lsh_topk(ds, q, k=5, probe_flips=0).to_pandas())
+    multi = recall(ann.lsh_topk(ds, q, k=5, probe_flips=1).to_pandas())
+    multi2 = recall(ann.lsh_topk(ds, q, k=5, probe_flips=2).to_pandas())
+    # recall grows monotonically with the probe radius (measured
+    # 0.05 / 0.25 / 0.5 on this fixture — random gaussians are the
+    # LSH-hardest case; planted near-dups are found at flips=1)
+    assert single <= multi <= multi2
+    assert multi2 >= 0.4, (single, multi, multi2)
