@@ -1066,6 +1066,19 @@ def q_media_resize(sf_dir: str):
     return multimodal.resize_images(ds, 32, 32, mode="real")
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling (flat-map shape: one row per sampled frame
+    index). Frame-index selection is real plumbing; the pixel extraction
+    behind it stays a codec seam (no ffmpeg). Oracle reconstructs the
+    deterministic media table with generate_series."""
+    from ..functions import multimodal
+
+    n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
+    ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="video"))
+    out = multimodal.sample_frames(ds, every_n=10)
+    return out.map_batches(lambda t: _i64(t, "frame_idx"), batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     from ..functions import multimodal
 
@@ -1144,6 +1157,7 @@ QUERIES = {
     "ngram_dedup": q_ngram_dedup,
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     "media_resize": q_media_resize,
     "audio_features": q_audio_features,
 }
@@ -1264,6 +1278,13 @@ ORACLE_SQL = {
         "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
         "CAST(COUNT(*) AS BIGINT) AS n_events "
         "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
+    ),
+    "media_frames": (
+        # deterministic synth media table at sf0.01: n=100, n_frames=(i%30)+1,
+        # sampled every 10 frames
+        "WITH m AS (SELECT range AS i, (range % 30) + 1 AS n_frames FROM range(100)) "
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m"
     ),
     "join_semi_bloom": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
