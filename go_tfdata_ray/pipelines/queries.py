@@ -493,6 +493,29 @@ def q_group_collect(sf_dir: str):
     return rel.collect_group_csv(ds, "user_id", "event_id", out_col="event_ids_csv")
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted text index: per-doc distinct terms → explode to (token,
+    doc_id) postings → order-canonical posting list per token. The posting
+    build is the group-collect combiner (partial collect per batch, ONE
+    sharded groupby); at scale the token key is the natural partition key
+    for serving."""
+    import re as _re
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pat = _re.compile(r"[a-z]+")
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        toks, docs = [], []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            terms = set(pat.findall(str(txt).lower()))
+            toks.extend(terms)
+            docs.extend([did] * len(terms))
+        return pd.DataFrame({"token": toks, "doc_id": np.array(docs, dtype=np.int64)})
+
+    exploded = ds.map_batches(postings, batch_format="pandas")
+    return rel.collect_group_csv(exploded, "token", "doc_id", out_col="doc_ids_csv")
+
+
 def q_topk_per_group(sf_dir: str):
     """Windowed rank: 2 priciest orders per priority class."""
     ds = rd.read_parquet(
@@ -1113,6 +1136,7 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "group_collect": q_group_collect,
     "topk_per_group": q_topk_per_group,
+    "inverted_index": q_inverted_index,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_asof": q_join_asof,
@@ -1238,6 +1262,12 @@ ORACLE_SQL = {
     "group_collect": (
         "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) "
         "AS event_ids_csv FROM events GROUP BY user_id"
+    ),
+    "inverted_index": (
+        "WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS token FROM documents) "
+        "SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS doc_ids_csv FROM t GROUP BY token"
     ),
     "topk_per_group": (
         "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
