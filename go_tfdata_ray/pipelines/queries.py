@@ -948,6 +948,26 @@ def q_fingerprint(sf_dir: str):
     return text.fingerprints(ds)
 
 
+def q_fingerprint_md5(sf_dir: str):
+    """Whitespace-normalized MD5 document fingerprint — same dedup role as
+    the rolling-hash fingerprint, expressible in SQL so the whole
+    fingerprint family gets a hash-checked representative."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text"].astype(str).str.split().str.join(" ")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "fp_md5": [_hl.md5(s.encode()).hexdigest() for s in norm],
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
 def q_minhash_dedup(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dedup.minhash_lsh_dedup(ds, threshold=0.5)
@@ -1069,6 +1089,21 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_ivf_full(sf_dir: str):
+    """IVF at FULL probe (n_probe = n_centroids): exercises the trained
+    coarse quantizer + bucket-probe machinery while being provably exact —
+    so it shares the brute-force DuckDB oracle. The partial-probe approx
+    path stays covered by ``ann_ivf`` (rows-only) + the recall pytest."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    queries = queries[queries["vec_id"] < 4]
+    out = ann.ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=16)
+    return out.map_batches(
+        lambda t: _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id"),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal decode: synthetic PNG payloads → actor-pool REAL PNG
     decode (pure zlib+numpy codec) → per-image feature vector."""
@@ -1170,6 +1205,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "fingerprint_md5": q_fingerprint_md5,
+    "ann_ivf_full": q_ann_ivf_full,
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
@@ -1413,6 +1450,16 @@ ORACLE_SQL = {
     "dedup_exact": (
         "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
         "FROM documents GROUP BY text"
+    ),
+    "fingerprint_md5": (
+        "SELECT doc_id, md5(array_to_string(list_filter(string_split_regex("
+        "text, '\\s+'), x -> x <> ''), ' ')) AS fp_md5 FROM documents"
+    ),
+    "ann_ivf_full": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
+        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
+        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
     ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
