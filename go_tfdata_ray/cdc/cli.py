@@ -7,7 +7,9 @@ Commands:
   generate-wal  --wal DIR --events N [--keys K --epochs E --max-len L]
   apply         --wal DIR --lake DIR [--partitions P]   one-shot replay
   tail          --wal DIR --lake DIR [--poll S --idle-limit N]
-  scan          --lake DIR --out DIR                    snapshot → parquet
+  scan          --lake DIR --out DIR [--where col:op:val ...]
+  lookup        --lake DIR --ids a,b,c                  point query → JSON rows
+  changes       --lake DIR --since VERSION --out DIR [--collapsed]
   compact       --lake DIR
   status        --lake DIR                              manifest summary
 """
@@ -59,6 +61,20 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("scan")
     s.add_argument("--lake", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--where", action="append", default=[],
+                   help="col:op:val predicate (op in ==,!=,>,>=,<,<=), repeatable")
+
+    s = sub.add_parser("lookup")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--ids", required=True, help="comma-separated doc_ids")
+    s.add_argument("--at-version", type=int, default=None)
+
+    s = sub.add_parser("changes")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--since", type=int, required=True, help="manifest version")
+    s.add_argument("--out", required=True)
+    s.add_argument("--collapsed", action="store_true",
+                   help="net change set: one row per key, tombstones retained")
 
     s = sub.add_parser("compact")
     s.add_argument("--lake", required=True)
@@ -109,8 +125,41 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "scan":
         _ray_up()
         eng = CDCEngine(a.lake)
-        eng.scan().write_parquet(a.out)
+        where = None
+        if a.where:
+            def _parse(w: str):
+                col, op, val = w.split(":", 2)
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+                return (col, op, val)
+
+            where = [_parse(w) for w in a.where]
+        eng.scan(where=where).write_parquet(a.out)
         print(json.dumps({"out": a.out}))
+        return 0
+
+    if a.cmd == "lookup":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        t = eng.lookup(a.ids.split(","), at_version=a.at_version)
+        rows = t.to_pylist()
+        for r in rows:
+            r.pop("tokens", None)  # keep stdout line-sized; payload via scan
+        print(json.dumps({"found": len(rows), "rows": rows}))
+        return 0
+
+    if a.cmd == "changes":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        ds = eng.changes(a.since, collapsed=a.collapsed)
+        ds.write_parquet(a.out)
+        print(json.dumps({"out": a.out, "since_version": a.since,
+                          "collapsed": bool(a.collapsed)}))
         return 0
 
     if a.cmd == "compact":
