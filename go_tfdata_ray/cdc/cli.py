@@ -10,6 +10,7 @@ Commands:
   scan          --lake DIR --out DIR [--where col:op:val ...]
   lookup        --lake DIR --ids a,b,c                  point query → JSON rows
   changes       --lake DIR --since VERSION --out DIR [--collapsed]
+  delete        --lake DIR (--where col:op:val ... | --ids a,b)  bulk tombstone
   compact       --lake DIR
   status        --lake DIR                              manifest summary
 """
@@ -75,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--collapsed", action="store_true",
                    help="net change set: one row per key, tombstones retained")
+
+    s = sub.add_parser("delete")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--where", action="append", default=[],
+                   help="col:op:val predicate, repeatable (matching CURRENT rows)")
+    s.add_argument("--ids", default=None, help="comma-separated doc_ids")
 
     s = sub.add_parser("compact")
     s.add_argument("--lake", required=True)
@@ -160,6 +167,27 @@ def main(argv: list[str] | None = None) -> int:
         ds.write_parquet(a.out)
         print(json.dumps({"out": a.out, "since_version": a.since,
                           "collapsed": bool(a.collapsed)}))
+        return 0
+
+    if a.cmd == "delete":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        if a.ids:
+            out = eng.delete_where(doc_ids=a.ids.split(","))
+        else:
+            def _parse(w: str):
+                col, op, val = w.split(":", 2)
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+                return (col, op, val)
+
+            out = eng.delete_where(where=[_parse(w) for w in a.where])
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "compact":

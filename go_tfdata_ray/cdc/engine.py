@@ -334,7 +334,11 @@ class CDCEngine:
         # direct path, pin one block per shard so the fused read→normalize→
         # write task handles a whole right-sized shard (Ray's default
         # re-splitting would otherwise produce hundreds of tiny write tasks).
-        if self.write_mode == "direct" and len(files) > 1:
+        if self.write_mode == "direct":
+            # one fused read→normalize→write task per WAL shard file — Ray's
+            # default splitting would otherwise shred a small shard (e.g. a
+            # synthesized upsert/delete epoch) into per-row blocks, writing
+            # one near-empty run file each
             ds = rd.read_parquet(files, override_num_blocks=len(files))
         else:
             ds = rd.read_parquet(files)
@@ -443,6 +447,69 @@ class CDCEngine:
         """Tail the WAL: apply every segment above the committed epoch, in
         order. Safe to call repeatedly / after a crash (resume)."""
         return [self.apply_epoch(e, paths) for e, paths in list_segments(wal_dir)]
+
+    def _stage_epoch(self, t: pa.Table, op: str) -> dict[str, Any]:
+        """Synthesize the next epoch from explicit rows and apply it through
+        the standard exactly-once commit path. Seqs start ABOVE the global
+        high-watermark — the apply path's idempotent late-data filter drops
+        anything at or below a partition's committed max seq."""
+        epoch = self.manifest.committed_epoch + 1
+        n = t.num_rows
+        base = max(self.manifest.watermarks().values(), default=-1) + 1
+        staged = pa.table({
+            "seq": pa.array(base + np.arange(n, dtype=np.int64)),
+            "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+            "op": pa.array([op] * n, pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "tokens": (t["tokens"].combine_chunks().cast(pa.list_(pa.int32()))
+                       if "tokens" in t.column_names
+                       else pa.array([[]] * n, pa.list_(pa.int32()))),
+            "n_tok": (pc.cast(t["n_tok"], pa.int32()) if "n_tok" in t.column_names
+                      else pa.array(np.zeros(n, dtype=np.int32))),
+            "source": (pc.cast(t["source"], pa.string()) if "source" in t.column_names
+                       else pa.array([""] * n, pa.string())),
+        })
+        stage_dir = os.path.join(self.lake_dir, "_staging", f"epoch-{epoch:06d}")
+        os.makedirs(stage_dir, exist_ok=True)
+        path = os.path.join(stage_dir, "shard-000000.parquet")
+        pq.write_table(staged, path + ".tmp")
+        os.rename(path + ".tmp", path)
+        return self.apply_epoch(epoch, [path])
+
+    def upsert(self, rows: pa.Table | "pd.DataFrame") -> dict[str, Any]:
+        """Direct write API (no WAL producer needed): upsert rows
+        (doc_id, tokens, n_tok, source) as one synthesized epoch — same
+        idempotent, fenced, exactly-once commit as a WAL micro-batch.
+        Single-writer discipline applies: don't interleave with a
+        concurrent ``tail`` of the same lake."""
+        if not isinstance(rows, pa.Table):
+            rows = pa.Table.from_pandas(rows, preserve_index=False)
+        if "n_tok" not in rows.column_names and "tokens" in rows.column_names:
+            rows = rows.append_column(
+                "n_tok", pc.cast(pc.list_value_length(rows["tokens"]), pa.int32()))
+        return self._stage_epoch(rows, "U")
+
+    def delete_where(self, where: list[tuple] | None = None,
+                     doc_ids: list[str] | None = None) -> dict[str, Any]:
+        """Bulk delete (the GDPR/compliance path): tombstone every CURRENT
+        row matching ``where`` (or the explicit ``doc_ids``), written as an
+        ordinary delete epoch — physically dropped at the next
+        ``compact()``, exactly like WAL-sourced deletes. The matching scan
+        is distributed; only the keys come back to the driver."""
+        if (where is None) == (doc_ids is None):
+            raise ValueError("exactly one of where= or doc_ids= is required")
+        if where is not None:
+            ids: list[str] = []
+            for ref in self.scan(columns=["doc_id"], where=where).to_arrow_refs():
+                ids.extend(ray.get(ref)["doc_id"].to_pylist())
+        else:
+            ids = list(doc_ids)
+        if not ids:
+            return {"epoch": self.manifest.committed_epoch, "skipped": True,
+                    "deleted": 0}
+        out = self._stage_epoch(pa.table({"doc_id": pa.array(ids, pa.string())}), "D")
+        out["deleted"] = len(ids)
+        return out
 
     def tail(
         self,

@@ -680,3 +680,51 @@ def walmod_extra_epoch(wal_dir, segs):
     return new_e, sorted(
         os.path.join(dst_dir, f) for f in os.listdir(dst_dir) if f.endswith(".parquet")
     )
+
+
+def test_upsert_and_delete_where(tmp_path):
+    """Direct write API: upsert rows and tombstone by predicate — both run
+    as ordinary synthesized epochs through the exactly-once commit path."""
+    import pandas as _pd
+    import pyarrow.compute as pc
+
+    wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=200, num_epochs=2)
+    eng, _ = run_and_check(tmp_path, wal_dir, files, num_partitions=4)
+    state = oracle_replay_dict(files)
+    v0 = eng.manifest.version
+
+    # upsert: one overwritten key + one brand-new key
+    some = sorted(state)[0]
+    res = eng.upsert(_pd.DataFrame({
+        "doc_id": [some, "doc-brand-new"],
+        "tokens": [[9, 9, 9], [1, 2]],
+        "source": ["manual", "manual"],
+    }))
+    assert not res.get("skipped") and eng.manifest.version == v0 + 1
+    got = {r["doc_id"]: r for r in eng.lookup([some, "doc-brand-new"]).to_pylist()}
+    assert got[some]["tokens"] == [9, 9, 9] and got[some]["n_tok"] == 3
+    assert got["doc-brand-new"]["tokens"] == [1, 2]
+
+    # delete_where: tombstone all short docs; scan must drop them
+    full = eng.scan_table()
+    short_ids = set(full.filter(pc.less(full["n_tok"], 10))["doc_id"].to_pylist())
+    assert short_ids
+    res = eng.delete_where(where=[("n_tok", "<", 10)])
+    assert res["deleted"] == len(short_ids)
+    after = eng.scan_table()
+    remaining = set(after["doc_id"].to_pylist())
+    assert not (remaining & short_ids)
+    assert after.num_rows == full.num_rows - len(short_ids)
+
+    # idempotent: re-applying the synthesized epoch is a no-op (resume path)
+    stage = os.path.join(str(tmp_path / "lake"), "_staging",
+                         f"epoch-{eng.manifest.committed_epoch:06d}")
+    fs = [os.path.join(stage, f) for f in os.listdir(stage)]
+    assert eng.apply_epoch(eng.manifest.committed_epoch, fs)["skipped"]
+
+    # explicit-id delete + compaction physically drops tombstones
+    res2 = eng.delete_where(doc_ids=["doc-brand-new", "doc-never-existed"])
+    assert res2["deleted"] == 2  # tombstones are written per requested id
+    assert "doc-brand-new" not in set(eng.scan_table()["doc_id"].to_pylist())
+    eng.compact()
+    assert_tables_equal(eng.scan_table(), eng.scan_table())  # stable
