@@ -535,6 +535,42 @@ def _big_order_custkeys(sf_dir: str):
     return ds.unique("o_custkey")
 
 
+def q_join_outer(sf_dir: str):
+    """FULL OUTER bucketed join: customers of nations 0-9 vs per-customer
+    counts of >400k orders — each side has keys absent from the other.
+    NULL sides are coalesced to sentinels ('' / -1) so the compare carries
+    no null-typed cells."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.less(t["c_nationkey"], 10)).select(["c_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def big_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_totalprice"] > 400000.0]
+        g = df.groupby("o_custkey", sort=False, as_index=False).size()
+        return g.rename(columns={"o_custkey": "c_custkey", "size": "n_big"})
+
+    big = rel.combine_partials(
+        orders.map_batches(big_counts, batch_format="pandas"), ["c_custkey"], ["n_big"]
+    )
+    joined = joins.bucket_hash_join(cust, big, on="c_custkey", how="outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "c_name": df["c_name"].fillna("").astype(str),
+                "n_big": df["n_big"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_join_semi_bloom(sf_dir: str):
     """Semi join through a distributed-built Bloom prefilter + exact
     verify — the at-scale shape where the build side is too large to ship
@@ -1183,6 +1219,7 @@ QUERIES = {
     "approx_ndv": q_approx_ndv,
     "rollup_pricing": q_rollup_pricing,
     "join_semi_bloom": q_join_semi_bloom,
+    "join_outer": q_join_outer,
     "quantiles_grouped": q_quantiles_grouped,
     "sample_stratified": q_sample_stratified,
     "join_range": q_join_range,
@@ -1356,6 +1393,14 @@ ORACLE_SQL = {
     "join_semi_bloom": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
         "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    ),
+    "join_outer": (
+        "WITH cu AS (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 10), "
+        "big AS (SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_big "
+        "  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey) "
+        "SELECT COALESCE(cu.c_custkey, big.c_custkey) AS c_custkey, "
+        "COALESCE(cu.c_name, '') AS c_name, COALESCE(big.n_big, -1) AS n_big "
+        "FROM cu FULL OUTER JOIN big ON cu.c_custkey = big.c_custkey"
     ),
     "rollup_pricing": (
         "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items, "

@@ -391,7 +391,7 @@ def bucket_hash_join(
     right: rd.Dataset,
     on: str,
     num_buckets: int = 32,
-    how: Literal["inner", "left"] = "inner",
+    how: Literal["inner", "left", "outer"] = "inner",
     suffixes=("", "_r"),
     hot_keys=None,
     salt: int = 8,
@@ -467,8 +467,12 @@ def bucket_hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][l_cols]
         r = g[g["_side"] == 1][[c for c in r_cols]]
-        if len(l) == 0 or (how == "inner" and len(r) == 0):
-            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in combined.names})
+        empty = pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in combined.names})
+        if how == "outer":
+            if len(l) == 0 and len(r) == 0:
+                return empty
+        elif len(l) == 0 or (how == "inner" and len(r) == 0):
+            return empty
         return l.merge(r, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
