@@ -620,11 +620,16 @@ class CDCEngine:
         if not desc:
             empty = pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
             return rd.from_arrow(empty)
+        # randomize_block_order(seed) is a zero-cost FUSION BARRIER, not a
+        # shuffle: without it, a downstream map_batches(batch_size=N) fuses
+        # with the merge reader and its row target makes Ray bundle the
+        # 1-row descriptor blocks into ONE task, serializing the whole
+        # merge (measured: training_pipeline 4.9s → 1.2s with the barrier).
         return rd.from_items(desc).map_batches(
             PartitionMergeReader(self.lake_dir, cols, where=where),
             batch_format="pyarrow",
             batch_size=1,  # one partition per task — full merge parallelism
-        )
+        ).randomize_block_order(seed=0)
 
     def lookup(self, doc_ids: list[str],
                columns: list[str] | None = None,
@@ -756,7 +761,8 @@ class CDCEngine:
             return pa.concat_tables(out, promote_options="permissive")
 
         return rd.from_items(desc).map_batches(
-            collapse_part, batch_format="pyarrow", batch_size=1)
+            collapse_part, batch_format="pyarrow", batch_size=1,
+        ).randomize_block_order(seed=0)  # fusion barrier — see scan()
 
     def scan_table(self, columns: list[str] | None = None) -> pa.Table:
         """Small-scale convenience: full merged snapshot as one Arrow table."""
