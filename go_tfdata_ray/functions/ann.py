@@ -21,6 +21,24 @@ import ray
 import ray.data as rd
 
 
+# per-worker-process stage cache, keyed by the broadcast ref (unique per
+# query invocation): plain tasks + this cache keep "state loads once per
+# worker" semantics without a dedicated actor pool's ~1 s spin-up per
+# query (same pattern as stages/joins._BCAST_CACHE / text._worker_cached).
+_STATE_CACHE: dict = {}
+
+
+def _cached_stage(factory, key: str, name: str):
+    def fn(batch):
+        inst = _STATE_CACHE.get(key)
+        if inst is None:
+            inst = _STATE_CACHE.setdefault(key, factory())
+        return inst(batch)
+
+    fn.__name__ = name
+    return fn
+
+
 def _to_matrix(col) -> np.ndarray:
     """(n, dim) float64 matrix from a list/fixed-size-list/tensor-extension
     embedding column — zero-copy flatten+reshape where the layout allows."""
@@ -134,11 +152,10 @@ def brute_force_topk(
     ref = ray.put({"ids": q_ids, "mat": q_mat})
 
     cand = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_args=(ref, k, emb_col, key_col, exclude_self),
+        _cached_stage(lambda: BruteForceScorer(ref, k, emb_col, key_col, exclude_self),
+                      ref.hex(), "BruteForceScorer"),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=concurrency,
         zero_copy_batch=True,
     )
 
@@ -236,8 +253,9 @@ def ivf_topk(
                 }
             )
 
-    cand = ds.map_batches(IVFScan, batch_format="pyarrow", batch_size=8192,
-                          concurrency=concurrency, zero_copy_batch=True)
+    cand = ds.map_batches(_cached_stage(IVFScan, ref.hex(), "IVFScan"),
+                          batch_format="pyarrow", batch_size=8192,
+                          zero_copy_batch=True)
 
     return _finalize_topk(cand, key_col, k, len(q_ids))
 
@@ -324,7 +342,8 @@ def lsh_topk(
                 }
             )
 
-    cand = ds.map_batches(BucketScan, batch_format="pyarrow", batch_size=8192,
-                          concurrency=(1, 4), zero_copy_batch=True)
+    cand = ds.map_batches(_cached_stage(BucketScan, ref.hex(), "BucketScan"),
+                          batch_format="pyarrow", batch_size=8192,
+                          zero_copy_batch=True)
 
     return _finalize_topk(cand, key_col, k, len(queries))

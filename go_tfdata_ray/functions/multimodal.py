@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import codecs
+from .text import _worker_cached
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -82,7 +83,7 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
 
 
 class ImageDecoder:
-    """Actor-pool decode stage: payload bytes → fixed-dim feature vector.
+    """Decode stage (worker-cached task): payload bytes → feature vector.
 
     real: PNG decode (``codecs.decode_png``) → [width, height, channels,
     pixel mean, pixel std, min, max, mean |horizontal gradient|]. JPEG/GIF
@@ -151,9 +152,10 @@ class FrameSampler:
 
 
 class ImageResizer:
-    """Resize stub: payload → payload' with updated (width, height).
+    """Resize stage: payload → payload' with updated (width, height).
 
-    real: PIL `Image.resize` — NOT AVAILABLE here.
+    real: PNG decode → nearest-neighbor resample → PNG re-encode
+    (``functions/codecs.py``); JPEG would plug in at the same seam.
     fake: deterministic byte decimation proportional to the area ratio, so
     output payload length scales like a real resize would and downstream
     batch-size math is exercised honestly.
@@ -241,31 +243,37 @@ class AudioFeaturizer:
         )
 
 
+# stage wiring: the codec stages hold only their parameters (the codecs
+# themselves are stateless functions), so they run as worker-process-cached
+# plain TASKS (text._worker_cached) — a dedicated actor pool would add ~1 s
+# spin-up per query for no state to amortize. Keep batch_size small: media
+# rows are KB–MB wide.
+
 def resize_images(ds: rd.Dataset, target_w: int = 32, target_h: int = 32,
-                  mode: str = "fake", concurrency=(1, 4)) -> rd.Dataset:
+                  mode: str = "fake", concurrency=None) -> rd.Dataset:
     return ds.map_batches(
-        ImageResizer, fn_constructor_args=(target_w, target_h, mode),
-        batch_format="pyarrow", batch_size=64, concurrency=concurrency,
+        _worker_cached(ImageResizer, target_w, target_h, mode),
+        batch_format="pyarrow", batch_size=64,
     )
 
 
 def audio_features(ds: rd.Dataset, n_windows: int = 4, mode: str = "fake",
-                   concurrency=(1, 4)) -> rd.Dataset:
+                   concurrency=None) -> rd.Dataset:
     return ds.map_batches(
-        AudioFeaturizer, fn_constructor_args=(n_windows, mode),
-        batch_format="pyarrow", batch_size=64, concurrency=concurrency,
+        _worker_cached(AudioFeaturizer, n_windows, mode),
+        batch_format="pyarrow", batch_size=64,
     )
 
 
-def decode_images(ds: rd.Dataset, mode: str = "fake", concurrency=(1, 4)) -> rd.Dataset:
+def decode_images(ds: rd.Dataset, mode: str = "fake", concurrency=None) -> rd.Dataset:
     return ds.map_batches(
-        ImageDecoder, fn_constructor_args=(mode,), batch_format="pyarrow",
-        batch_size=64, concurrency=concurrency,  # small: payload-heavy rows
+        _worker_cached(ImageDecoder, mode), batch_format="pyarrow",
+        batch_size=64,
     )
 
 
 def sample_frames(ds: rd.Dataset, every_n: int = 10, mode: str = "fake") -> rd.Dataset:
     return ds.map_batches(
-        FrameSampler, fn_constructor_args=(every_n, mode), batch_format="pyarrow",
-        batch_size=64, concurrency=(1, 4),
+        _worker_cached(FrameSampler, every_n, mode), batch_format="pyarrow",
+        batch_size=64,
     )
