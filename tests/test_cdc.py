@@ -728,3 +728,37 @@ def test_upsert_and_delete_where(tmp_path):
     assert "doc-brand-new" not in set(eng.scan_table()["doc_id"].to_pylist())
     eng.compact()
     assert_tables_equal(eng.scan_table(), eng.scan_table())  # stable
+
+
+def test_training_batches_loader(tmp_path):
+    """Consumer loop: epoch-reshuffled packed micro-batches off the lake —
+    fixed shapes, token conservation, per-(seed, epoch) determinism, and a
+    different order on the next epoch."""
+    import numpy as np
+
+    from go_tfdata_ray.pipelines.loader import training_batches
+
+    wal_dir, files = make_wal(tmp_path, n_events=1500, n_keys=200, num_epochs=2)
+    eng, _ = run_and_check(tmp_path, wal_dir, files, num_partitions=4)
+    state = oracle_replay_dict(files)
+    want_tokens = sum(len(v["tokens"]) for v in state.values())
+    n_docs = len(state)
+
+    def drain(seed, epoch):
+        return list(training_batches(eng, context_len=128, micro_batch=4,
+                                     seed=seed, epoch=epoch))
+
+    b1 = drain(0, 0)
+    assert all(b.shape[1] == 128 and b.dtype == np.int32 for b in b1)
+    assert all(b.shape[0] == 4 for b in b1[:-1])  # only the tail may be short
+    # conservation: content + one EOD per doc + tail padding == emitted cells
+    total_cells = sum(b.size for b in b1)
+    assert want_tokens + n_docs <= total_cells  # content + EODs all present
+    nonpad_lower = want_tokens  # pads/EODs are token 0 here; content tokens >= 1
+    assert sum(int((b > 0).sum()) for b in b1) == nonpad_lower
+
+    b2 = drain(0, 0)
+    assert len(b1) == len(b2) and all((x == y).all() for x, y in zip(b1, b2))
+    b3 = drain(0, 1)  # next epoch: same cells, different order
+    assert sum(b.size for b in b3) == total_cells
+    assert any((x.shape != y.shape) or (x != y).any() for x, y in zip(b1, b3))
