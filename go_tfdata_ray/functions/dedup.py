@@ -239,26 +239,47 @@ def minhash_lsh_dedup(
 
 class SimHasher:
     """64-bit SimHash over word hashes (sign-sum of per-token bit vectors),
-    fully vectorized per doc."""
+    vectorized across the WHOLE batch: one ``hash_array`` call for every
+    token in the batch, bit expansion via ``np.unpackbits``, per-doc bit
+    votes via a segment ``reduceat`` over flattened token offsets — the same
+    flattened-offsets shape as ``MinHasher.batch_signatures``. No per-doc
+    Python work beyond the tokenizing split."""
 
     def __init__(self, text_col="text", key_col="doc_id"):
         self.text_col, self.key_col = text_col, key_col
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
+    def batch_simhash(self, texts: list[str]) -> np.ndarray:
+        tok_lists = [t.lower().split() for t in texts]
+        lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        flat = np.array([w for sub in tok_lists for w in sub], dtype=object)
+        n_total = len(flat)
+        if n_total == 0:
+            return np.zeros(len(texts), dtype=np.uint64)
+        h = pd.util.hash_array(flat, categorize=False)  # uint64
+        # (n_total, 64) bit matrix; little-endian bit j == (h >> j) & 1
+        bitmat = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                               bitorder="little")
+        offs = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        # reduceat quirks: an empty segment returns a[idx], and a trailing
+        # empty doc's offset == n_total is out of bounds — append one zero
+        # sentinel row (keeps all real boundaries exact) and zero empty docs
+        padded = np.vstack([bitmat, np.zeros((1, 64), dtype=bitmat.dtype)])
+        sums = np.add.reduceat(padded.astype(np.int32), offs, axis=0)
+        sums[lens == 0] = 0
+        votes = 2 * sums - lens[:, None]
+        return ((votes > 0).astype(np.uint64) * self.bits[None, :]).sum(
+            axis=1, dtype=np.uint64)
+
     def simhash(self, text: str) -> int:
-        toks = np.array(text.lower().split(), dtype=object)
-        if len(toks) == 0:
-            return 0
-        h = pd.util.hash_array(toks, categorize=False)
-        bitmat = ((h[:, None] & self.bits[None, :]) != 0).astype(np.int32)
-        votes = bitmat.sum(axis=0) * 2 - len(toks)
-        return int(((votes > 0).astype(np.uint64) * self.bits).sum(dtype=np.uint64))
+        return int(self.batch_simhash([text])[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df[[self.key_col]].copy()
-        out["simhash"] = (
-            df[self.text_col].astype(str).map(self.simhash).astype("uint64").astype("int64")
-        )
+        sig = self.batch_simhash(df[self.text_col].astype(str).tolist())
+        out["simhash"] = sig.astype(np.int64)
         return out
 
 

@@ -155,8 +155,16 @@ class LangId:
 
 class Fingerprinter:
     """Winnowing-style document fingerprint: rolling Rabin-Karp hashes over
-    byte k-grams, fingerprint = min hash (1-perm MinHash). Inner loop is
-    numpy sliding windows; the per-doc Python loop only drives numpy calls."""
+    byte k-grams, fingerprint = min hash (1-perm MinHash). Vectorized
+    across the WHOLE batch: all docs' bytes are flattened into one array
+    with per-doc offsets (the same flattened-offsets shape as
+    ``Tokenizer.__call__``); the full-document hash is a power-table
+    weighted segment sum, window hashes are k strided adds over global
+    window starts, per-doc minima come from one ``minimum.reduceat``.
+    All arithmetic is uint64 wraparound, bit-identical to the per-doc
+    reference path (``_fp``, kept for tests)."""
+
+    _P = np.uint64(1000003)
 
     def __init__(self, text_col: str = "text", k: int = 8):
         self.text_col = text_col
@@ -164,6 +172,7 @@ class Fingerprinter:
         self.pows = (np.uint64(1000003) ** np.arange(k, dtype=np.uint64)).astype(np.uint64)
 
     def _fp(self, text: str) -> tuple[int, int]:
+        """Single-doc reference implementation (testing oracle only)."""
         b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
         if len(b) < self.k:
             b = np.pad(b, (0, self.k - len(b)), constant_values=0)
@@ -174,11 +183,54 @@ class Fingerprinter:
         h = (win * self.pows).sum(axis=1, dtype=np.uint64)
         return int(full), int(h.min())
 
+    def batch_fp(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        k = self.k
+        if not texts:
+            e = np.zeros(0, dtype=np.uint64)
+            return e, e.copy()
+        encs = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):  # encoding only — all math is batch-wide
+            e = t.encode("utf-8")
+            if len(e) < k:
+                e = e + b"\x00" * (k - len(e))
+            encs.append(e)
+            lens[i] = len(e)
+        b_all = np.frombuffer(b"".join(encs), dtype=np.uint8).astype(np.uint64)
+        n_total = len(b_all)
+        doc_off = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_off[1:])
+        # P^0..P^(maxlen-1), wrapping mod 2^64
+        maxlen = int(lens.max())
+        powtab = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            np.multiply.accumulate(np.full(maxlen - 1, self._P, dtype=np.uint64),
+                                   out=powtab[1:])
+        # full hash: Σ_j b[j] · P^(L-1-j) per doc, via cumsum-difference
+        ends = np.repeat(doc_off[1:], lens)
+        terms = b_all * powtab[ends - 1 - np.arange(n_total)]
+        cs = np.zeros(n_total + 1, dtype=np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        full = cs[doc_off[1:]] - cs[doc_off[:-1]]
+        # window hashes: Σ_{j<k} b[s+j] · P^j over starts that never cross
+        # doc boundaries; every doc has ≥1 window (short docs are padded)
+        n_win = lens - k + 1
+        total_win = int(n_win.sum())
+        starts = np.repeat(doc_off[:-1], n_win) + (
+            np.arange(total_win) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        )
+        sh = np.zeros(total_win, dtype=np.uint64)
+        for j in range(k):
+            sh += b_all[starts + j] * self.pows[j]
+        win_off = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        fp_min = np.minimum.reduceat(sh, win_off)
+        return full, fp_min
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        fps = df[self.text_col].astype(str).map(self._fp)
-        out["fingerprint"] = fps.map(lambda t: t[0]).astype("uint64").astype("int64")
-        out["fp_min"] = fps.map(lambda t: t[1]).astype("uint64").astype("int64")
+        full, mn = self.batch_fp(df[self.text_col].astype(str).tolist())
+        out["fingerprint"] = full.astype(np.int64)
+        out["fp_min"] = mn.astype(np.int64)
         return out.drop(columns=[self.text_col])
 
 

@@ -53,6 +53,37 @@ def test_simhash_exact_match_dedup():
     assert out["n_copies"].sum() == 10
 
 
+def test_simhash_batch_matches_per_doc():
+    """Batch-vectorized simhash is bit-identical to the per-doc formula,
+    including empty docs, short docs, and trailing-empty batches."""
+    sh = dedup.SimHasher()
+    texts = ["the quick brown fox", "", "a", "the quick brown fox", "x y z w", ""]
+
+    def per_doc(text):
+        toks = np.array(text.lower().split(), dtype=object)
+        if len(toks) == 0:
+            return 0
+        h = pd.util.hash_array(toks, categorize=False)
+        bitmat = ((h[:, None] & sh.bits[None, :]) != 0).astype(np.int32)
+        votes = bitmat.sum(axis=0) * 2 - len(toks)
+        return int(((votes > 0).astype(np.uint64) * sh.bits).sum(dtype=np.uint64))
+
+    got = sh.batch_simhash(texts)
+    assert [int(g) for g in got] == [per_doc(t) for t in texts]
+
+
+def test_fingerprint_batch_matches_per_doc():
+    from go_tfdata_ray.functions.text import Fingerprinter
+
+    fp = Fingerprinter()
+    texts = ["hello world, this is a doc", "tiny", "", "hello world, this is a doc",
+             "another slightly longer document body here"]
+    full, mn = fp.batch_fp(texts)
+    ref = [fp._fp(t) for t in texts]
+    assert [int(x) for x in full] == [r[0] for r in ref]
+    assert [int(x) for x in mn] == [r[1] for r in ref]
+
+
 def test_ngram_jaccard():
     a = "the quick brown fox jumps over the lazy dog"
     assert dedup.ngram_jaccard(a, a) == 1.0
