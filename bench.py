@@ -93,7 +93,7 @@ def run_bench() -> dict:
 
     query_names = [] if scaling else [
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
-        "join_broadcast", "sort_topk", "dedup_exact", "token_count",
+        "join_broadcast", "topk_orders", "dedup_exact", "text_features",
         "ann_topk", "minhash_dedup", "udf_revenue", "json_extract",
         "sessionize", "training_pipeline", "tokenize_pack",
         "join_range", "rolling_value"]

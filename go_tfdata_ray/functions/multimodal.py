@@ -213,7 +213,7 @@ class AudioFeaturizer:
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = []
         if self.mode == "real":
-            rates = []
+            rates, n_samples = [], []
             for buf in t["payload"].to_pylist():
                 samples, rate = codecs.decode_wav(buf)
                 x = samples.astype(np.float64) / 32768.0
@@ -223,11 +223,13 @@ class AudioFeaturizer:
                 feats.append(np.array(
                     [np.sqrt((w ** 2).mean()) if len(w) else 0.0 for w in wins]))
                 rates.append(rate)
+                n_samples.append(len(x))
             return pa.table(
                 {
                     "media_id": t["media_id"],
                     "rms": pa.array(list(feats), pa.list_(pa.float64())),
                     "sample_rate": pa.array(rates, pa.int32()),
+                    "n_samples": pa.array(n_samples, pa.int64()),
                 }
             )
         for buf in t["payload"].to_pylist():

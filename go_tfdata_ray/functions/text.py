@@ -234,6 +234,59 @@ class Fingerprinter:
         return out.drop(columns=[self.text_col])
 
 
+class TextFeaturizer:
+    """Single-pass composite text-analysis stage: one read + one vectorized
+    ``map_batches`` computes every per-doc feature the separate stages
+    produce — doc stats (n_chars/n_spaces/n_punct), whitespace token count,
+    quality raw features (n_words/n_stop), marker-table language ID, and
+    the whitespace-normalized MD5 fingerprint. The scale point: at 100 TB
+    running five separate per-doc stages re-reads or re-pipes the corpus
+    five times; this folds them into one pass over the same batch. All
+    regexes compile once per worker (``_worker_cached``)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.ws = re.compile(r"\S+")
+        self.word = re.compile(r"[a-z]+")
+        self.stop_rx = re.compile(r"\b(?:" + "|".join(QualityScorer.STOP) + r")\b")
+        self.lang_pats = {
+            lang: re.compile(r"\b(?:" + "|".join(ws) + r")\b")
+            for lang, ws in sorted(LangId.MARKERS.items())
+        }
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        s = df[self.text_col].astype(str)
+        low = s.str.lower()
+        out = df.drop(columns=[self.text_col]).copy()
+        out["n_chars"] = s.str.len().astype("int64")
+        out["n_spaces"] = s.str.count(" ").astype("int64")
+        out["n_punct"] = s.str.count(f"[{_PUNCT}]").astype("int64")
+        out["n_ws_tokens"] = s.str.count(self.ws).astype("int64")
+        out["n_words"] = low.str.count(self.word).astype("int64")
+        out["n_stop"] = low.str.count(self.stop_rx).astype("int64")
+        counts = pd.DataFrame({lang: low.str.count(p)
+                               for lang, p in self.lang_pats.items()})
+        best = counts.idxmax(axis=1)
+        best[counts.max(axis=1) == 0] = "und"
+        out["lang_pred"] = best.values
+        norm = s.str.split().str.join(" ")
+        # md5 has no vectorized kernel; digesting pre-normalized strings is
+        # the only per-row Python left in the text family
+        out["fp_md5"] = [hashlib.md5(x.encode()).hexdigest() for x in norm]
+        return out
+
+
+def text_features(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    return ds.map_batches(
+        _worker_cached(TextFeaturizer, text_col), batch_format="pandas",
+        batch_size=4096,
+    )
+
+
 class Tokenizer:
     """Deterministic hash-vocabulary tokenizer: the GPT-2-shaped
     pretokenizer regex (same shape as ``TokenCounter.bpe``) splits text

@@ -41,37 +41,19 @@ def _i64(t: pa.Table, *cols: str) -> pa.Table:
 # reference transform operators (§2.2-2.4)
 # --------------------------------------------------------------------------
 
-def q_rename_copy(sf_dir: str):
-    """Rename: copy event_type into etype, src kept (transformation.go:54-76)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
-    ds = tr.rename(ds, "etype", ["event_type"])
-    return ds
-
-
-def q_select_prefix(sf_dir: str):
-    """Projection via ByKey + ByPrefix selections (selection.go:52-60)."""
+def q_select_selections(sf_dir: str):
+    """SampleSelectionsTransformation — the UNION of ByKey + ByPrefix +
+    BySuffix + BySubstring selections in one transform, exactly the
+    reference's semantics (selection.go:52-69, transformation.go:78-101):
+    each selector contributes its matching keys; unmatched columns
+    (l_quantity, l_tax) are dropped."""
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+                 "l_quantity", "l_tax"],
     )
-    return tr.select(ds, ByKey("l_orderkey"), ByKey("l_linenumber"), ByPrefix("l_r"))
-
-
-def q_select_suffix(sf_dir: str):
-    """Projection via BySuffix (selection.go:62-65)."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
-    )
-    return tr.select(ds, ByKey("l_orderkey"), BySuffix("status"))
-
-
-def q_select_substring(sf_dir: str):
-    """Projection via BySubstring (selection.go:67-69)."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type"]
-    )
-    return tr.select(ds, ByKey("event_id"), BySubstring("ser"))
+    return tr.select(ds, ByKey("l_orderkey"), ByPrefix("l_r"), BySuffix("status"),
+                     BySubstring("linen"))
 
 
 def q_predicate_keyvalue(sf_dir: str):
@@ -108,7 +90,9 @@ def q_coerce_widen(sf_dir: str):
 
 def q_pipeline_chain(sf_dir: str):
     """Full DefaultPipeline chain: rename → select → filter_empty
-    (mirrors test/pipeline_test.go:135-184)."""
+    (mirrors test/pipeline_test.go:135-184). The rename uses MULTIPLE
+    sources (last-src-wins, srcs kept — transformation.go:54-76): event_id
+    is shadowed by event_type, so etype == event_type."""
     from .builder import DefaultPipeline
     from ..stages.transforms import ByBatchF
 
@@ -120,7 +104,7 @@ def q_pipeline_chain(sf_dir: str):
     p = (
         DefaultPipeline()
         .from_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
-        .rename("etype", ["event_type"])
+        .rename("etype", ["event_id", "event_type"])
         .select(ByKey("event_id"), ByBatchF(purchase_cells))
         .with_samples_stage(lambda ds: tr.filter_empty(ds, key_col="event_id"))
         .collect()
@@ -170,18 +154,27 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
-def q_shuffle_seeded(sf_dir: str):
-    """ds.random_shuffle(seed): training-epoch reshuffle. Content is
-    order-insensitively identical to the input — which is exactly what the
-    driver's hash compare verifies."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
-    return ds.random_shuffle(seed=7)
+def q_topk_orders(sf_dir: str):
+    """Top-k two ways in one result (kind-tagged union): 'global' = native
+    ``ds.sort`` shuffle + ``limit`` (10 priciest orders overall); 'group' =
+    windowed rank via the per-batch-partial top-k combiner (2 priciest per
+    priority class). Also exercises ``ds.union`` across same-schema legs."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
 
+    def tag(kind):
+        def f(t: pa.Table) -> pa.Table:
+            cols = t.select(["o_orderkey", "o_orderpriority", "o_totalprice"])
+            return cols.add_column(0, "kind", pa.array([kind] * len(t)))
+        return f
 
-def q_sort_topk(sf_dir: str):
-    """sort + limit (top-k) with deterministic tie-break."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    top_global = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10).map_batches(tag("global"), batch_format="pyarrow")
+    top_group = rel.topk_per_group(
+        ds, "o_orderpriority", "o_totalprice", k=2, descending=True, tie_col="o_orderkey"
+    ).map_batches(tag("group"), batch_format="pyarrow")
+    return top_global.union(top_group)
 
 
 def q_distinct(sf_dir: str):
@@ -432,12 +425,18 @@ def q_quantiles_grouped(sf_dir: str):
     )
 
 
-def q_sample_stratified(sf_dir: str):
-    """Stratified deterministic sample: 3 orders per priority class, chosen
-    by a Knuth-hash order on the key (replayable, no RNG) — per-batch
-    partial top-k caps the shuffle at k × groups × blocks."""
+def q_sampling_chain(sf_dir: str):
+    """The sampling family composed end-to-end: seeded ``random_shuffle``
+    (content-preserving epoch reshuffle) → deterministic 1/20 key-mod
+    sample → stratified pick of 3 orders per priority class by a Knuth-hash
+    order on the key (replayable, no RNG; per-batch partial top-k caps the
+    shuffle at k × groups × blocks). Every stage's selection is
+    order-independent, so the composed output is closed-form for the
+    oracle while the shuffle is verified content-preserving by passage."""
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_orderpriority"])
+    ds = ds.random_shuffle(seed=7)
+    ds = rel.sample_mod(ds, "o_orderkey", 20)
 
     def hsh(t: pa.Table) -> pa.Table:
         h = (t["o_orderkey"].to_numpy(zero_copy_only=False) * 2654435761) % 4294967296
@@ -464,33 +463,10 @@ def q_approx_ndv(sf_dir: str):
     return pa.table({"approx_ndv": pa.array([n], pa.int64())})
 
 
-def q_union_all(sf_dir: str):
-    """ds.union of two filtered streams (same schema both sides)."""
-    base = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
-    clicks = tr.select(base, ByKey("event_id"), ByKeyValue("event_type", "click"))
-    buys = tr.select(base, ByKey("event_id"), ByKeyValue("event_type", "purchase"))
-    clicks = tr.filter_empty(clicks, key_col="event_id")
-    buys = tr.filter_empty(buys, key_col="event_id")
-    return clicks.union(buys)
-
-
-def q_sample_mod(sf_dir: str):
-    """Deterministic 1/20 sample on the order key (replayable — no RNG)."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
-    return rel.sample_mod(ds, "o_orderkey", 20)
-
-
 def q_explode_embeddings(sf_dir: str):
     """flat_map / unnest: one row per embedding element."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return rel.explode_list(ds, "embedding", value_name="value", value_type=pa.float64())
-
-
-def q_group_collect(sf_dir: str):
-    """Tar Record grouping analog (manager.go:57-63): collect each user's
-    event ids, order-canonical CSV per group."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id"])
-    return rel.collect_group_csv(ds, "user_id", "event_id", out_col="event_ids_csv")
 
 
 def q_inverted_index(sf_dir: str):
@@ -514,16 +490,6 @@ def q_inverted_index(sf_dir: str):
 
     exploded = ds.map_batches(postings, batch_format="pandas")
     return rel.collect_group_csv(exploded, "token", "doc_id", out_col="doc_ids_csv")
-
-
-def q_topk_per_group(sf_dir: str):
-    """Windowed rank: 2 priciest orders per priority class."""
-    ds = rd.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
-    )
-    return rel.topk_per_group(
-        ds, "o_orderpriority", "o_totalprice", k=2, descending=True, tie_col="o_orderkey"
-    )
 
 
 def _big_order_custkeys(sf_dir: str):
@@ -641,26 +607,24 @@ def q_sessionize(sf_dir: str):
     return rel.sessionize(ds, "user_id", "ts", gap_s=1800, order_tiebreak="event_id")
 
 
-def q_pack_sequences(sf_dir: str):
-    """Pack the CDC lake's token documents into fixed 512-token training
-    sequences (EOD-separated, tail-padded) — batch-local greedy packing."""
-    from ..functions import pack
-
-    eng = replayed_engine(sf_dir)
-    return pack.pack_sequences(eng.scan(), context_len=512, eod_token=50256)
-
-
-def q_join_semi(sf_dir: str):
-    """Semi join via broadcast key set (Bloom filter at scale): customers
-    with at least one >400k order."""
+def q_join_semi_anti(sf_dir: str):
+    """Semi + anti join in one kind-tagged result: customers with ≥1
+    >400k order ('semi') and customers with none ('anti'), both via the
+    broadcast key-set filter (Bloom at scale), unioned — every input row
+    appears in exactly one leg."""
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    return joins.semi_join_filter(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+    keys = _big_order_custkeys(sf_dir)
 
+    def tag(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.add_column(0, "kind", pa.array([kind] * len(t)))
+        return f
 
-def q_join_anti(sf_dir: str):
-    """Anti join: customers with no >400k order."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    return joins.semi_join_filter(cust, _big_order_custkeys(sf_dir), on="c_custkey", anti=True)
+    semi = joins.semi_join_filter(cust, keys, on="c_custkey").map_batches(
+        tag("semi"), batch_format="pyarrow")
+    anti = joins.semi_join_filter(cust, keys, on="c_custkey", anti=True).map_batches(
+        tag("anti"), batch_format="pyarrow")
+    return semi.union(anti)
 
 
 # --------------------------------------------------------------------------
@@ -717,34 +681,21 @@ def _digest_ds(ds, extra_cols: tuple[str, ...] = ()):
 
 
 def q_cdc_replay_digest(sf_dir: str):
-    """Full WAL replay → merged final state with per-row token digests
-    (exact list equality itself is asserted in pytest)."""
-    return _digest_ds(replayed_engine(sf_dir).scan())
+    """Full WAL replay → merged final state, PLUS the same state after
+    COMPACT (deltas folded into per-partition bases, tombstones physically
+    dropped) + vacuum on a second lake — stage-tagged union with per-row
+    token digests. Both stages must carry identical rows, so the oracle is
+    the same digest twice (exact token-list equality is asserted in
+    pytest)."""
 
+    def tag(stage):
+        def f(t: pa.Table) -> pa.Table:
+            return t.add_column(0, "stage", pa.array([stage] * len(t)))
+        return f
 
-def q_cdc_counts_by_source(sf_dir: str):
-    """Grouped rollup over the merged lake state."""
-    eng = replayed_engine(sf_dir)
-    ds = eng.scan(columns=["source", "n_tok"])
+    replay = _digest_ds(replayed_engine(sf_dir).scan()).map_batches(
+        tag("replay"), batch_format="pyarrow")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n=np.int64(1), tok=df["n_tok"].astype("int64"))
-        return df.groupby("source", sort=False, as_index=False)[["n", "tok"]].sum()
-
-    out = rel.combine_partials(
-        ds.map_batches(partial, batch_format="pandas"), ["source"], ["n", "tok"]
-    )
-    return out.map_batches(
-        lambda t: _i64(t.rename_columns(["source", "n_docs", "total_tokens"]),
-                       "n_docs", "total_tokens"),
-        batch_format="pyarrow",
-    )
-
-
-def q_cdc_compacted_digest(sf_dir: str):
-    """Replay + COMPACT (deltas folded into per-partition bases, tombstones
-    physically dropped) + vacuum; the merged state must be unchanged — same
-    oracle as cdc_replay_digest."""
     wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
     lake = os.path.join("/tmp/graft_lake", f"sf{walmod.sf_from_dir(sf_dir):g}-compacted")
     eng = CDCEngine(lake, num_partitions=16)
@@ -752,7 +703,9 @@ def q_cdc_compacted_digest(sf_dir: str):
     if eng.manifest.epochs:  # uncompacted epoch delta segments present
         eng.compact()
         eng.vacuum()
-    return _digest_ds(eng.scan())
+    compacted = _digest_ds(eng.scan()).map_batches(tag("compacted"),
+                                                   batch_format="pyarrow")
+    return replay.union(compacted)
 
 
 def q_cdc_changes_digest(sf_dir: str):
@@ -770,28 +723,48 @@ def q_cdc_changes_digest(sf_dir: str):
     return _digest_ds(eng.changes(v1, collapsed=True), extra_cols=("op", "seq"))
 
 
-def q_cdc_incremental_rollup(sf_dir: str):
-    """Materialized per-source rollup maintained INCREMENTALLY by a CDC
-    consumer — refreshed from the changes feed (+ pre-image lookups at the
-    old version) after every epoch, never rescanning the lake. Must equal
-    the from-scratch grouped aggregate (same oracle as
-    cdc_counts_by_source)."""
+def q_cdc_rollups(sf_dir: str):
+    """Per-source rollup computed TWO ways, kind-tagged: 'scan' = grouped
+    aggregate over the merged lake (partial combine per batch, one small
+    groupby); 'incr' = the same rollup maintained INCREMENTALLY by a CDC
+    consumer refreshed from the changes feed (+ pre-image lookups at the
+    old version) after every epoch, never rescanning the lake. The two
+    kinds must agree, so the oracle is one GROUP BY emitted twice."""
     from ..cdc.consumer import SourceRollup
+
+    eng = replayed_engine(sf_dir)
+    ds = eng.scan(columns=["source", "n_tok"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n=np.int64(1), tok=df["n_tok"].astype("int64"))
+        return df.groupby("source", sort=False, as_index=False)[["n", "tok"]].sum()
+
+    out = rel.combine_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["source"], ["n", "tok"]
+    )
+    scan_df = out.map_batches(
+        lambda t: _i64(t.rename_columns(["source", "n_docs", "total_tokens"]),
+                       "n_docs", "total_tokens"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    scan_df.insert(0, "kind", "scan")
 
     wal_dir, _files = walmod.ensure_wal_for_sf(sf_dir)
     lake = os.path.join("/tmp/graft_lake",
                         f"sf{walmod.sf_from_dir(sf_dir):g}-incr-v1")
-    eng = CDCEngine(lake, num_partitions=16)
-    view = SourceRollup(eng)
+    eng2 = CDCEngine(lake, num_partitions=16)
+    view = SourceRollup(eng2)
     applied_any = False
     for e, paths in walmod.list_segments(wal_dir):
-        st = eng.apply_epoch(e, paths)
+        st = eng2.apply_epoch(e, paths)
         if not st.get("skipped"):
             applied_any = True
             view.refresh()
     if not applied_any:  # lake pre-materialized from an earlier run
         view.full_refresh()
-    return view.table()
+    incr_df = view.table().to_pandas()
+    incr_df.insert(0, "kind", "incr")
+    return pd.concat([scan_df, incr_df], ignore_index=True)
 
 
 def q_tar_pipeline(sf_dir: str):
@@ -895,15 +868,15 @@ def q_json_extract(sf_dir: str):
     return text.json_extract(ds, "props", "k", out_type=pa.int64())
 
 
-def q_doc_stats(sf_dir: str):
+def q_text_features(sf_dir: str):
+    """The whole per-doc text-analysis family in ONE single-pass stage
+    (see ``text.TextFeaturizer``): doc stats + whitespace token count +
+    quality raw features + language ID + whitespace-normalized MD5
+    fingerprint, every column SQL-reproducible and hash-checked. The float
+    quality ratios/score and the rolling-hash winnowing fingerprint stay
+    pytest-covered (``text.quality`` / ``text.fingerprints``)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return text.doc_stats(ds)
-
-
-def q_token_count(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    out = text.token_counts(ds)
-    return out.select_columns(["doc_id", "n_ws_tokens"])
+    return text.text_features(ds)
 
 
 _BPE_RX = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
@@ -965,61 +938,37 @@ def q_ann_topk(sf_dir: str):
     )
 
 
-# ---- rows-only (no SQL-expressible oracle; covered by pytest) -------------
+def _plant_doc_copies(ds, every: int = 50):
+    """Plant EXACT copies of every ``every``-th document (doc_id + 1_000_000)
+    — the same closed-form-ground-truth pattern as ``embedding_neardup``:
+    identical text ⇒ identical signatures ⇒ guaranteed same LSH buckets, so
+    recall for the planted set is exactly 1 and the expected output is
+    SQL-closed-form (planted copies ∪ natural exact dups)."""
 
-def q_lang_id(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return text.lang_id(ds)
-
-
-def q_quality(sf_dir: str):
-    """Quality scoring — the driver checks the integer raw features
-    (SQL-reproducible); the float ratios/score are covered by pytest."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return text.quality(ds).select_columns(["doc_id", "n_words", "n_stop"])
-
-
-def q_fingerprint(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return text.fingerprints(ds)
-
-
-def q_fingerprint_md5(sf_dir: str):
-    """Whitespace-normalized MD5 document fingerprint — same dedup role as
-    the rolling-hash fingerprint, expressible in SQL so the whole
-    fingerprint family gets a hash-checked representative."""
-    import hashlib as _hl
-
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def fp(df: pd.DataFrame) -> pd.DataFrame:
-        norm = df["text"].astype(str).str.split().str.join(" ")
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype("int64"),
-                "fp_md5": [_hl.md5(s.encode()).hexdigest() for s in norm],
-            }
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copies = t.filter(pa.array(d % every == 0))
+        copies = copies.set_column(
+            copies.column_names.index("doc_id"), "doc_id",
+            pc.add(copies["doc_id"], pa.scalar(1_000_000)),
         )
+        return pa.concat_tables([t, copies])
 
-    return ds.map_batches(fp, batch_format="pandas")
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup at threshold 0.5 — rows-only BY NATURE: the
+    output is signature-estimate-thresholded, and the fixture's natural
+    near-dups collide in est (a doc pair differing by 1 of ~60 tokens has
+    Jaccard ≈ 0.97, so all 64 minhash components agree with P ≈ 0.97⁶⁴ ≈
+    0.14 — measured: 7 such est=1.0 collisions at sf0.01), which no SQL
+    oracle can reproduce. The hash-checked representative of this exact
+    machinery is ``ngram_dedup`` (same shingle→minhash→band→bucket
+    pipeline + exact distributed verify); recall/threshold monotonicity is
+    pytest-covered."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dedup.minhash_lsh_dedup(ds, threshold=0.5)
-
-
-def q_simhash_dedup(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return dedup.simhash_dedup(ds)
-
-
-def q_dedup_clusters(sf_dir: str):
-    """Transitive duplicate clusters: MinHash-LSH pairs → connected
-    components (min-key representative)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    pairs = dedup.minhash_lsh_dedup(ds, threshold=0.5)
-    return dedup.cluster_duplicates(pairs)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1049,46 +998,46 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
+    """Multi-probe LSH ANN with a PLANTED closed-form answer: exact copies
+    of every 50th vector (vec_id + 1_000_000) join the corpus, and the
+    originals become the probe queries. An identical vector lands in the
+    query's own bucket with cosine 1.0 (natural max pairwise cosine in the
+    fixture is ~0.6), so each query's top-1 is provably its planted copy —
+    the bucketing/probing/ranking machinery is hash-checked while approx
+    recall on non-identical neighbors stays pytest-covered."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copies = t.filter(pa.array(v % 50 == 0))
+        copies = copies.set_column(
+            copies.column_names.index("vec_id"), "vec_id",
+            pc.add(copies["vec_id"], pa.scalar(1_000_000)),
+        )
+        return pa.concat_tables([t, copies])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    queries = queries[queries["vec_id"] < 4]
-    out = ann.lsh_topk(ds, queries, k=10)
+    queries = queries[queries["vec_id"] % 50 == 0]
+    out = ann.lsh_topk(planted, queries, k=1)
     return out.map_batches(
-        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]), "query_id", "vec_id"),
+        lambda t: _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id"),
         batch_format="pyarrow",
     )
 
 
 def q_simhash_neardup(sf_dir: str):
     """Hamming-banded SimHash near-dup (4×16-bit bands, full-signature
-    Hamming verify ≤ 3) — pytest-verified on planted bit-flip fixtures."""
+    Hamming verify ≤ 3) — rows-only BY NATURE: a natural near-dup pair
+    differing by 1 of ~60 tokens leaves every one of the 64 majority votes
+    unchanged with non-negligible probability (measured: 1 full-signature
+    collision at sf0.01 even at max_hamming=0), so the thresholded output
+    is not SQL-closed-form. Exact-match simhash grouping and the planted
+    bit-flip Hamming fixtures are pytest-covered; the dedup family's
+    hash-checked rows come from dedup_exact / ngram_dedup /
+    embedding_neardup / dedup_clusters_planted."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return dedup.simhash_banded_neardup(ds, max_hamming=3)
-
-
-def q_pack_conservation(sf_dir: str):
-    """Token conservation of sequence packing (the SQL-checkable projection
-    of pack_sequences): total non-pad content across all packed sequences
-    must equal Σ n_tok + one EOD per doc over the CDC lake — exact, and
-    independent of block layout (each batch's content is (n_seq-1)·ctx +
-    fill_last·ctx, summed via a combiner)."""
-    from ..functions import pack
-
-    eng = replayed_engine(sf_dir)
-    packed = pack.pack_sequences(eng.scan(), context_len=512, eod_token=50256)
-
-    def partial(t: pa.Table) -> pa.Table:
-        fill = t["fill_ratio"].to_numpy(zero_copy_only=False)
-        content = int(np.rint(fill.sum() * 512))
-        return pa.table({"content_tokens": pa.array([content], pa.int64())})
-
-    def total(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"content_tokens": [np.int64(df["content_tokens"].sum())]})
-
-    # partials are ONE row per block — the single-task final is bounded
-    return packed.map_batches(partial, batch_format="pyarrow").repartition(1).map_batches(
-        total, batch_format="pandas", batch_size=None
-    )
 
 
 def q_dedup_clusters_planted(sf_dir: str):
@@ -1110,17 +1059,18 @@ def q_dedup_clusters_planted(sf_dir: str):
 
 
 def q_ngram_dedup(sf_dir: str):
+    """Exact word-k-gram Jaccard dedup at threshold 1.0 over documents +
+    planted exact copies: LSH candidates (signature threshold 1.0) are
+    verified with the exact distributed k-gram hash-set Jaccard, so the
+    output is exactly the docs whose token sequence matches an earlier doc
+    — same closed-form oracle as minhash_dedup, but reached through the
+    pair-explode → semi-join-narrow → bucketed-join → pair-shard-verify
+    machinery. Sub-1.0 thresholds stay pytest-covered."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return dedup.ngram_verified_dedup(ds, threshold=0.5)
-
-
-def q_ann_ivf(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    queries = queries[queries["vec_id"] < 4]
-    out = ann.ivf_topk(ds, queries, k=10)
+    out = dedup.ngram_verified_dedup(_plant_doc_copies(ds), threshold=1.0,
+                                     candidate_margin=1.0)
     return out.map_batches(
-        lambda t: _i64(t.select(["query_id", "vec_id", "rank"]), "query_id", "vec_id"),
+        lambda t: _i64(t.select(["doc_id", "dup_of"]), "doc_id", "dup_of"),
         batch_format="pyarrow",
     )
 
@@ -1129,7 +1079,7 @@ def q_ann_ivf_full(sf_dir: str):
     """IVF at FULL probe (n_probe = n_centroids): exercises the trained
     coarse quantizer + bucket-probe machinery while being provably exact —
     so it shares the brute-force DuckDB oracle. The partial-probe approx
-    path stays covered by ``ann_ivf`` (rows-only) + the recall pytest."""
+    path stays covered by the recall pytest."""
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     queries = queries[queries["vec_id"] < 4]
@@ -1141,23 +1091,34 @@ def q_ann_ivf_full(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal decode: synthetic PNG payloads → actor-pool REAL PNG
-    decode (pure zlib+numpy codec) → per-image feature vector."""
+    """Multimodal image pipeline, stage-tagged union: 'decode' = REAL PNG
+    decode (pure zlib+numpy codec) of the synthetic payloads, emitting the
+    decoded dimensions (closed-form: w = h = 64 + (i%4)·32); 'resize' =
+    decode → nearest-neighbor resample to 32×32 → PNG re-encode → decode
+    again, emitting the resized dimensions. Dimensions are recovered from
+    the PIXELS after a full encode/decode round trip, so both codec
+    directions are hash-checked; pixel-level content equality stays in the
+    codec round-trip pytests (float feature vectors are excluded from the
+    driver compare)."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
-    return multimodal.decode_images(ds, mode="real")
 
+    def dims(stage):
+        def f(t: pa.Table) -> pa.Table:
+            out = t.select(["media_id", "width", "height"])
+            out = _i64(out, "width", "height")
+            return out.add_column(0, "stage", pa.array([stage] * len(t)))
+        return f
 
-def q_media_resize(sf_dir: str):
-    """Real PNG resize: decode → nearest-neighbor resample → re-encode,
-    per batch in the actor pool."""
-    from ..functions import multimodal
-
-    n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
-    return multimodal.resize_images(ds, 32, 32, mode="real")
+    ds1 = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
+    decoded = multimodal.decode_images(ds1, mode="real").map_batches(
+        dims("decode"), batch_format="pyarrow")
+    ds2 = rd.from_arrow(multimodal.synth_media_table(n, payload="png"))
+    resized = multimodal.decode_images(
+        multimodal.resize_images(ds2, 32, 32, mode="real"), mode="real"
+    ).map_batches(dims("resize"), batch_format="pyarrow")
+    return decoded.union(resized)
 
 
 def q_media_frames(sf_dir: str):
@@ -1174,11 +1135,20 @@ def q_media_frames(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
+    """REAL WAV decode (RIFF header + int16 PCM) → per-window RMS features.
+    The driver hash-checks the header/PCM round trip (sample_rate parsed
+    from RIFF, n_samples = decoded mono length — both closed-form for the
+    synthetic clips); the float RMS values are pytest-covered."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
     ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="audio", payload="wav"))
-    return multimodal.audio_features(ds, n_windows=4, mode="real")
+    out = multimodal.audio_features(ds, n_windows=4, mode="real")
+    return out.map_batches(
+        lambda t: _i64(t.select(["media_id", "sample_rate", "n_samples"]),
+                       "sample_rate", "n_samples"),
+        batch_format="pyarrow",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1186,77 +1156,65 @@ def q_audio_features(sf_dir: str):
 # --------------------------------------------------------------------------
 
 QUERIES = {
-    "rename_copy": q_rename_copy,
-    "select_prefix": q_select_prefix,
-    "select_suffix": q_select_suffix,
-    "select_substring": q_select_substring,
+    # §2.2-2.4 reference transform surface
+    "select_selections": q_select_selections,
     "predicate_keyvalue": q_predicate_keyvalue,
     "udf_revenue": q_udf_revenue,
     "coerce_widen": q_coerce_widen,
     "pipeline_chain": q_pipeline_chain,
+    # relational / wide operators
     "agg_pricing": q_agg_pricing,
-    "sort_topk": q_sort_topk,
-    "shuffle_seeded": q_shuffle_seeded,
+    "rollup_pricing": q_rollup_pricing,
     "distinct": q_distinct,
+    "window_hourly": q_window_hourly,
+    "window_sliding": q_window_sliding,
+    "explode_embeddings": q_explode_embeddings,
+    "inverted_index": q_inverted_index,
+    "topk_orders": q_topk_orders,
+    "split_assign": q_split_assign,
+    "sessionize": q_sessionize,
+    "rolling_value": q_rolling_value,
+    "quantiles_grouped": q_quantiles_grouped,
+    "sampling_chain": q_sampling_chain,
+    # joins
     "join_broadcast": q_join_broadcast,
     "join_bucketed": q_join_bucketed,
     "join_storage": q_join_storage,
-    "window_hourly": q_window_hourly,
-    "union_all": q_union_all,
-    "sample_mod": q_sample_mod,
-    "explode_embeddings": q_explode_embeddings,
-    "group_collect": q_group_collect,
-    "topk_per_group": q_topk_per_group,
-    "inverted_index": q_inverted_index,
-    "join_semi": q_join_semi,
-    "join_anti": q_join_anti,
-    "join_asof": q_join_asof,
-    "split_assign": q_split_assign,
-    "sessionize": q_sessionize,
-    "pack_sequences": q_pack_sequences,
-    "window_sliding": q_window_sliding,
-    "rolling_value": q_rolling_value,
-    "approx_ndv": q_approx_ndv,
-    "rollup_pricing": q_rollup_pricing,
+    "join_semi_anti": q_join_semi_anti,
     "join_semi_bloom": q_join_semi_bloom,
     "join_outer": q_join_outer,
-    "quantiles_grouped": q_quantiles_grouped,
-    "sample_stratified": q_sample_stratified,
+    "join_asof": q_join_asof,
     "join_range": q_join_range,
     "join_range_bins": q_join_range_bins,
-    "cdc_changes_digest": q_cdc_changes_digest,
-    "cdc_incremental_rollup": q_cdc_incremental_rollup,
+    # CDC (the north rule)
     "cdc_replay_digest": q_cdc_replay_digest,
-    "cdc_counts_by_source": q_cdc_counts_by_source,
-    "cdc_compacted_digest": q_cdc_compacted_digest,
+    "cdc_changes_digest": q_cdc_changes_digest,
+    "cdc_rollups": q_cdc_rollups,
+    # end-to-end pipelines
     "training_pipeline": q_training_pipeline,
     "tar_pipeline": q_tar_pipeline,
     "tfrecord_roundtrip": q_tfrecord_roundtrip,
+    # text analysis
     "json_extract": q_json_extract,
-    "doc_stats": q_doc_stats,
-    "token_count": q_token_count,
+    "text_features": q_text_features,
     "tokenize": q_tokenize,
     "tokenize_pack": q_tokenize_pack,
+    # dedup
     "dedup_exact": q_dedup_exact,
-    "ann_topk": q_ann_topk,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
-    "fingerprint_md5": q_fingerprint_md5,
-    "ann_ivf_full": q_ann_ivf_full,
     "minhash_dedup": q_minhash_dedup,
-    "dedup_clusters": q_dedup_clusters,
-    "simhash_dedup": q_simhash_dedup,
     "simhash_neardup": q_simhash_neardup,
-    "embedding_neardup": q_embedding_neardup,
-    "pack_conservation": q_pack_conservation,
-    "dedup_clusters_planted": q_dedup_clusters_planted,
-    "ann_lsh": q_ann_lsh,
     "ngram_dedup": q_ngram_dedup,
-    "ann_ivf": q_ann_ivf,
+    "embedding_neardup": q_embedding_neardup,
+    "dedup_clusters_planted": q_dedup_clusters_planted,
+    # ANN
+    "ann_topk": q_ann_topk,
+    "ann_ivf_full": q_ann_ivf_full,
+    "ann_lsh": q_ann_lsh,
+    # sketches
+    "approx_ndv": q_approx_ndv,
+    # multimodal
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
-    "media_resize": q_media_resize,
     "audio_features": q_audio_features,
 }
 
@@ -1272,11 +1230,38 @@ last AS (
 )
 """
 
+_DIGEST_COLS = (
+    "doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
+    "CAST(list_sum(tokens) AS BIGINT) AS tok_sum, "
+    "CAST(tokens[1] AS BIGINT) AS tok_first, "
+    "CAST(tokens[-1] AS BIGINT) AS tok_last"
+)
+
+# doc-text normalizations for the planted-dedup oracles: the engines'
+# tokenization is lower().split(), i.e. \s+ splitting with empties dropped
+_NORM_SEQ = ("array_to_string(list_filter(string_split_regex(lower(text), "
+             "'\\s+'), x -> x <> ''), ' ')")
+def _planted_dup_sql(norm_expr: str) -> str:
+    """Expected (doc_id, dup_of) of a signature-equality dedup over
+    documents + planted copies (every 50th doc, id + 1_000_000): each doc
+    whose normalized text matches an earlier doc points at its group's
+    min-id representative."""
+    return (
+        f"WITH d AS (SELECT doc_id, {norm_expr} AS nrm FROM documents), "
+        "grp AS (SELECT nrm, MIN(doc_id) AS rep FROM d GROUP BY nrm), "
+        "nat AS (SELECT d.doc_id AS doc_id, g.rep AS dup_of FROM d "
+        "  JOIN grp g ON d.nrm = g.nrm WHERE d.doc_id > g.rep), "
+        "pl AS (SELECT d.doc_id + 1000000 AS doc_id, g.rep AS dup_of FROM d "
+        "  JOIN grp g ON d.nrm = g.nrm WHERE d.doc_id % 50 = 0) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dup_of AS BIGINT) AS dup_of "
+        "FROM nat UNION ALL SELECT CAST(doc_id AS BIGINT), CAST(dup_of AS BIGINT) FROM pl"
+    )
+
+
 ORACLE_SQL = {
-    "rename_copy": "SELECT event_id, event_type, event_type AS etype FROM events",
-    "select_prefix": "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
-    "select_suffix": "SELECT l_orderkey, l_linestatus FROM lineitem",
-    "select_substring": "SELECT event_id, user_id FROM events",
+    "select_selections": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem"
+    ),
     "predicate_keyvalue": "SELECT event_id, event_type FROM events WHERE event_type = 'click'",
     "udf_revenue": (
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
@@ -1298,44 +1283,23 @@ ORACLE_SQL = {
         "CAST(COUNT(*) AS BIGINT) AS count_order "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     ),
-    "sort_topk": (
-        "SELECT o_orderkey, o_totalprice FROM orders "
-        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    "rollup_pricing": (
+        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     ),
-    "shuffle_seeded": "SELECT o_orderkey, o_totalprice FROM orders",
     "distinct": "SELECT DISTINCT event_type FROM events",
-    "join_broadcast": (
-        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
-        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
-        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
-    ),
-    "join_bucketed": (
-        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
-        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
-    ),
-    "join_storage": (
-        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
-        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
-    ),
     "window_hourly": (
         "SELECT user_id, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2"
     ),
-    "union_all": (
-        "SELECT event_id, event_type FROM events WHERE event_type = 'click' "
-        "UNION ALL SELECT event_id, event_type FROM events WHERE event_type = 'purchase'"
-    ),
-    "sample_mod": (
-        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0"
+    "window_sliding": (
+        "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
     ),
     "explode_embeddings": (
         "SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS value FROM embeddings"
-    ),
-    "group_collect": (
-        "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) "
-        "AS event_ids_csv FROM events GROUP BY user_id"
     ),
     "inverted_index": (
         "WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), "
@@ -1343,17 +1307,13 @@ ORACLE_SQL = {
         "SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
         "AS doc_ids_csv FROM t GROUP BY token"
     ),
-    "topk_per_group": (
-        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
-        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
-        "ORDER BY o_totalprice DESC, o_orderkey) <= 2"
-    ),
-    "join_asof": (
-        "WITH pur AS (SELECT user_id, ts, MAX(event_id) AS pid FROM events "
-        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) "
-        "SELECT e.event_id, COALESCE(p.pid, -1) AS prev_purchase "
-        "FROM events e ASOF LEFT JOIN pur p "
-        "  ON e.user_id = p.user_id AND p.ts < e.ts"
+    "topk_orders": (
+        "(SELECT 'global' AS kind, o_orderkey, o_orderpriority, o_totalprice "
+        " FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) "
+        "UNION ALL "
+        "(SELECT 'group' AS kind, o_orderkey, o_orderpriority, o_totalprice "
+        " FROM orders QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        " ORDER BY o_totalprice DESC, o_orderkey) <= 2)"
     ),
     "split_assign": (
         "SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'train' "
@@ -1370,25 +1330,45 @@ ORACLE_SQL = {
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM y GROUP BY 1, 2"
     ),
-    "join_semi": (
-        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
-        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    "rolling_value": (
+        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value*100) AS BIGINT)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM events"
     ),
-    "join_anti": (
-        "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o "
-        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    "quantiles_grouped": (
+        "SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS p50, "
+        "quantile_disc(o_totalprice, 0.95) AS p95 FROM orders "
+        "GROUP BY o_orderpriority"
     ),
-    "window_sliding": (
-        "SELECT CAST(floor(epoch(ts)/900)*900 - o*900 AS BIGINT) AS window_start, "
-        "CAST(COUNT(*) AS BIGINT) AS n_events "
-        "FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS o) t GROUP BY 1"
+    "sampling_chain": (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_orderkey % 20 = 0 "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) <= 3"
     ),
-    "media_frames": (
-        # deterministic synth media table at sf0.01: n=100, n_frames=(i%30)+1,
-        # sampled every 10 frames
-        "WITH m AS (SELECT range AS i, (range % 30) + 1 AS n_frames FROM range(100)) "
-        "SELECT printf('m-%06d', i) AS media_id, "
-        "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m"
+    "join_broadcast": (
+        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
+    ),
+    "join_bucketed": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "join_storage": (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    ),
+    "join_semi_anti": (
+        "SELECT 'semi' AS kind, c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) "
+        "UNION ALL "
+        "SELECT 'anti' AS kind, c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
     ),
     "join_semi_bloom": (
         "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
@@ -1402,25 +1382,12 @@ ORACLE_SQL = {
         "COALESCE(cu.c_name, '') AS c_name, COALESCE(big.n_big, -1) AS n_big "
         "FROM cu FULL OUTER JOIN big ON cu.c_custkey = big.c_custkey"
     ),
-    "rollup_pricing": (
-        "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items, "
-        "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
-    ),
-    "rolling_value": (
-        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value*100) AS BIGINT)) "
-        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM events"
-    ),
-    "quantiles_grouped": (
-        "SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) AS p50, "
-        "quantile_disc(o_totalprice, 0.95) AS p95 FROM orders "
-        "GROUP BY o_orderpriority"
-    ),
-    "sample_stratified": (
-        "SELECT o_orderkey, o_orderpriority FROM orders "
-        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
-        "ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) <= 3"
+    "join_asof": (
+        "WITH pur AS (SELECT user_id, ts, MAX(event_id) AS pid FROM events "
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT e.event_id, COALESCE(p.pid, -1) AS prev_purchase "
+        "FROM events e ASOF LEFT JOIN pur p "
+        "  ON e.user_id = p.user_id AND p.ts < e.ts"
     ),
     "join_range": (
         "WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events "
@@ -1435,10 +1402,10 @@ ORACLE_SQL = {
         "CAST(n_nationkey AS BIGINT) AS n_nationkey FROM part, nation "
         "WHERE p_retailprice BETWEEN n_nationkey*200 AND n_nationkey*200 + 150"
     ),
-    "cdc_incremental_rollup": _CDC_LAST + (
-        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
-        "FROM last WHERE op <> 'D' GROUP BY source"
+    "cdc_replay_digest": _CDC_LAST + (
+        f"SELECT 'replay' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D' "
+        "UNION ALL "
+        f"SELECT 'compacted' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D'"
     ),
     "cdc_changes_digest": (
         f"WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')), "
@@ -1452,19 +1419,14 @@ ORACLE_SQL = {
         "op, CAST(seq AS BIGINT) AS seq "
         "FROM net"
     ),
-    "cdc_replay_digest": _CDC_LAST + (
-        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
-        "CAST(list_sum(tokens) AS BIGINT) AS tok_sum, "
-        "CAST(tokens[1] AS BIGINT) AS tok_first, "
-        "CAST(tokens[-1] AS BIGINT) AS tok_last "
-        "FROM last WHERE op <> 'D'"
-    ),
-    "cdc_compacted_digest": _CDC_LAST + (
-        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source, "
-        "CAST(list_sum(tokens) AS BIGINT) AS tok_sum, "
-        "CAST(tokens[1] AS BIGINT) AS tok_first, "
-        "CAST(tokens[-1] AS BIGINT) AS tok_last "
-        "FROM last WHERE op <> 'D'"
+    "cdc_rollups": _CDC_LAST + (
+        "SELECT 'scan' AS kind, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
+        "FROM last WHERE op <> 'D' GROUP BY source "
+        "UNION ALL "
+        "SELECT 'incr' AS kind, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
+        "FROM last WHERE op <> 'D' GROUP BY source"
     ),
     "tar_pipeline": (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang "
@@ -1474,43 +1436,31 @@ ORACLE_SQL = {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
         "FROM documents"
     ),
-    "cdc_counts_by_source": _CDC_LAST + (
-        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
-        "FROM last WHERE op <> 'D' GROUP BY source"
-    ),
     "json_extract": (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events"
     ),
-    "doc_stats": (
-        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
-        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct "
-        "FROM documents"
-    ),
-    "token_count": (
-        "SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
-        "x -> x <> '')) AS BIGINT) AS n_ws_tokens FROM documents"
-    ),
-    "dedup_exact": (
-        "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
-        "FROM documents GROUP BY text"
-    ),
-    "fingerprint_md5": (
-        "SELECT doc_id, md5(array_to_string(list_filter(string_split_regex("
-        "text, '\\s+'), x -> x <> ''), ' ')) AS fp_md5 FROM documents"
-    ),
-    "ann_ivf_full": (
-        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
-        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
-        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
-        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
-    ),
-    "ann_topk": (
-        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
-        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
-        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
-        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    "text_features": (
+        r"WITH c AS (SELECT doc_id, text, "
+        r"len(regexp_extract_all(lower(text), '\b(?:der|und|die|nicht|ist|das)\b')) AS de, "
+        r"len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with|for)\b')) AS en, "
+        r"len(regexp_extract_all(lower(text), '\b(?:el|la|los|que|es|una)\b')) AS es, "
+        r"len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des|est)\b')) AS fr "
+        r"FROM documents) "
+        r"SELECT doc_id, "
+        r"CAST(length(text) AS BIGINT) AS n_chars, "
+        r"CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
+        r"CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct, "
+        r"CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens, "
+        r"CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, "
+        r"CAST(len(regexp_extract_all(lower(text), "
+        r"'\b(?:the|a|of|and|to|in|is|for)\b')) AS BIGINT) AS n_stop, "
+        r"CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und' "
+        r"WHEN de >= en AND de >= es AND de >= fr THEN 'de' "
+        r"WHEN en >= es AND en >= fr THEN 'en' "
+        r"WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred, "
+        r"md5(array_to_string(list_filter(string_split_regex(text, '\s+'), "
+        r"x -> x <> ''), ' ')) AS fp_md5 "
+        r"FROM c"
     ),
     "tokenize": (
         r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
@@ -1521,40 +1471,62 @@ ORACLE_SQL = {
         r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+'))) + COUNT(*) AS BIGINT) "
         r"AS content_tokens FROM documents"
     ),
-    "quality": (
-        r"SELECT doc_id, "
-        r"CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words, "
-        r"CAST(len(regexp_extract_all(lower(text), "
-        r"'\b(?:the|a|of|and|to|in|is|for)\b')) AS BIGINT) AS n_stop "
-        r"FROM documents"
+    "dedup_exact": (
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY text"
     ),
-    "lang_id": (
-        # counts per language with the SAME \b-bounded marker alternations as
-        # text.LangId; tie-break = first max in alphabetical column order
-        r"WITH c AS (SELECT doc_id, "
-        r"len(regexp_extract_all(lower(text), '\b(?:der|und|die|nicht|ist|das)\b')) AS de, "
-        r"len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|with|for)\b')) AS en, "
-        r"len(regexp_extract_all(lower(text), '\b(?:el|la|los|que|es|una)\b')) AS es, "
-        r"len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des|est)\b')) AS fr "
-        r"FROM documents) "
-        r"SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und' "
-        r"WHEN de >= en AND de >= es AND de >= fr THEN 'de' "
-        r"WHEN en >= es AND en >= fr THEN 'en' "
-        r"WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
-    ),
+    "ngram_dedup": _planted_dup_sql(_NORM_SEQ),
     "embedding_neardup": (
         # ground truth: the planted exact copies (natural max cosine ~0.6 is
         # far below the 0.98 threshold, verified in tests)
         "SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id, "
         "CAST(vec_id AS BIGINT) AS dup_of FROM embeddings WHERE vec_id % 50 = 0"
     ),
-    "pack_conservation": _CDC_LAST + (
-        "SELECT CAST(SUM(n_tok) + COUNT(*) AS BIGINT) AS content_tokens "
-        "FROM last WHERE op <> 'D'"
-    ),
     "dedup_clusters_planted": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(doc_id - (doc_id % 5) AS BIGINT) AS cluster FROM documents "
         "WHERE doc_id % 5 <> 0 OR doc_id < (SELECT MAX(doc_id) FROM documents)"
+    ),
+    "ann_topk": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
+        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
+        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "ann_ivf_full": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
+        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
+        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "ann_lsh": (
+        # planted exact copies: each probe query's top-1 is provably its copy
+        "SELECT CAST(vec_id AS BIGINT) AS query_id, "
+        "CAST(vec_id + 1000000 AS BIGINT) AS vec_id "
+        "FROM embeddings WHERE vec_id % 50 = 0"
+    ),
+    "media_decode": (
+        # deterministic synth media table at sf0.01: n=100, w = h = 64+(i%4)*32
+        "WITH m AS (SELECT range AS i FROM range(100)) "
+        "SELECT 'decode' AS stage, printf('m-%06d', i) AS media_id, "
+        "CAST(64 + (i % 4) * 32 AS BIGINT) AS width, "
+        "CAST(64 + (i % 4) * 32 AS BIGINT) AS height FROM m "
+        "UNION ALL "
+        "SELECT 'resize' AS stage, printf('m-%06d', i) AS media_id, "
+        "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height FROM m"
+    ),
+    "media_frames": (
+        # deterministic synth media table at sf0.01: n=100, n_frames=(i%30)+1,
+        # sampled every 10 frames
+        "WITH m AS (SELECT range AS i, (range % 30) + 1 AS n_frames FROM range(100)) "
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m"
+    ),
+    "audio_features": (
+        # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip
+        "WITH m AS (SELECT range AS i FROM range(100)) "
+        "SELECT printf('m-%06d', i) AS media_id, "
+        "CAST(16000 AS BIGINT) AS sample_rate, "
+        "CAST(4096 AS BIGINT) AS n_samples FROM m"
     ),
 }
