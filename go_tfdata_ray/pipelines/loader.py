@@ -2,15 +2,20 @@
 streamed off the CDC lake — the loop this engine exists to feed.
 
 Shape: merge-on-read ``scan`` (column-pruned to the token payload) →
-optional quality filter → context-length packing → seeded
-``random_shuffle`` (different permutation per training epoch, replayable
-for resume) → ``iter_batches`` drain with backpressure. Nothing
-materializes the corpus on the driver; the shuffle is the one all-to-all
-and is exactly the reshuffle a training run needs anyway.
+optional quality filter → context-length packing → per-epoch
+``randomize_block_order(seed)`` + windowed local shuffle in
+``iter_batches`` → drain with backpressure. Nothing materializes the
+corpus on the driver, and — the 100 TB point — NO per-epoch all-to-all:
+a full ``random_shuffle`` of the packed corpus every epoch re-exchanges
+the whole dataset; block-order randomization moves only metadata, and
+the ``local_shuffle_buffer_size`` window decorrelates rows within the
+stream at zero exchange cost (the standard two-level training-reshuffle:
+global block permutation × windowed row permutation).
 
-Determinism: same (seed, epoch) → identical batch stream (Ray's seeded
-random_shuffle + deterministic packing input order via sort on the pack
-key), so a preempted training job can re-derive its data order.
+Determinism: same (seed, epoch) → identical batch stream (seeded block
+order + seeded local shuffle over a deterministic packing input order),
+so a preempted training job can re-derive its data order; a different
+epoch derives a different permutation from the same seed.
 """
 
 from __future__ import annotations
@@ -40,8 +45,11 @@ def training_batches(
     ds = eng.scan(columns=["doc_id", "tokens", "n_tok"], at_version=at_version,
                   where=[("n_tok", ">=", min_tokens)])
     packed = pack.pack_sequences(ds, context_len=context_len, eod_token=eod_token)
-    packed = packed.random_shuffle(seed=seed * 1_000_003 + epoch)
-    for batch in packed.iter_batches(batch_size=micro_batch, batch_format="pyarrow"):
+    epoch_seed = seed * 1_000_003 + epoch
+    packed = packed.randomize_block_order(seed=epoch_seed)
+    for batch in packed.iter_batches(batch_size=micro_batch, batch_format="pyarrow",
+                                     local_shuffle_buffer_size=max(micro_batch * 64, 256),
+                                     local_shuffle_seed=epoch_seed):
         toks = batch["tokens"].combine_chunks()
         flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
         yield flat.reshape(len(toks), context_len)
