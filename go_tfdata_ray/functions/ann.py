@@ -25,7 +25,10 @@ import ray.data as rd
 # query invocation): plain tasks + this cache keep "state loads once per
 # worker" semantics without a dedicated actor pool's ~1 s spin-up per
 # query (same pattern as stages/joins._BCAST_CACHE / text._worker_cached).
-_STATE_CACHE: dict = {}
+# LRU-bounded: per-invocation keys would otherwise leak one deserialized
+# query matrix per run into every long-lived worker.
+_STATE_CACHE_MAX = 8
+_STATE_CACHE: dict = {}  # insertion-ordered: oldest first
 
 
 def _cached_stage(factory, key: str, name: str):
@@ -33,6 +36,8 @@ def _cached_stage(factory, key: str, name: str):
         inst = _STATE_CACHE.get(key)
         if inst is None:
             inst = _STATE_CACHE.setdefault(key, factory())
+            while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+                _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         return inst(batch)
 
     fn.__name__ = name

@@ -137,14 +137,19 @@ class DefaultPipeline:
     def to_tfrecord_dir(self, out_dir: str) -> "DefaultPipeline":
         """↔ WriteMessagesAsync (tfrecord.go:128-180), Ray-native: upstream
         stages execute in parallel and EVERY block writes its own shard file
-        (tmp name + rename — idempotent under task retry; readers glob
-        ``*.tfrecord`` so half-written tmp files are never visible). One
-        file per partition is the resumable-output layout; encode + CRC run
+        (tmp name + rename; readers glob ``*.tfrecord`` so half-written tmp
+        files are never visible). Shard names derive from the CONTENT hash
+        of the shard's encoded records, so a task retry (worker crash,
+        lineage re-execution) rewrites the SAME file instead of adding a
+        duplicate shard — a uuid-named shard would double the rows on any
+        retry-after-rename. (Two byte-identical blocks would collapse into
+        one shard; distinct blocks collide only at 2^-64.) One file per
+        partition is the resumable-output layout; encode + CRC run
         vectorized inside the tasks, not on the driver."""
 
         def _sink(ds: rd.Dataset):
+            import hashlib as _hashlib
             import os as _os
-            import uuid as _uuid
 
             import pyarrow as _pa
 
@@ -155,7 +160,10 @@ class DefaultPipeline:
 
                 rows = df.to_dict("records")
                 payloads = [encode_example(_clean_row(r)) for r in rows]
-                rel = f"part-{_uuid.uuid4().hex[:16]}.tfrecord"
+                digest = _hashlib.sha256()
+                for p in payloads:
+                    digest.update(p)
+                rel = f"part-{digest.hexdigest()[:16]}.tfrecord"
                 tmp = _os.path.join(out_dir, rel + f".tmp-{_os.getpid()}")
                 with open(tmp, "wb") as f:
                     TFRecordWriter(f).write_many(payloads)

@@ -40,9 +40,12 @@ from ..cdc.collapse import hash_partition
 # per-worker-process cache of deserialized broadcast sides, keyed by object
 # ref: ray.get of the SAME ref on the same worker re-deserializes pandas
 # objects each task, and a dedicated actor pool costs ~1.5 s spin-up per
-# query (measured) — plain tasks + this cache get both right. Entries live
-# for the worker's lifetime, bounded by #distinct broadcast sides.
-_BCAST_CACHE: dict = {}
+# query (measured) — plain tasks + this cache get both right. Refs are
+# per-invocation, so the cache is LRU-bounded: without eviction every
+# query run in a long-lived session would leak one deserialized copy per
+# worker.
+_BCAST_CACHE_MAX = 8
+_BCAST_CACHE: "dict" = {}  # insertion-ordered: oldest first
 
 
 def _cached_get(ref):
@@ -50,6 +53,8 @@ def _cached_get(ref):
     obj = _BCAST_CACHE.get(key)
     if obj is None:
         obj = _BCAST_CACHE.setdefault(key, ray.get(ref))
+        while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
     return obj
 
 
@@ -356,7 +361,12 @@ def range_join(
                 hiv = _domain_i64(t[hi_c].to_numpy(zero_copy_only=False))
                 lob = np.floor_divide(lov, bin_width).astype(np.int64)
                 hib = np.floor_divide(hiv, bin_width).astype(np.int64)
-                counts = hib - lob + 1  # replicate into every overlapped bin
+                # replicate into every overlapped bin; a malformed interval
+                # (hi < lo) clips to 0 copies = matches nothing, the same
+                # result SQL BETWEEN gives (by-key mode reaches it via the
+                # range mask) — instead of np.repeat blowing up on a
+                # negative count deep inside a Ray task
+                counts = np.maximum(hib - lob + 1, 0)
                 idx = np.repeat(np.arange(len(t)), counts)
                 offs = np.arange(len(idx)) - np.repeat(
                     np.cumsum(counts) - counts, counts)
@@ -406,8 +416,19 @@ def bucket_hash_join(
     probe (left) rows spread across them deterministically by row position,
     build (right) rows are replicated into every sub-bucket — the classic
     salted skew join; one hot key now costs salt parallel tasks instead of
-    one straggler."""
+    one straggler. Replication is only sound when every replica either
+    matches or vanishes, so ``hot_keys`` requires ``how='inner'`` — under
+    left/outer an unmatched replicated build row would be emitted once per
+    sub-bucket.
+
+    Overlapping non-join column names are disambiguated with ``suffixes``
+    (pandas semantics: (left, right), default keeps left names and adds
+    ``_r`` on the right)."""
     hot = sorted(set(hot_keys)) if hot_keys else []
+    if hot and how != "inner":
+        raise ValueError("hot_keys salting requires how='inner' "
+                         "(replicated build rows would duplicate under "
+                         f"how={how!r})")
     hot_rank = {k: i for i, k in enumerate(hot)}
 
     def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
@@ -420,17 +441,24 @@ def bucket_hash_join(
         return tbl.schema
 
     l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
-    l_cols, r_cols = list(l_schema.names), list(r_schema.names)
-    overlap = (set(l_cols) & set(r_cols)) - {on}
-    if overlap:
-        raise ValueError(f"non-join columns must be disjoint, overlap: {overlap}")
+    overlap = (set(l_schema.names) & set(r_schema.names)) - {on}
+    l_ren = {c: c + suffixes[0] for c in overlap}
+    r_ren = {c: c + suffixes[1] for c in overlap}
+    if overlap and suffixes[0] == suffixes[1]:
+        raise ValueError(f"suffixes {suffixes} cannot disambiguate overlap {overlap}")
+    l_cols = [l_ren.get(c, c) for c in l_schema.names]
+    r_cols = [r_ren.get(c, c) for c in r_schema.names]
     combined = pa.schema(
-        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
-        + [pa.field(n, t) for n, t in zip(r_schema.names, r_schema.types) if n != on]
+        [pa.field(n, t) for n, t in zip(l_cols, l_schema.types)]
+        + [pa.field(n, t) for n, t in zip(r_cols, r_schema.types) if n != on]
     )
+    renames = (l_ren, r_ren)
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
+            ren = renames[side]
+            if ren:
+                t = t.rename_columns([ren.get(c, c) for c in t.column_names])
             for f in combined:  # align to the union schema (other side -> nulls)
                 if f.name not in t.column_names:
                     t = t.append_column(f.name, pa.nulls(len(t), f.type))
@@ -473,6 +501,8 @@ def bucket_hash_join(
                 return empty
         elif len(l) == 0 or (how == "inner" and len(r) == 0):
             return empty
-        return l.merge(r, on=on, how=how, suffixes=suffixes)
+        # suffixes were applied up front (pre-shuffle rename), so the merge
+        # sees disjoint non-join columns
+        return l.merge(r, on=on, how=how)
 
     return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")

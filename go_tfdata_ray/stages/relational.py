@@ -307,8 +307,10 @@ def quantiles_per_group(
         counts = np.diff(np.r_[starts, len(keys)])
         out = {group_col: keys[starts]}
         for name, q in qs.items():
-            idx = starts + np.ceil(q * counts).astype(np.int64) - 1
-            out[name] = vals[idx]
+            # clamp the per-group offset to >= 0: q=0.0 gives ceil(0)-1 = -1,
+            # which would index the PREVIOUS group's last value (or wrap)
+            off = np.maximum(np.ceil(q * counts).astype(np.int64) - 1, 0)
+            out[name] = vals[starts + off]
         return pd.DataFrame(out)
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)

@@ -196,7 +196,12 @@ def coerce_batch(t: pa.Table, types_map: dict[str, pa.DataType]) -> pa.Table:
     families, widening allowed); undeclared columns fall back to
     JSON-serialized binary — the reference's schema-evolution fallback that
     lets unknown columns flow through without breaking the pipeline
-    (transformer.go:134-142,195-201). Compat path, not the hot path."""
+    (transformer.go:134-142,195-201). The fallback is vectorized for
+    primitive types (one Arrow cast→utf8→binary chain — JSON of an
+    int/float/bool is just its literal), so a hot column an author forgot
+    to declare degrades to a cheap kernel, not a per-cell Python loop;
+    only nested/struct/string values take the real ``json.dumps`` path
+    (strings need JSON quoting/escaping)."""
     out = {}
     for name in t.column_names:
         col = t.column(name)
@@ -204,6 +209,12 @@ def coerce_batch(t: pa.Table, types_map: dict[str, pa.DataType]) -> pa.Table:
             out[name] = pc.cast(col, types_map[name])
         elif pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
             out[name] = col  # []byte passthrough (transformer.go:106-110)
+        elif (pa.types.is_integer(col.type) or pa.types.is_boolean(col.type)
+              or pa.types.is_floating(col.type)):
+            # int literals, lowercase true/false, and arrow's shortest
+            # round-trip float rendering are all valid JSON that parses
+            # back to the identical value
+            out[name] = pc.cast(pc.cast(col, pa.string()), pa.binary())
         else:
             out[name] = pa.array(
                 [None if v is None else json.dumps(v).encode() for v in col.to_pylist()],

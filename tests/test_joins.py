@@ -51,12 +51,12 @@ def test_bucket_hash_join_matches_pandas():
     assert (a[["k", "v", "name"]] == b[["k", "v", "name"]]).all().all()
 
 
-def test_bucket_join_rejects_overlapping_columns():
+def test_bucket_join_rejects_indistinguishable_suffixes():
     big, small = sides()
     import pytest
 
-    with pytest.raises(ValueError):
-        joins.bucket_hash_join(big, big, on="k")
+    with pytest.raises(ValueError, match="suffixes"):
+        joins.bucket_hash_join(big, big, on="k", suffixes=("", ""))
 
 
 def test_storage_hash_join_matches_pandas(tmp_path):
@@ -235,3 +235,40 @@ def test_range_join_timestamp_bins():
     m = m[(m["ts"] >= m["lo"]) & (m["ts"] <= m["hi"])]
     assert set(zip(out["pid"], out["iid"])) == set(zip(m["pid"], m["iid"]))
     assert len(out) > 0
+
+
+def test_bucket_join_suffixes_on_overlap():
+    """Overlapping non-join columns get pandas-style suffixes instead of
+    raising; values land in the right suffixed column."""
+    l = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                  "v": pa.array([100, 200, 400], pa.int64())})
+    out = joins.bucket_hash_join(rd.from_arrow(l), rd.from_arrow(r),
+                                 on="k", num_buckets=4).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    got = {(row.k, row.v, row.v_r) for row in out.itertuples()}
+    assert got == {(1, 10, 100), (2, 20, 200)}
+
+
+def test_bucket_join_hot_keys_requires_inner():
+    l = pa.table({"k": pa.array([1], pa.int64())})
+    r = pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([5], pa.int64())})
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner"):
+        joins.bucket_hash_join(rd.from_arrow(l), rd.from_arrow(r), on="k",
+                               how="left", hot_keys=[1])
+
+
+def test_range_join_malformed_interval_matches_nothing():
+    """hi < lo behaves like SQL BETWEEN (empty match) in both routings
+    instead of crashing the bin replication."""
+    pts = pa.table({"pid": pa.array([0, 1], pa.int64()),
+                    "x": pa.array([10.0, 20.0])})
+    iv = pa.table({"iid": pa.array([0, 1], pa.int64()),
+                   "lo": pa.array([30.0, 5.0]),
+                   "hi": pa.array([0.0, 25.0])})  # iid 0 malformed
+    out = joins.range_join(rd.from_arrow(pts), rd.from_arrow(iv),
+                           on="x", lo="lo", hi="hi", bin_width=10.0,
+                           num_buckets=4).to_pandas()
+    assert set(zip(out["pid"], out["iid"])) == {(0, 1), (1, 1)}

@@ -147,11 +147,13 @@ def test_quantiles_per_group_duckdb_semantics():
         {"g": rng.integers(0, 6, 500), "v": rng.uniform(0, 1000, 500)}
     )
     out = rel.quantiles_per_group(
-        rd.from_pandas(df), "g", "v", {"p50": 0.5, "p90": 0.9}, num_shards=4
+        rd.from_pandas(df), "g", "v", {"p0": 0.0, "p50": 0.5, "p90": 0.9},
+        num_shards=4,
     ).to_pandas().sort_values("g").reset_index(drop=True)
     for g, grp in df.groupby("g"):
         vs = np.sort(grp["v"].to_numpy())
         n = len(vs)
         row = out[out["g"] == g].iloc[0]
+        assert row["p0"] == vs[0]  # q=0 clamps to the group MIN, no wrap
         assert row["p50"] == vs[int(np.ceil(0.5 * n)) - 1]
         assert row["p90"] == vs[int(np.ceil(0.9 * n)) - 1]

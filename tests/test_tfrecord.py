@@ -159,6 +159,13 @@ def test_parallel_tfrecord_dir_roundtrip(tmp_path):
     got = sorted((int(r[0]), int(v[0])) for r, v in zip(back["doc_id"], back["val"]))
     assert got == [(i, i * 3) for i in range(1000)]
 
+    # retry idempotency: shard names derive from content, so re-running the
+    # same write (= a retried task after its rename) adds NO duplicate shards
+    n2 = DefaultPipeline().from_dataset(src).to_tfrecord_dir(out).do()
+    assert n2 == 1000
+    parts2 = sorted(p for p in os.listdir(out) if p.endswith(".tfrecord"))
+    assert parts2 == sorted(parts)
+
 
 def test_tfrecord_sink_throughput(tmp_path):
     """The vectorized-CRC sink must beat the scalar-loop regime (~1 MB/s)

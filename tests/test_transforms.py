@@ -111,6 +111,30 @@ def test_coerce_declared_and_fallback():
     assert out["extra"].to_pylist() == [b'{"a": 1}', None]  # JSON fallback
 
 
+def test_coerce_fallback_primitives_vectorized_json():
+    """Undeclared primitive columns fall back through the vectorized
+    cast→string path; every emitted cell must still parse as JSON to the
+    identical value."""
+    import json
+
+    t = pa.table(
+        {
+            "i": pa.array([0, -7, 2**40, None], pa.int64()),
+            "f": pa.array([1.5, 1e20, 1 / 3, None], pa.float64()),
+            "b": pa.array([True, False, True, None], pa.bool_()),
+            "s": pa.array(['he said "hi"', "", None, "x"], pa.string()),
+        }
+    )
+    out = tr.coerce_batch(t, {})
+    for col, vals in [("i", [0, -7, 2**40, None]),
+                      ("f", [1.5, 1e20, 1 / 3, None]),
+                      ("b", [True, False, True, None]),
+                      ("s", ['he said "hi"', "", None, "x"])]:
+        assert out[col].type == pa.binary()
+        got = [None if c is None else json.loads(c) for c in out[col].to_pylist()]
+        assert got == vals, col
+
+
 def test_pipeline_builder_stage_semantics(tmp_path):
     # optional stages compose; required override (pipeline.go:131-175)
     p = (
