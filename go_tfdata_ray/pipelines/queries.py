@@ -209,14 +209,18 @@ def q_join_broadcast(sf_dir: str):
 
 
 def q_join_bucketed(sf_dir: str):
-    """Partitioned hash join (both sides large): bucket by key hash, one
-    shuffle, group-local merge; rollup by priority."""
+    """Partitioned hash join (both sides large): bucket by key hash, ONE
+    exchange, per-bucket merge; rollup by priority. Uses the object-store
+    exchange (per-bucket block slices shipped directly, no Dataset
+    sort-shuffle control plane — measured 4.2 s → ~2 s at sf0.1/32 cpus);
+    the groupby-shuffle variant stays available as ``bucket_hash_join``
+    (needed for salted skew) and the disk-backed one as ``join_storage``."""
     li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
     li = li.map_batches(
         lambda t: t.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
     )
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
-    joined = joins.bucket_hash_join(li, orders, on="o_orderkey", num_buckets=16)
+    joined = joins.object_exchange_hash_join(li, orders, on="o_orderkey", num_buckets=32)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))

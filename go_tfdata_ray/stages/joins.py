@@ -12,14 +12,16 @@
   task.
 - broadcast key-set semi/anti joins: filter inside map_batches.
 
-Exchange-strategy measurements (sf0.1, 32 cpus, best-of-2, 2026-08-17):
-bucket groupby 3.2s · storage_hash_join 2.6s · Ray native Dataset.join
-7.5s · repartition(keys=)+HASH_SHUFFLE 12s. The sort-shuffle FIXED cost
-dominates at this scale — trimming the null-padded union width (dictionary
--encoded variant) measured SLOWER (3.8s), so the padding stays; on a real
-multi-node cluster where network bytes bound the exchange, the
-storage-exchange join is the scale-correct strategy and is provided as
-``storage_hash_join``.
+Exchange-strategy measurements (sf0.1, 32 cpus, 2026-08-17):
+object_exchange_hash_join ~2.2s · bucket groupby 3.2-4.2s ·
+storage_hash_join 2.6s · Ray native Dataset.join 7.5s ·
+repartition(keys=)+HASH_SHUFFLE 12s. The Dataset sort-shuffle FIXED cost
+dominates at this scale, so the default large⋈large strategy is the
+direct object-store exchange (per-bucket block slices as first-class
+objects, one merge task per bucket — same bytes moved, no sort, no
+null-padded union schema); the groupby variant remains for salted skew
+(`hot_keys=`) and the disk-backed storage exchange for clusters where the
+object store can't hold both sides.
 """
 
 from __future__ import annotations
@@ -506,3 +508,93 @@ def bucket_hash_join(
         return l.merge(r, on=on, how=how)
 
     return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+
+
+def object_exchange_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    num_buckets: int = 32,
+    how: Literal["inner", "left", "outer"] = "inner",
+    suffixes=("", "_r"),
+) -> rd.Dataset:
+    """Partitioned hash join over a DIRECT object-store exchange: each
+    input block is split into per-bucket slices in one task
+    (``num_returns=num_buckets`` → every slice is its own object), each
+    bucket's merge task fetches exactly its slices, and the result wraps
+    back into a Dataset via ``from_arrow_refs``. Moves the same bytes as
+    the groupby strategy but skips the Dataset sort-shuffle's control
+    plane and the null-padded union schema — measured 4.2 s → ~2 s on the
+    sf0.1 lineitem⋈orders join at 32 cpus. The exchange is one-shot (no
+    iterated plan), so it also sidesteps the documented streaming-executor
+    deadlock class. For pathological key skew use ``bucket_hash_join``
+    with ``hot_keys=`` (salting needs the tag-stage machinery)."""
+    B = num_buckets
+
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
+
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    overlap = (set(l_schema.names) & set(r_schema.names)) - {on}
+    if overlap and suffixes[0] == suffixes[1]:
+        raise ValueError(f"suffixes {suffixes} cannot disambiguate overlap {overlap}")
+    l_ren = {c: c + suffixes[0] for c in overlap}
+    r_ren = {c: c + suffixes[1] for c in overlap}
+    l_cols = [l_ren.get(c, c) for c in l_schema.names]
+    r_cols = [r_ren.get(c, c) for c in r_schema.names]
+    out_fields = (
+        [pa.field(n, t) for n, t in zip(l_cols, l_schema.types)]
+        + [pa.field(n, t) for n, t in zip(r_cols, r_schema.types) if n != on]
+    )
+    out_schema = pa.schema(out_fields)
+
+    @ray.remote
+    def route(t: pa.Table, ren: dict):
+        if ren:
+            t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        sh = hash_partition(t[on], B)
+        order = np.argsort(sh, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(sh[order], np.arange(B + 1))
+        out = tuple(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                    for i in range(B))
+        return out if B > 1 else out[0]
+
+    @ray.remote
+    def merge_bucket(l_refs, r_refs) -> pa.Table:
+        l_parts = [p for p in ray.get(list(l_refs)) if p.num_rows]
+        r_parts = [p for p in ray.get(list(r_refs)) if p.num_rows]
+        empty = out_schema.empty_table()
+        if how == "outer":
+            if not l_parts and not r_parts:
+                return empty
+        elif not l_parts or (how == "inner" and not r_parts):
+            return empty
+        mk = lambda parts, schema: (pa.concat_tables(parts).to_pandas()
+                                    if parts else schema.empty_table().to_pandas())
+        l_schema_r = pa.schema([pa.field(n, t) for n, t in
+                                zip(l_cols, l_schema.types)])
+        r_schema_r = pa.schema([pa.field(n, t) for n, t in
+                                zip(r_cols, r_schema.types)])
+        m = mk(l_parts, l_schema_r).merge(mk(r_parts, r_schema_r), on=on, how=how)
+        if len(m) == 0:
+            return empty
+        return pa.Table.from_pandas(m[out_schema.names], preserve_index=False)
+
+    l_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, l_ren)
+                for r in left.to_arrow_refs()]
+    r_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, r_ren)
+                for r in right.to_arrow_refs()]
+    if B == 1:
+        l_sliced = [[r] for r in l_sliced]
+        r_sliced = [[r] for r in r_sliced]
+    out_refs = [
+        merge_bucket.remote([blk[s] for blk in l_sliced],
+                            [blk[s] for blk in r_sliced])
+        for s in range(B)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -272,3 +272,29 @@ def test_range_join_malformed_interval_matches_nothing():
                            on="x", lo="lo", hi="hi", bin_width=10.0,
                            num_buckets=4).to_pandas()
     assert set(zip(out["pid"], out["iid"])) == {(0, 1), (1, 1)}
+
+
+def test_object_exchange_join_matches_pandas():
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k": rng.integers(0, 200, 3000),
+                      "v": rng.integers(0, 10**6, 3000)})
+    r = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                      "w": rng.integers(0, 10**6, 150)})
+    for how in ("inner", "left", "outer"):
+        out = joins.object_exchange_hash_join(
+            rd.from_pandas(l).repartition(5), rd.from_pandas(r).repartition(3),
+            on="k", num_buckets=8, how=how,
+        ).to_pandas()
+        want = l.merge(r, on="k", how=how)
+        assert len(out) == len(want), how
+        key = lambda df: sorted(map(tuple, df.fillna(-1)[["k", "v", "w"]].to_numpy()))
+        assert key(out) == key(want), how
+
+
+def test_object_exchange_join_suffixes():
+    l = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, 20], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([100, 200], pa.int64())})
+    out = joins.object_exchange_hash_join(
+        rd.from_arrow(l), rd.from_arrow(r), on="k", num_buckets=4).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r"]
+    assert {(row.k, row.v, row.v_r) for row in out.itertuples()} == {(1, 10, 100), (2, 20, 200)}
