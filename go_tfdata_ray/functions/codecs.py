@@ -155,3 +155,38 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         rate = wf.getframerate()
         data = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
     return (data if nch == 1 else data.reshape(-1, nch)), rate
+
+
+# -- format dispatch (PNG / JPEG by magic bytes) ----------------------------
+
+from .jpeg import encode_jpeg, decode_jpeg  # noqa: E402  (re-export)
+
+_JPEG_SIG = b"\xff\xd8"
+
+
+def sniff_image_format(buf: bytes) -> str:
+    """'png' | 'jpeg' from magic bytes; raises on anything else (the GIF /
+    video seam — reference also handles GIF via Go stdlib,
+    /root/reference/tfdata/core/example.go:131-146)."""
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
+    if buf[: len(_JPEG_SIG)] == _JPEG_SIG:
+        return "jpeg"
+    raise NotImplementedError(
+        "unrecognized image payload (only PNG and baseline JPEG have "
+        "from-spec codecs in this container; GIF/video plug in at this seam)")
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Sniffing decode: PNG or baseline JPEG bytes → uint8 pixel array."""
+    return decode_png(buf) if sniff_image_format(buf) == "png" else decode_jpeg(buf)
+
+
+def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
+    """Encode to ``fmt`` ('png' | 'jpeg'); kwargs pass through to the codec
+    (e.g. quality=, subsampling= for JPEG)."""
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "jpeg":
+        return encode_jpeg(img, **kw)
+    raise NotImplementedError(f"no encoder for format {fmt!r}")

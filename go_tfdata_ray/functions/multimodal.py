@@ -1,13 +1,14 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Image and audio kernels are REAL for the formats the standard library can
-carry — PNG and WAV via ``functions/codecs.py`` (from-spec zlib/numpy and
-RIFF implementations, mirroring the reference's use of Go stdlib codecs at
-/root/reference/tfdata/core/example.go:131-146): ``mode="real"`` decodes
-actual pixels/samples. JPEG/GIF and video frame extraction still raise
+Image and audio kernels are REAL — PNG, baseline JPEG and WAV via
+``functions/codecs.py`` / ``functions/jpeg.py`` (from-spec zlib/numpy,
+ITU-T T.81 and RIFF implementations, mirroring the reference's use of Go
+stdlib codecs at /root/reference/tfdata/core/example.go:131-146):
+``mode="real"`` sniffs the payload magic and decodes actual
+pixels/samples. GIF and video frame extraction still raise
 ``NotImplementedError`` at the same seam (they need PIL/ffmpeg, absent in
 this container); ``mode="fake"`` keeps the deterministic bytes-derived
-path for plumbing tests and for payloads that aren't PNG/WAV.
+path for plumbing tests and for payloads without a codec.
 
 Payload-aware batch sizing: media rows are KB–MB wide, so these stages use
 small ``batch_size`` (default 64) — batch_bytes ≈ batch_size × payload, and
@@ -58,12 +59,16 @@ def synth_audio(i: int, n_samples: int = 4096, rate: int = 16000) -> np.ndarray:
 def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
-    bytes (plumbing tests); ``"png"`` / ``"wav"`` = REAL encoded payloads
-    for the real decode kernels."""
+    bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"wav"`` = REAL
+    encoded payloads for the real decode kernels."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
+    elif payload == "jpeg":
+        payloads = [codecs.encode_jpeg(synth_image(i, w[i], w[i], seed), quality=90,
+                                       subsampling="420" if i % 2 else "444")
+                    for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
     else:
@@ -85,9 +90,10 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
 class ImageDecoder:
     """Decode stage (worker-cached task): payload bytes → feature vector.
 
-    real: PNG decode (``codecs.decode_png``) → [width, height, channels,
-    pixel mean, pixel std, min, max, mean |horizontal gradient|]. JPEG/GIF
-    payloads raise at the same seam a PIL kernel would plug into.
+    real: sniffing PNG/JPEG decode (``codecs.decode_image``) → [width,
+    height, channels, pixel mean, pixel std, min, max, mean |horizontal
+    gradient|]. GIF payloads raise at the same seam a PIL kernel would
+    plug into.
     fake: deterministic 8-dim moments of the raw bytes (tests the plumbing).
     """
 
@@ -101,7 +107,7 @@ class ImageDecoder:
         if self.mode == "real":
             widths, heights = [], []
             for buf in t["payload"].to_pylist():
-                img = codecs.decode_png(buf)  # raises on non-PNG magic
+                img = codecs.decode_image(buf)  # sniffs PNG/JPEG magic
                 px = img.astype(np.float64)
                 grad = np.abs(np.diff(px, axis=1)).mean() if img.shape[1] > 1 else 0.0
                 feats.append(np.array([
@@ -154,8 +160,8 @@ class FrameSampler:
 class ImageResizer:
     """Resize stage: payload → payload' with updated (width, height).
 
-    real: PNG decode → nearest-neighbor resample → PNG re-encode
-    (``functions/codecs.py``); JPEG would plug in at the same seam.
+    real: sniffing PNG/JPEG decode → nearest-neighbor resample → re-encode
+    in the same format (``functions/codecs.py``).
     fake: deterministic byte decimation proportional to the area ratio, so
     output payload length scales like a real resize would and downstream
     batch-size math is exercised honestly.
@@ -168,9 +174,10 @@ class ImageResizer:
         if self.mode == "real":
             payloads = []
             for buf in t["payload"].to_pylist():
-                img = codecs.decode_png(buf)
-                payloads.append(codecs.encode_png(
-                    codecs.resize_nearest(img, self.target_w, self.target_h)))
+                fmt = codecs.sniff_image_format(buf)
+                img = codecs.decode_image(buf)
+                payloads.append(codecs.encode_image(
+                    codecs.resize_nearest(img, self.target_w, self.target_h), fmt))
             n = len(t)
             return pa.table(
                 {

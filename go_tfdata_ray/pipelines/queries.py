@@ -1099,11 +1099,13 @@ def q_media_decode(sf_dir: str):
     decode (pure zlib+numpy codec) of the synthetic payloads, emitting the
     decoded dimensions (closed-form: w = h = 64 + (i%4)·32); 'resize' =
     decode → nearest-neighbor resample to 32×32 → PNG re-encode → decode
-    again, emitting the resized dimensions. Dimensions are recovered from
-    the PIXELS after a full encode/decode round trip, so both codec
-    directions are hash-checked; pixel-level content equality stays in the
-    codec round-trip pytests (float feature vectors are excluded from the
-    driver compare)."""
+    again, emitting the resized dimensions; 'jpeg' = REAL baseline JPEG
+    decode (from-spec ITU-T T.81 codec, ``functions/jpeg.py``, alternating
+    4:4:4/4:2:0 payloads) emitting the decoded dimensions. Dimensions are
+    recovered from the PIXELS after a full encode/decode round trip, so
+    all codec directions are hash-checked; pixel-level content equality
+    (PSNR for the lossy JPEG path) stays in the codec round-trip pytests
+    (float feature vectors are excluded from the driver compare)."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
@@ -1122,7 +1124,10 @@ def q_media_decode(sf_dir: str):
     resized = multimodal.decode_images(
         multimodal.resize_images(ds2, 32, 32, mode="real"), mode="real"
     ).map_batches(dims("resize"), batch_format="pyarrow")
-    return decoded.union(resized)
+    ds3 = rd.from_arrow(multimodal.synth_media_table(n, payload="jpeg"))
+    jpeg_decoded = multimodal.decode_images(ds3, mode="real").map_batches(
+        dims("jpeg"), batch_format="pyarrow")
+    return decoded.union(resized).union(jpeg_decoded)
 
 
 def q_media_frames(sf_dir: str):
@@ -1517,7 +1522,11 @@ ORACLE_SQL = {
         "CAST(64 + (i % 4) * 32 AS BIGINT) AS height FROM m "
         "UNION ALL "
         "SELECT 'resize' AS stage, printf('m-%06d', i) AS media_id, "
-        "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height FROM m"
+        "CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height FROM m "
+        "UNION ALL "
+        "SELECT 'jpeg' AS stage, printf('m-%06d', i) AS media_id, "
+        "CAST(64 + (i % 4) * 32 AS BIGINT) AS width, "
+        "CAST(64 + (i % 4) * 32 AS BIGINT) AS height FROM m"
     ),
     "media_frames": (
         # deterministic synth media table at sf0.01: n=100, n_frames=(i%30)+1,

@@ -207,9 +207,9 @@ def test_multimodal_decode_fake_and_real_stub():
     assert (
         np.stack(out["features"].to_numpy()) == np.stack(out2["features"].to_numpy())
     ).all()
-    # real mode on a non-PNG payload fails at the codec seam
+    # real mode on an unrecognized payload fails at the codec seam
     dec = multimodal.ImageDecoder(mode="real")
-    with pytest.raises(ValueError, match="PNG"):
+    with pytest.raises(NotImplementedError, match="PNG"):
         dec(t)
 
 
@@ -238,7 +238,7 @@ def test_image_resize_stub():
     src = t.to_pandas()
     big = src["width"] * src["height"] > 32 * 32
     assert all(len(p) < 256 for p in out.loc[big.values, "payload"])
-    with pytest.raises(ValueError, match="PNG"):  # raw bytes at the codec seam
+    with pytest.raises(NotImplementedError, match="PNG"):  # raw bytes seam
         multimodal.ImageResizer(32, 32, mode="real")(t)
 
 

@@ -1,0 +1,117 @@
+"""From-spec baseline JPEG codec (functions/jpeg.py) — round trips, format
+dispatch, and the real multimodal decode path over JPEG payloads.
+
+JPEG is lossy, so round trips assert PSNR bounds rather than equality;
+dimension recovery is exact and is what the driver's media_decode oracle
+hash-checks.
+"""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from go_tfdata_ray.functions import codecs, multimodal
+from go_tfdata_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    err = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(err, 1e-12))
+
+
+def _smooth_rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / max(w - 1, 1), yy * 255 / max(h - 1, 1),
+         (xx + yy) * 128 / max(h + w - 2, 1)], axis=-1)
+    return np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w,subs", [
+    (16, 16, "444"), (17, 23, "420"), (64, 48, "420"), (8, 8, "444"),
+    (33, 31, "444"),
+])
+def test_jpeg_rgb_roundtrip(h, w, subs):
+    img = _smooth_rgb(h, w, seed=h * 100 + w)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=subs))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert _psnr(img, dec) > 27.0
+
+
+def test_jpeg_gray_roundtrip_odd_size():
+    rng = np.random.default_rng(3)
+    g = np.clip(np.linspace(0, 255, 31 * 29).reshape(31, 29)
+                + rng.normal(0, 5, (31, 29)), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=85))
+    assert dec.shape == g.shape
+    assert _psnr(g, dec) > 30.0
+
+
+def test_jpeg_quality_monotone():
+    img = _smooth_rgb(40, 40, seed=9)
+    sizes, psnrs = [], []
+    for q in (10, 50, 95):
+        buf = encode_jpeg(img, quality=q, subsampling="420")
+        sizes.append(len(buf))
+        psnrs.append(_psnr(img, decode_jpeg(buf)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_jpeg_flat_image_exact_dims_and_near_lossless():
+    img = np.full((24, 40, 3), 127, np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (24, 40, 3)
+    assert _psnr(img, dec) > 45.0
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # minimal SOI + SOF2 header → the documented progressive seam
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big") \
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof2)
+
+
+def test_codecs_sniffing_dispatch():
+    img = _smooth_rgb(12, 12, seed=1)
+    for fmt in ("png", "jpeg"):
+        buf = codecs.encode_image(img, fmt)
+        assert codecs.sniff_image_format(buf) == fmt
+        assert codecs.decode_image(buf).shape == img.shape
+    with pytest.raises(NotImplementedError, match="PNG and baseline JPEG"):
+        codecs.sniff_image_format(b"GIF89a....")
+
+
+def test_multimodal_real_decode_jpeg_payloads():
+    t = multimodal.synth_media_table(8, payload="jpeg")
+    out = multimodal.ImageDecoder(mode="real")(t).to_pandas()
+    src = t.to_pandas()
+    # dimensions recovered from the decoded pixels match the synth spec
+    assert (out["width"].to_numpy() == src["width"].to_numpy()).all()
+    assert (out["height"].to_numpy() == src["height"].to_numpy()).all()
+    # decoded content is close to the source image (lossy but tight)
+    img0 = multimodal.synth_image(0, int(src["width"][0]), int(src["height"][0]))
+    dec0 = codecs.decode_image(src["payload"][0])
+    assert _psnr(img0, dec0) > 20.0
+
+
+def test_multimodal_real_resize_jpeg_payloads():
+    t = multimodal.synth_media_table(4, payload="jpeg")
+    out = multimodal.ImageResizer(24, 24, mode="real")(t).to_pandas()
+    for buf in out["payload"]:
+        assert codecs.sniff_image_format(bytes(buf)) == "jpeg"
+        assert codecs.decode_image(bytes(buf)).shape == (24, 24, 3)
+
+
+def test_multimodal_real_decode_jpeg_via_dataset():
+    t = multimodal.synth_media_table(6, payload="jpeg")
+    out = multimodal.decode_images(rd.from_arrow(t), mode="real").to_pandas()
+    assert len(out) == 6
+    assert (out["width"].to_numpy()
+            == t.to_pandas()["width"].to_numpy()).all()
