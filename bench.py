@@ -75,19 +75,27 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # headline: fresh-lake CDC replay
+    # headline: fresh-lake CDC replay. Best-of-2 fresh lakes under non-
+    # scaling runs (run-to-run variance on this box is multi-x); the
+    # scaling legs stay single-shot per process — the parent already takes
+    # best-of-2 across whole processes.
     lake_root = "/dev/shm/graft_bench_lake" if scaling else "/tmp/graft_bench_lake"
     lake = f"{lake_root}/{os.path.basename(wal_dir)}-cpus{ncpu}"
-    shutil.rmtree(lake, ignore_errors=True)
-    t0 = time.perf_counter()
-    eng = CDCEngine(lake, num_partitions=max(ncpu, 16))
-    eng.apply_wal(wal_dir)
-    replay_sec = time.perf_counter() - t0
-    timings["cdc_replay"] = replay_sec
+    replay_sec = scan_sec = None
+    for _rep in range(1 if scaling else 2):
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        eng = CDCEngine(lake, num_partitions=max(ncpu, 16))
+        eng.apply_wal(wal_dir)
+        dt = time.perf_counter() - t0
+        replay_sec = dt if replay_sec is None else min(replay_sec, dt)
 
-    t0 = time.perf_counter()
-    n_rows = eng.scan().count()
-    timings["cdc_scan"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_rows = eng.scan().count()
+        dt = time.perf_counter() - t0
+        scan_sec = dt if scan_sec is None else min(scan_sec, dt)
+    timings["cdc_replay"] = replay_sec
+    timings["cdc_scan"] = scan_sec
     if scaling:
         shutil.rmtree(lake, ignore_errors=True)  # don't let tmpfs lakes pile up
 
