@@ -157,36 +157,51 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return (data if nch == 1 else data.reshape(-1, nch)), rate
 
 
-# -- format dispatch (PNG / JPEG by magic bytes) ----------------------------
+# -- format dispatch (PNG / JPEG / GIF by magic bytes) ----------------------
 
 from .jpeg import encode_jpeg, decode_jpeg  # noqa: E402  (re-export)
+from .gif import (  # noqa: E402  (re-export)
+    encode_gif, decode_gif, decode_gif_first,
+)
 
 _JPEG_SIG = b"\xff\xd8"
+_GIF_SIG = b"GIF8"
 
 
 def sniff_image_format(buf: bytes) -> str:
-    """'png' | 'jpeg' from magic bytes; raises on anything else (the GIF /
-    video seam — reference also handles GIF via Go stdlib,
-    /root/reference/tfdata/core/example.go:131-146)."""
+    """'png' | 'jpeg' | 'gif' from magic bytes; raises on anything else —
+    the same three formats the reference decodes via Go stdlib
+    (/root/reference/tfdata/core/example.go:131-146). Video containers
+    plug in at this seam."""
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if buf[: len(_JPEG_SIG)] == _JPEG_SIG:
         return "jpeg"
+    if buf[: len(_GIF_SIG)] == _GIF_SIG:
+        return "gif"
     raise NotImplementedError(
-        "unrecognized image payload (only PNG and baseline JPEG have "
-        "from-spec codecs in this container; GIF/video plug in at this seam)")
+        "unrecognized image payload (PNG, baseline JPEG and GIF have "
+        "from-spec codecs in this container; video plugs in at this seam)")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Sniffing decode: PNG or baseline JPEG bytes → uint8 pixel array."""
-    return decode_png(buf) if sniff_image_format(buf) == "png" else decode_jpeg(buf)
+    """Sniffing decode → uint8 pixel array (first composed frame for
+    animated GIF)."""
+    fmt = sniff_image_format(buf)
+    if fmt == "png":
+        return decode_png(buf)
+    if fmt == "jpeg":
+        return decode_jpeg(buf)
+    return decode_gif_first(buf)
 
 
 def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
-    """Encode to ``fmt`` ('png' | 'jpeg'); kwargs pass through to the codec
-    (e.g. quality=, subsampling= for JPEG)."""
+    """Encode to ``fmt`` ('png' | 'jpeg' | 'gif'); kwargs pass through to
+    the codec (e.g. quality=, subsampling= for JPEG)."""
     if fmt == "png":
         return encode_png(img)
     if fmt == "jpeg":
         return encode_jpeg(img, **kw)
+    if fmt == "gif":
+        return encode_gif(img, **kw)
     raise NotImplementedError(f"no encoder for format {fmt!r}")

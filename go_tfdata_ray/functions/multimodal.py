@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Image and audio kernels are REAL — PNG, baseline JPEG and WAV via
-``functions/codecs.py`` / ``functions/jpeg.py`` (from-spec zlib/numpy,
-ITU-T T.81 and RIFF implementations, mirroring the reference's use of Go
-stdlib codecs at /root/reference/tfdata/core/example.go:131-146):
-``mode="real"`` sniffs the payload magic and decodes actual
-pixels/samples. GIF and video frame extraction still raise
-``NotImplementedError`` at the same seam (they need PIL/ffmpeg, absent in
+Image and audio kernels are REAL — PNG, baseline JPEG, GIF and WAV via
+``functions/codecs.py`` / ``functions/jpeg.py`` / ``functions/gif.py``
+(from-spec zlib/numpy, ITU-T T.81, GIF-LZW and RIFF implementations,
+mirroring the reference's use of Go stdlib codecs at
+/root/reference/tfdata/core/example.go:131-146): ``mode="real"`` sniffs
+the payload magic and decodes actual pixels/samples/frames. Frame
+sampling is real over animated GIF; other video containers raise
+``NotImplementedError`` at the same seam (they need ffmpeg, absent in
 this container); ``mode="fake"`` keeps the deterministic bytes-derived
 path for plumbing tests and for payloads without a codec.
 
@@ -48,6 +49,19 @@ def synth_image(i: int, w: int, h: int, seed: int = 5) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+_GIF_PALETTE = np.array(
+    [[0, 0, 0], [255, 80, 40], [40, 200, 120], [60, 90, 255]], dtype=np.uint8)
+
+
+def synth_gif_frames(i: int, n_frames: int, size: int = 16) -> np.ndarray:
+    """Deterministic (n_frames, size, size, 3) animation over a 4-color
+    palette: a diagonal wave that advances one step per frame."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    f = np.arange(n_frames)[:, np.newaxis, np.newaxis]
+    idx = (xx + yy + i + f) % len(_GIF_PALETTE)
+    return _GIF_PALETTE[idx]
+
+
 def synth_audio(i: int, n_samples: int = 4096, rate: int = 16000) -> np.ndarray:
     """Deterministic int16 clip: sine at an index-keyed frequency + ramp."""
     t = np.arange(n_samples) / rate
@@ -59,15 +73,23 @@ def synth_audio(i: int, n_samples: int = 4096, rate: int = 16000) -> np.ndarray:
 def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
-    bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"wav"`` = REAL
-    encoded payloads for the real decode kernels."""
+    bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"wav"``
+    = REAL encoded payloads for the real decode kernels (``"gif"`` is an
+    n_frames-frame animation at 16×16, so the width/height columns report
+    16)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
+    nf = [(i % 30) + 1 for i in range(n)]
+    if payload == "gif":
+        w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
     elif payload == "jpeg":
         payloads = [codecs.encode_jpeg(synth_image(i, w[i], w[i], seed), quality=90,
                                        subsampling="420" if i % 2 else "444")
+                    for i in range(n)]
+    elif payload == "gif":
+        payloads = [codecs.encode_gif(synth_gif_frames(i + seed, nf[i]))
                     for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
@@ -81,7 +103,7 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             "width": pa.array(w, pa.int32()),
             "height": pa.array(w, pa.int32()),
             "sample_rate": pa.array([16000] * n, pa.int32()),
-            "n_frames": pa.array([(i % 30) + 1 for i in range(n)], pa.int32()),
+            "n_frames": pa.array(nf, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -140,16 +162,32 @@ class ImageDecoder:
 
 
 class FrameSampler:
-    """Video frame-sampling stub: emits one row per sampled frame index
-    (flat-map shape: output rows ≠ input rows)."""
+    """Frame sampling: emits one row per sampled frame index (flat-map
+    shape: output rows ≠ input rows).
+
+    real: REAL frame extraction from animated GIF payloads
+    (``functions/gif.py`` — LZW decode + disposal composition); the frame
+    count comes from the decoded container, not metadata. Other video
+    containers raise at this seam (ffmpeg would plug in).
+    fake: frame indices derived from the n_frames metadata column."""
 
     def __init__(self, every_n: int = 10, mode: str = "fake"):
         self.every_n, self.mode = every_n, mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError("frame extraction requires ffmpeg — stub seam")
         ids, frames = [], []
+        if self.mode == "real":
+            for mid, buf in zip(t["media_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+                if codecs.sniff_image_format(buf) != "gif":
+                    raise NotImplementedError(
+                        "frame extraction beyond GIF requires ffmpeg — seam")
+                decoded, _delays = codecs.decode_gif(buf)
+                for f in range(0, decoded.shape[0], self.every_n):
+                    ids.append(mid)
+                    frames.append(f)
+            return pa.table({"media_id": pa.array(ids),
+                             "frame_idx": pa.array(frames, pa.int32())})
         for mid, n in zip(t["media_id"].to_pylist(), t["n_frames"].to_pylist()):
             for f in range(0, int(n), self.every_n):
                 ids.append(mid)

@@ -1131,15 +1131,19 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """Video frame sampling (flat-map shape: one row per sampled frame
-    index). Frame-index selection is real plumbing; the pixel extraction
-    behind it stays a codec seam (no ffmpeg). Oracle reconstructs the
-    deterministic media table with generate_series."""
+    """REAL frame sampling over animated GIF payloads (flat-map shape: one
+    row per sampled frame index): each synthetic clip is a true
+    (i%30)+1-frame GIF89a animation, decoded from-spec (LZW + disposal
+    composition, ``functions/gif.py``), and the sampled indices come from
+    the DECODED frame count — so the oracle's closed-form reconstruction
+    hash-checks the container round trip. Pixel-content equality of the
+    decoded frames stays in the codec pytests."""
     from ..functions import multimodal
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="video"))
-    out = multimodal.sample_frames(ds, every_n=10)
+    ds = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="gif"))
+    out = multimodal.sample_frames(ds, every_n=10, mode="real")
     return out.map_batches(lambda t: _i64(t, "frame_idx"), batch_format="pyarrow")
 
 

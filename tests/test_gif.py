@@ -1,0 +1,111 @@
+"""From-spec GIF codec (functions/gif.py) — lossless round trips, LZW
+dictionary growth/reset, disposal + transparency composition, and the REAL
+frame-sampling stage over animated payloads."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from go_tfdata_ray.functions import codecs, multimodal
+from go_tfdata_ray.functions.gif import (
+    _lzw_encode, _sub_blocks, decode_gif, decode_gif_first, encode_gif,
+)
+
+
+def test_gif_single_frame_lossless():
+    rng = np.random.default_rng(0)
+    img = (rng.integers(0, 6, (37, 53, 3)) * 42).astype(np.uint8)
+    dec = decode_gif_first(encode_gif(img))
+    assert dec.shape == img.shape and (dec == img).all()
+
+
+def test_gif_animated_roundtrip_with_delays():
+    rng = np.random.default_rng(1)
+    frames = np.stack(
+        [(rng.integers(0, 3, (16, 24, 3)) * 100).astype(np.uint8)
+         for _ in range(7)])
+    dec, delays = decode_gif(encode_gif(frames, delays=10))
+    assert dec.shape == frames.shape and (dec == frames).all()
+    assert delays == [10] * 7
+
+
+def test_gif_lzw_dict_reset_large_frame():
+    # 128x128 with a 216-color palette forces the LZW dictionary past the
+    # 12-bit ceiling → mid-stream clear codes on both sides
+    rng = np.random.default_rng(2)
+    big = (rng.integers(0, 6, (128, 128, 3)) * 42).astype(np.uint8)
+    assert (decode_gif_first(encode_gif(big)) == big).all()
+
+
+def test_gif_palette_seam():
+    rng = np.random.default_rng(4)
+    truecolor = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(truecolor.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(NotImplementedError, match="quantization"):
+        encode_gif(truecolor)
+
+
+def test_gif_disposal_and_transparency():
+    # hand-built 2-frame GIF: full red frame with disposal=restore-bg
+    # (bg = blue), then a 2x2 green box at (1,1) with one transparent px
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 2, 0) + pal
+    f1 = b"\x21\xf9\x04" + bytes([0x08]) + struct.pack("<H", 5) + b"\x00\x00"
+    f1 += (b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2])
+           + _sub_blocks(_lzw_encode(np.zeros(16, np.uint8), 2)))
+    f2 = b"\x21\xf9\x04" + bytes([0x01]) + struct.pack("<H", 5) + bytes([3]) + b"\x00"
+    idx2 = np.full(4, 1, np.uint8)
+    idx2[0] = 3  # transparent
+    f2 += (b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + bytes([2])
+           + _sub_blocks(_lzw_encode(idx2, 2)))
+    frames, delays = decode_gif(hdr + f1 + f2 + b"\x3b")
+    assert frames.shape == (2, 4, 4, 3) and delays == [5, 5]
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][0, 0] == [0, 0, 255]).all()  # bg restored
+    assert (frames[1][1, 1] == [0, 0, 255]).all()  # transparent px shows bg
+    assert (frames[1][1, 2] == [0, 255, 0]).all()  # green box
+
+
+def test_gif_rejects_non_gif():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"\x89PNG....")
+
+
+def test_synth_gif_payloads_decode_to_spec():
+    t = multimodal.synth_media_table(6, media_type="video", payload="gif")
+    df = t.to_pandas()
+    for i in range(6):
+        frames, _ = decode_gif(bytes(df["payload"][i]))
+        assert frames.shape == (int(df["n_frames"][i]), 16, 16, 3)
+        expect = multimodal.synth_gif_frames(i + 5, int(df["n_frames"][i]))
+        assert (frames == expect).all()  # lossless container round trip
+
+
+def test_frame_sampler_real_matches_fake():
+    t = multimodal.synth_media_table(12, media_type="video", payload="gif")
+    real = multimodal.FrameSampler(every_n=10, mode="real")(t).to_pandas()
+    fake = multimodal.FrameSampler(every_n=10, mode="fake")(t).to_pandas()
+    assert real.equals(fake)  # decoded frame counts == metadata frame counts
+
+
+def test_frame_sampler_real_non_gif_raises():
+    t = multimodal.synth_media_table(2, media_type="video", payload="png")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.FrameSampler(every_n=10, mode="real")(t)
+
+
+def test_frame_sampler_real_via_dataset():
+    t = multimodal.synth_media_table(5, media_type="video", payload="gif")
+    out = multimodal.sample_frames(
+        rd.from_arrow(t), every_n=10, mode="real").to_pandas()
+    # n_frames = (i%30)+1 for i in 0..4 → 1..5 frames → 1 sample each
+    assert len(out) == 5 and (out["frame_idx"] == 0).all()
+
+
+def test_image_decoder_real_gif_first_frame():
+    t = multimodal.synth_media_table(3, payload="gif")
+    out = multimodal.ImageDecoder(mode="real")(t).to_pandas()
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()

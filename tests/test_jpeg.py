@@ -84,8 +84,13 @@ def test_codecs_sniffing_dispatch():
         buf = codecs.encode_image(img, fmt)
         assert codecs.sniff_image_format(buf) == fmt
         assert codecs.decode_image(buf).shape == img.shape
-    with pytest.raises(NotImplementedError, match="PNG and baseline JPEG"):
-        codecs.sniff_image_format(b"GIF89a....")
+    # GIF needs a paletted source (<=256 unique colors)
+    pal_img = (img // 64) * 64
+    buf = codecs.encode_image(pal_img, "gif")
+    assert codecs.sniff_image_format(buf) == "gif"
+    assert (codecs.decode_image(buf) == pal_img).all()
+    with pytest.raises(NotImplementedError, match="video plugs in"):
+        codecs.sniff_image_format(b"\x00\x00\x00\x18ftypmp42....")
 
 
 def test_multimodal_real_decode_jpeg_payloads():
