@@ -332,9 +332,9 @@ def q_window_sliding(sf_dir: str):
 
 def q_join_range(sf_dir: str):
     """Range join, by-key routed: for each purchase, how many same-user
-    events fall within [purchase.ts, purchase.ts + 30 min]. One groupby
-    shuffle (all rows of a user share a bucket), per-bucket masked merge,
-    then partial-count combine on the purchase id."""
+    events fall within [purchase.ts, purchase.ts + 30 min]. Object-store
+    exchange (all rows of a user share a bucket slice), per-bucket masked
+    merge, then partial-count combine on the purchase id."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
     pur = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
@@ -352,7 +352,8 @@ def q_join_range(sf_dir: str):
         )
 
     windows = pur.map_batches(mk_windows, batch_format="pandas")
-    joined = joins.range_join(ev, windows, on="ts", lo="lo", hi="hi", by="user_id")
+    joined = joins.object_exchange_range_join(
+        ev, windows, on="ts", lo="lo", hi="hi", by="user_id")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(n=np.int64(1))
@@ -386,7 +387,7 @@ def q_join_range_bins(sf_dir: str):
         )
 
     bands = nat.map_batches(mk_bands, batch_format="pandas")
-    joined = joins.range_join(
+    joined = joins.object_exchange_range_join(
         part, bands, on="p_retailprice", lo="lo", hi="hi", bin_width=50.0
     )
     return joined.map_batches(

@@ -553,7 +553,9 @@ def object_exchange_hash_join(
     out_schema = pa.schema(out_fields)
 
     @ray.remote
-    def route(t: pa.Table, ren: dict):
+    def route(t: pa.Table, ren: dict, side: int):
+        if t.num_columns == 0:  # empty pandas batches arrive 0-column
+            t = (l_schema if side == 0 else r_schema).empty_table()
         if ren:
             t = t.rename_columns([ren.get(c, c) for c in t.column_names])
         sh = hash_partition(t[on], B)
@@ -585,9 +587,130 @@ def object_exchange_hash_join(
             return empty
         return pa.Table.from_pandas(m[out_schema.names], preserve_index=False)
 
-    l_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, l_ren)
+    l_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, l_ren, 0)
                 for r in left.to_arrow_refs()]
-    r_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, r_ren)
+    r_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, r_ren, 1)
+                for r in right.to_arrow_refs()]
+    if B == 1:
+        l_sliced = [[r] for r in l_sliced]
+        r_sliced = [[r] for r in r_sliced]
+    out_refs = [
+        merge_bucket.remote([blk[s] for blk in l_sliced],
+                            [blk[s] for blk in r_sliced])
+        for s in range(B)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def object_exchange_range_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    lo: str,
+    hi: str,
+    by: str | None = None,
+    num_buckets: int = 32,
+    bin_width: float | None = None,
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """``range_join`` semantics over the direct object-store exchange
+    (same routing rules — ``by=`` hashes a shared key, ``bin_width=``
+    replicates intervals into every overlapped bin so each matching pair
+    meets exactly once in the point's bin — but per-bucket slices are
+    first-class objects and one merge task per bucket joins them, skipping
+    the Dataset sort-shuffle's fixed cost and the null-padded union schema
+    the groupby strategy pays). Inner join, like ``range_join``."""
+    if (by is None) == (bin_width is None):
+        raise ValueError("exactly one of by= or bin_width= is required")
+    B = num_buckets
+
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
+
+    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_renamed = [c if c == by else (c + right_suffix if c in l_cols else c)
+                 for c in r_cols]
+    lo_c = r_renamed[r_cols.index(lo)]
+    hi_c = r_renamed[r_cols.index(hi)]
+    out_r_cols = [c for c in r_renamed if c != by]
+    out_names = l_cols + out_r_cols
+    key = by if by is not None else "_b"
+
+    def _slices(t: pa.Table, bucket: np.ndarray):
+        order = np.argsort(bucket, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(bucket[order], np.arange(B + 1))
+        out = tuple(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                    for i in range(B))
+        return out if B > 1 else out[0]
+
+    @ray.remote
+    def route_points(t: pa.Table):
+        if t.num_columns == 0:  # empty pandas batches arrive 0-column
+            t = l_schema.empty_table()
+        if by is not None:
+            bucket = hash_partition(t[by], B).astype(np.int64)
+        else:
+            v = _domain_i64(t[on].to_numpy(zero_copy_only=False))
+            bins = np.floor_divide(v, bin_width).astype(np.int64)
+            t = t.append_column("_b", pa.array(bins))
+            bucket = bins % B
+        return _slices(t, bucket)
+
+    @ray.remote
+    def route_intervals(t: pa.Table):
+        if t.num_columns == 0:  # empty pandas batches arrive 0-column
+            t = r_schema.empty_table()
+        t = t.rename_columns(r_renamed)
+        if by is not None:
+            bucket = hash_partition(t[by], B).astype(np.int64)
+        else:
+            lov = _domain_i64(t[lo_c].to_numpy(zero_copy_only=False))
+            hiv = _domain_i64(t[hi_c].to_numpy(zero_copy_only=False))
+            lob = np.floor_divide(lov, bin_width).astype(np.int64)
+            hib = np.floor_divide(hiv, bin_width).astype(np.int64)
+            counts = np.maximum(hib - lob + 1, 0)  # hi<lo ⇒ matches nothing
+            idx = np.repeat(np.arange(len(t)), counts)
+            offs = np.arange(len(idx)) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            bins = np.repeat(lob, counts) + offs
+            t = t.take(pa.array(idx)).append_column("_b", pa.array(bins))
+            bucket = bins % B
+        return _slices(t, bucket)
+
+    @ray.remote
+    def merge_bucket(l_refs, r_refs) -> pa.Table:
+        l_parts = [p for p in ray.get(list(l_refs)) if p.num_rows]
+        r_parts = [p for p in ray.get(list(r_refs)) if p.num_rows]
+        l_fields = [pa.field(n, t) for n, t in zip(l_cols, l_schema.types)]
+        r_fields = [pa.field(n, t) for n, t in
+                    zip(r_renamed, r_schema.types)]
+        if by is None:
+            l_fields.append(pa.field("_b", pa.int64()))
+            r_fields.append(pa.field("_b", pa.int64()))
+        out_schema = pa.schema(
+            [f for f in l_fields if f.name != "_b"]
+            + [f for f in r_fields if f.name not in (by, "_b")])
+        if not l_parts or not r_parts:
+            return out_schema.empty_table()
+        l = pa.concat_tables(l_parts).to_pandas()
+        r = pa.concat_tables(r_parts).to_pandas()
+        m = l.merge(r[[key] + out_r_cols], on=key)
+        m = m[(m[on] >= m[lo_c]) & (m[on] <= m[hi_c])][out_names]
+        if len(m) == 0:
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(m, preserve_index=False).cast(out_schema)
+
+    nret = {"num_returns": B} if B > 1 else {}
+    l_sliced = [route_points.options(**nret).remote(r)
+                for r in left.to_arrow_refs()]
+    r_sliced = [route_intervals.options(**nret).remote(r)
                 for r in right.to_arrow_refs()]
     if B == 1:
         l_sliced = [[r] for r in l_sliced]

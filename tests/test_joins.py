@@ -298,3 +298,48 @@ def test_object_exchange_join_suffixes():
         rd.from_arrow(l), rd.from_arrow(r), on="k", num_buckets=4).to_pandas()
     assert sorted(out.columns) == ["k", "v", "v_r"]
     assert {(row.k, row.v, row.v_r) for row in out.itertuples()} == {(1, 10, 100), (2, 20, 200)}
+
+
+def test_object_exchange_range_join_matches_groupby_strategy():
+    pts, iv = _range_fixture()
+    # by-key routing
+    out = joins.object_exchange_range_join(
+        rd.from_arrow(pts), rd.from_arrow(iv),
+        on="x", lo="lo", hi="hi", by="key", num_buckets=8,
+    ).to_pandas()
+    assert set(zip(out["pid"], out["iid"])) == _brute_pairs(pts, iv, by="key")
+    # binned routing (no shared key) + malformed-interval clip
+    iv2 = iv.drop_columns(["key"])
+    iv2 = iv2.set_column(iv2.column_names.index("hi"), "hi",
+                         pa.array(np.where(np.arange(len(iv2)) % 37 == 0,
+                                           -1.0,
+                                           iv2["hi"].to_numpy())))
+    out2 = joins.object_exchange_range_join(
+        rd.from_arrow(pts.drop_columns(["key"])), rd.from_arrow(iv2),
+        on="x", lo="lo", hi="hi", bin_width=50.0, num_buckets=8,
+    ).to_pandas()
+    assert set(zip(out2["pid"], out2["iid"])) == _brute_pairs(
+        pts.drop_columns(["key"]).append_column("key", pa.array(np.zeros(len(pts), np.int64))),
+        iv2.append_column("key", pa.array(np.zeros(len(iv2), np.int64))), by=None)
+
+
+def test_object_exchange_range_join_timestamps():
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pts = pa.table({
+        "pid": pa.array(np.arange(500, dtype=np.int64)),
+        "ts": pa.array(base + np.arange(500).astype("timedelta64[s]").astype("timedelta64[us]") * 37),
+    })
+    lo = base + np.arange(40).astype("timedelta64[s]").astype("timedelta64[us]") * 450
+    iv = pa.table({
+        "iid": pa.array(np.arange(40, dtype=np.int64)),
+        "lo": pa.array(lo),
+        "hi": pa.array(lo + np.timedelta64(120_000_000, "us")),
+    })
+    got = joins.object_exchange_range_join(
+        rd.from_arrow(pts), rd.from_arrow(iv),
+        on="ts", lo="lo", hi="hi", bin_width=60.0, num_buckets=8).to_pandas()
+    ref = joins.range_join(
+        rd.from_arrow(pts), rd.from_arrow(iv),
+        on="ts", lo="lo", hi="hi", bin_width=60.0, num_buckets=8).to_pandas()
+    assert set(zip(got["pid"], got["iid"])) == set(zip(ref["pid"], ref["iid"]))
+    assert len(got) > 0
