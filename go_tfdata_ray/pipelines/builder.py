@@ -50,6 +50,14 @@ class DefaultPipeline:
         self._source = lambda: ds
         return self
 
+    def from_channel(self, ch) -> "DefaultPipeline":
+        """↔ wiring a reader to a ``SampleChannel``/``TFExampleChannel``
+        (readers.go:55-97; topology example tfrecord_test.go:27-81): the
+        channel's staged rows become the source Dataset when the pipeline
+        runs (the channel is sealed at that point)."""
+        self._source = ch.to_dataset
+        return self
+
     def from_tar(self, paths, members: list[str] | None = None,
                  require_complete: bool = True,
                  streaming: bool = False) -> "DefaultPipeline":
