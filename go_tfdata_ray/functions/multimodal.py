@@ -213,6 +213,13 @@ class ImageResizer:
             payloads = []
             for buf in t["payload"].to_pylist():
                 fmt = codecs.sniff_image_format(buf)
+                if fmt == "gif":  # resize every frame, keep the animation
+                    frames, delays = codecs.decode_gif(buf)
+                    resized = np.stack([
+                        codecs.resize_nearest(f, self.target_w, self.target_h)
+                        for f in frames])
+                    payloads.append(codecs.encode_gif(resized, delays))
+                    continue
                 img = codecs.decode_image(buf)
                 payloads.append(codecs.encode_image(
                     codecs.resize_nearest(img, self.target_w, self.target_h), fmt))

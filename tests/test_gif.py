@@ -109,3 +109,12 @@ def test_image_decoder_real_gif_first_frame():
     t = multimodal.synth_media_table(3, payload="gif")
     out = multimodal.ImageDecoder(mode="real")(t).to_pandas()
     assert (out["width"] == 16).all() and (out["height"] == 16).all()
+
+
+def test_image_resizer_real_gif_keeps_all_frames():
+    t = multimodal.synth_media_table(3, media_type="video", payload="gif")
+    out = multimodal.ImageResizer(8, 8, mode="real")(t).to_pandas()
+    src = t.to_pandas()
+    for i in range(3):
+        frames, delays = decode_gif(bytes(out["payload"][i]))
+        assert frames.shape == (int(src["n_frames"][i]), 8, 8, 3)
