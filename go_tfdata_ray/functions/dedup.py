@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 
 from .text import _worker_cached
+from ..stages.exchange import exchange_group_map
 
 _MERSENNE = (1 << 61) - 1
 
@@ -74,7 +75,7 @@ def exact_dedup(
         )
 
     partials = ds.map_batches(partial, batch_format="pandas", zero_copy_batch=True)
-    return partials.groupby("shard").map_groups(resolve, batch_format="pandas")
+    return exchange_group_map(partials, resolve, num_shards, shard_col="shard")
 
 
 # --- shingles + MinHash -----------------------------------------------------
@@ -223,16 +224,16 @@ def minhash_lsh_dedup(
         batch_format="pandas", batch_size=1024,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
-    cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
+    cand = exchange_group_map(buckets, resolve_shard, num_shards, shard_col="shard")
 
     # a doc may be flagged in several bands — keep the smallest dup_of.
     # The flagged set is 10-40% of a web corpus, NOT tiny: the final is a
-    # key-sharded groupby (distributed), never a single task.
+    # key-sharded exchange (distributed), never a single task.
     def flag_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, "dup_of", "est"], kind="mergesort")
         return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "est"]]
 
-    return cand.groupby("_ks").map_groups(flag_shard, batch_format="pandas")
+    return exchange_group_map(cand, flag_shard, num_shards, shard_col="_ks")
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -311,8 +312,8 @@ def simhash_dedup(ds: rd.Dataset, text_col="text", key_col="doc_id",
         g["n_copies"] = g["n_copies"].astype("int64")
         return g[[key_col, "n_copies", "simhash"]]
 
-    return sigs.map_batches(partial, batch_format="pandas").groupby("_shard").map_groups(
-        final_shard, batch_format="pandas"
+    return exchange_group_map(
+        sigs.map_batches(partial, batch_format="pandas"), final_shard, num_shards
     )
 
 
@@ -375,7 +376,7 @@ def simhash_banded_neardup(
         batch_format="pandas", batch_size=2048,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
-    cand = buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
+    cand = exchange_group_map(buckets, resolve_shard, num_shards, shard_col="shard")
 
     # flagged per band → keep the closest (then smallest) dup_of per key,
     # via a distributed key-sharded final
@@ -390,8 +391,9 @@ def simhash_banded_neardup(
         df = df.sort_values([key_col, "hamming", "dup_of"], kind="mergesort")
         return df.groupby(key_col, sort=False).head(1)[[key_col, "dup_of", "hamming"]]
 
-    return cand.map_batches(add_kshard, batch_format="pandas").groupby("_ks").map_groups(
-        flag_shard, batch_format="pandas"
+    return exchange_group_map(
+        cand.map_batches(add_kshard, batch_format="pandas"),
+        flag_shard, num_shards, shard_col="_ks",
     )
 
 
@@ -544,8 +546,9 @@ def ngram_verified_dedup(
         return pd.DataFrame({key_col: out_k, "dup_of": out_d,
                              "jaccard": np.asarray(out_j, dtype=np.float64)})
 
-    return joined.map_batches(add_pshard, batch_format="pandas").groupby("_ps").map_groups(
-        verify_shard, batch_format="pandas"
+    return exchange_group_map(
+        joined.map_batches(add_pshard, batch_format="pandas"),
+        verify_shard, num_shards, shard_col="_ps",
     )
 
 
@@ -822,4 +825,4 @@ def embedding_neardup(
         _worker_cached(PlaneBucketer, emb_col, key_col, n_planes, seed, num_shards),
         batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
     )
-    return buckets.groupby("shard").map_groups(resolve_shard, batch_format="pandas")
+    return exchange_group_map(buckets, resolve_shard, num_shards, shard_col="shard")

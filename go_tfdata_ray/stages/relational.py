@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..cdc.collapse import hash_partition
+from .exchange import exchange_group_map
 
 
 def combine_partials(
@@ -66,8 +67,8 @@ def distinct(ds: rd.Dataset, cols: list[str] | None = None,
     def final_shard(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop(columns=["_shard"]).drop_duplicates()
 
-    return ds.map_batches(partial, batch_format="pandas").groupby("_shard").map_groups(
-        final_shard, batch_format="pandas"
+    return exchange_group_map(
+        ds.map_batches(partial, batch_format="pandas"), final_shard, num_shards
     )
 
 
@@ -138,7 +139,7 @@ def collect_group_csv(
         return g[[group_col, out_col]]
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_shard").map_groups(final_shard, batch_format="pandas")
+    return exchange_group_map(partials, final_shard, num_shards)
 
 
 def assign_split(
@@ -212,7 +213,7 @@ def sessionize(
         )
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(sess_shard, batch_format="pandas")
+    return exchange_group_map(sharded, sess_shard, num_shards)
 
 
 def rollup(
@@ -277,7 +278,7 @@ def rolling_per_key(
         return g.assign(**{out_col: cs - base[key_idx]})
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(roll_shard, batch_format="pandas")
+    return exchange_group_map(sharded, roll_shard, num_shards)
 
 
 def quantiles_per_group(
@@ -314,7 +315,7 @@ def quantiles_per_group(
         return pd.DataFrame(out)
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
-    return sharded.groupby("_shard").map_groups(quant_shard, batch_format="pandas")
+    return exchange_group_map(sharded, quant_shard, num_shards)
 
 
 def topk_per_group(
