@@ -157,6 +157,79 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return (data if nch == 1 else data.reshape(-1, nch)), rate
 
 
+# -- Motion-JPEG (video = back-to-back baseline JPEG frames) ----------------
+
+
+def _jpeg_frame_end(buf: bytes, start: int) -> int:
+    """Exact end offset (exclusive) of the JPEG image starting at ``start``
+    by walking its marker segments. Inside entropy-coded scan data a 0xFF
+    byte is always stuffed (FF00) or a restart marker (FFD0–D7), so the
+    EOI marker (FFD9) found by the scan is the true image end — this is a
+    parse, not the FFD8-search heuristic that breaks when FFD8 appears in
+    entropy data."""
+    n = len(buf)
+    pos = start + 2
+    while pos < n - 1:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG stream at offset {pos}")
+        m = buf[pos + 1]
+        if m == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if m == 0xD9:  # EOI
+            return pos + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # TEM / RSTn / SOI: bare markers
+            pos += 2
+            continue
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        pos += 2 + ln
+        if m == 0xDA:  # SOS: skip entropy data to the next real marker
+            while True:
+                i = buf.find(b"\xff", pos)
+                if i < 0 or i >= n - 1:
+                    raise ValueError("JPEG stream truncated inside scan")
+                nxt = buf[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffed / restart
+                    pos = i + 2
+                    continue
+                pos = i
+                break
+    raise ValueError("JPEG stream truncated (no EOI)")
+
+
+def split_mjpeg(buf: bytes) -> list[bytes]:
+    """Split a Motion-JPEG stream (concatenated baseline JPEG images — the
+    payload layout of MJPEG AVI/HTTP-multipart streams, minus container
+    framing) into its frames. Frame boundaries come from a real marker-
+    segment walk (`_jpeg_frame_end`), so the split is exact. A single JPEG
+    is a valid 1-frame stream."""
+    frames: list[bytes] = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos:pos + 2] != b"\xff\xd8":
+            raise ValueError(f"not an MJPEG stream: no SOI at offset {pos}")
+        end = _jpeg_frame_end(buf, pos)
+        frames.append(buf[pos:end])
+        pos = end
+    if not frames:
+        raise ValueError("empty MJPEG stream")
+    return frames
+
+
+def encode_mjpeg(frames: "np.ndarray | list[np.ndarray]", quality: int = 90,
+                 subsampling: str = "444") -> bytes:
+    """Encode an (F,H,W[,3]) stack (or list of frames) as an MJPEG stream."""
+    return b"".join(
+        encode_jpeg(np.asarray(f), quality=quality, subsampling=subsampling)
+        for f in frames
+    )
+
+
+def decode_mjpeg(buf: bytes) -> np.ndarray:
+    """MJPEG stream → (F,H,W[,3]) uint8 stack (frames must share dims)."""
+    return np.stack([decode_jpeg(f) for f in split_mjpeg(buf)])
+
+
 # -- format dispatch (PNG / JPEG / GIF by magic bytes) ----------------------
 
 from .jpeg import encode_jpeg, decode_jpeg  # noqa: E402  (re-export)

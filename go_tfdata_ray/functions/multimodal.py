@@ -73,14 +73,14 @@ def synth_audio(i: int, n_samples: int = 4096, rate: int = 16000) -> np.ndarray:
 def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
-    bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"wav"``
-    = REAL encoded payloads for the real decode kernels (``"gif"`` is an
-    n_frames-frame animation at 16×16, so the width/height columns report
-    16)."""
+    bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
+    / ``"wav"`` = REAL encoded payloads for the real decode kernels
+    (``"gif"`` / ``"mjpeg"`` are n_frames-frame clips at 16×16, so the
+    width/height columns report 16)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload == "gif":
+    if payload in ("gif", "mjpeg"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -90,6 +90,9 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                     for i in range(n)]
     elif payload == "gif":
         payloads = [codecs.encode_gif(synth_gif_frames(i + seed, nf[i]))
+                    for i in range(n)]
+    elif payload == "mjpeg":
+        payloads = [codecs.encode_mjpeg(synth_gif_frames(i + seed, nf[i]))
                     for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
@@ -166,9 +169,13 @@ class FrameSampler:
     shape: output rows ≠ input rows).
 
     real: REAL frame extraction from animated GIF payloads
-    (``functions/gif.py`` — LZW decode + disposal composition); the frame
-    count comes from the decoded container, not metadata. Other video
-    containers raise at this seam (ffmpeg would plug in).
+    (``functions/gif.py`` — LZW decode + disposal composition) and from
+    MJPEG streams (concatenated baseline JPEGs — ``codecs.split_mjpeg``
+    marker-walks the frame boundaries without touching pixels, the right
+    cost model for sampling: only the SAMPLED frames would ever be pixel-
+    decoded downstream). The frame count comes from the container, not
+    metadata. Other video containers raise at this seam (ffmpeg would
+    plug in).
     fake: frame indices derived from the n_frames metadata column."""
 
     def __init__(self, every_n: int = 10, mode: str = "fake"):
@@ -179,11 +186,17 @@ class FrameSampler:
         if self.mode == "real":
             for mid, buf in zip(t["media_id"].to_pylist(),
                                 t["payload"].to_pylist()):
-                if codecs.sniff_image_format(buf) != "gif":
+                fmt = codecs.sniff_image_format(buf)
+                if fmt == "gif":
+                    decoded, _delays = codecs.decode_gif(buf)
+                    n_frames = decoded.shape[0]
+                elif fmt == "jpeg":  # MJPEG: a still JPEG is a 1-frame clip
+                    n_frames = len(codecs.split_mjpeg(buf))
+                else:
                     raise NotImplementedError(
-                        "frame extraction beyond GIF requires ffmpeg — seam")
-                decoded, _delays = codecs.decode_gif(buf)
-                for f in range(0, decoded.shape[0], self.every_n):
+                        "frame extraction beyond GIF/MJPEG requires ffmpeg "
+                        "— seam")
+                for f in range(0, n_frames, self.every_n):
                     ids.append(mid)
                     frames.append(f)
             return pa.table({"media_id": pa.array(ids),

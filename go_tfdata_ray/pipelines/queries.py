@@ -1132,20 +1132,33 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over animated GIF payloads (flat-map shape: one
-    row per sampled frame index): each synthetic clip is a true
-    (i%30)+1-frame GIF89a animation, decoded from-spec (LZW + disposal
-    composition, ``functions/gif.py``), and the sampled indices come from
-    the DECODED frame count — so the oracle's closed-form reconstruction
-    hash-checks the container round trip. Pixel-content equality of the
-    decoded frames stays in the codec pytests."""
+    """REAL frame sampling over two video containers (flat-map shape: one
+    row per sampled frame index), stage-tagged union: 'gif' = each clip is
+    a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW +
+    disposal composition, ``functions/gif.py``); 'mjpeg' = the same clips
+    as Motion-JPEG streams (concatenated baseline JPEGs), frame boundaries
+    recovered by the exact marker-segment walk in ``codecs.split_mjpeg``.
+    Sampled indices come from the DECODED container in both legs, so the
+    oracle's closed-form reconstruction hash-checks both round trips.
+    Pixel-content equality of decoded frames stays in the codec pytests."""
     from ..functions import multimodal
 
+    def tag(stage):
+        def f(t: pa.Table) -> pa.Table:
+            t = _i64(t, "frame_idx")
+            return t.add_column(0, "stage", pa.array([stage] * len(t)))
+        return f
+
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
-    ds = rd.from_arrow(multimodal.synth_media_table(
+    gif = rd.from_arrow(multimodal.synth_media_table(
         n, media_type="video", payload="gif"))
-    out = multimodal.sample_frames(ds, every_n=10, mode="real")
-    return out.map_batches(lambda t: _i64(t, "frame_idx"), batch_format="pyarrow")
+    gif_out = multimodal.sample_frames(gif, every_n=10, mode="real").map_batches(
+        tag("gif"), batch_format="pyarrow")
+    mjp = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mjpeg"))
+    mjp_out = multimodal.sample_frames(mjp, every_n=10, mode="real").map_batches(
+        tag("mjpeg"), batch_format="pyarrow")
+    return gif_out.union(mjp_out)
 
 
 def q_audio_features(sf_dir: str):
@@ -1535,10 +1548,12 @@ ORACLE_SQL = {
     ),
     "media_frames": (
         # deterministic synth media table at sf0.01: n=100, n_frames=(i%30)+1,
-        # sampled every 10 frames
-        "WITH m AS (SELECT range AS i, (range % 30) + 1 AS n_frames FROM range(100)) "
-        "SELECT printf('m-%06d', i) AS media_id, "
-        "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m"
+        # sampled every 10 frames; identical closed form for both containers
+        "WITH m AS (SELECT range AS i, (range % 30) + 1 AS n_frames FROM range(100)), "
+        "s AS (SELECT printf('m-%06d', i) AS media_id, "
+        "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m) "
+        "SELECT 'gif' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip

@@ -120,3 +120,55 @@ def test_multimodal_real_decode_jpeg_via_dataset():
     assert len(out) == 6
     assert (out["width"].to_numpy()
             == t.to_pandas()["width"].to_numpy()).all()
+
+
+# -- Motion-JPEG (concatenated baseline JPEGs) -------------------------------
+
+
+def test_mjpeg_split_and_roundtrip():
+    frames = np.stack([_smooth_rgb(24, 16, seed=s) for s in range(5)])
+    buf = codecs.encode_mjpeg(frames, quality=90)
+    parts = codecs.split_mjpeg(buf)
+    assert len(parts) == 5
+    # every part is a standalone decodable JPEG with exact dimensions
+    for p, orig in zip(parts, frames):
+        dec = decode_jpeg(p)
+        assert dec.shape == orig.shape
+        assert _psnr(orig, dec) > 27.0
+    stack = codecs.decode_mjpeg(buf)
+    assert stack.shape == frames.shape
+
+
+def test_mjpeg_single_jpeg_is_one_frame():
+    buf = encode_jpeg(_smooth_rgb(16, 16), quality=90)
+    assert len(codecs.split_mjpeg(buf)) == 1
+
+
+def test_mjpeg_split_survives_ffd8_in_entropy_data():
+    # noisy frames make 0xFFD8 byte pairs likely inside entropy data; an
+    # SOI-search heuristic would mis-split, the marker walk must not
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    buf = codecs.encode_mjpeg(frames, quality=95)
+    parts = codecs.split_mjpeg(buf)
+    assert len(parts) == 8
+    assert all(decode_jpeg(p).shape == (32, 32, 3) for p in parts)
+
+
+def test_mjpeg_truncated_raises():
+    buf = codecs.encode_mjpeg(np.stack([_smooth_rgb(16, 16)] * 2))
+    with pytest.raises(ValueError):
+        codecs.split_mjpeg(buf[:-1])
+    with pytest.raises(ValueError):
+        codecs.split_mjpeg(b"\x00\x01" + buf)
+
+
+def test_frame_sampler_real_mjpeg():
+    t = multimodal.synth_media_table(20, media_type="video", payload="mjpeg")
+    ds = rd.from_arrow(t)
+    out = multimodal.sample_frames(ds, every_n=10, mode="real").to_pandas()
+    # clip i has (i%30)+1 frames -> sampled indices {0, 10, 20} ∩ range
+    want = {(f"m-{i:06d}", f) for i in range(20)
+            for f in range(0, (i % 30) + 1, 10)}
+    got = set(zip(out["media_id"], out["frame_idx"]))
+    assert got == want
