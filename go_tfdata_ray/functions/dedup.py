@@ -463,13 +463,14 @@ def ngram_verified_dedup(
     Fully distributed — nothing corpus-sized ever touches the driver:
     candidate pairs explode into (pair, member) rows; candidate TEXTS are
     narrowed with a broadcast id-set filter (ids only on the driver — the
-    semi-join pattern) and routed to their pairs by ONE bucketed hash join;
+    semi-join pattern) and routed to their pairs by ONE object-exchange
+    hash join (no sort-shuffle fixed cost);
     verification then runs per PAIR-SHARD (groupby) with batch-vectorized
     shingle hashing and sorted-array intersections — no ``.to_pandas()`` of
     pairs-with-texts, no per-pair driver loop. At planetary candidate
     counts swap the id broadcast for ``storage_hash_join`` (same shape).
     Returns (key_col, dup_of, jaccard) for verified duplicates."""
-    from ..stages.joins import bucket_hash_join, semi_join_filter
+    from ..stages.joins import object_exchange_hash_join, semi_join_filter
 
     cand = minhash_lsh_dedup(
         ds, text_col=text_col, key_col=key_col, k=k,
@@ -490,7 +491,11 @@ def ngram_verified_dedup(
             }
         )
 
-    pair_rows = cand.map_batches(explode, batch_format="pandas")
+    # materialize the pair rows (ids only, ≈24 B/candidate — object-store
+    # resident, never driver-resident): they are consumed TWICE below (the
+    # id-set drain and the join), and without a materialize the whole
+    # LSH candidate pipeline re-executes for each consumer (~2 s at sf0.1)
+    pair_rows = cand.map_batches(explode, batch_format="pandas").materialize()
     # ids-only driver set for the broadcast semi-join narrow (≈16 B/candidate)
     member_ids = set()
     for b in pair_rows.select_columns(["member"]).iter_batches(batch_format="pyarrow"):
@@ -511,8 +516,8 @@ def ngram_verified_dedup(
         lambda df: df.rename(columns={key_col: "member", text_col: "_text"}),
         batch_format="pandas",
     )
-    joined = bucket_hash_join(pair_rows, texts_cand, on="member",
-                              num_buckets=num_shards)
+    joined = object_exchange_hash_join(pair_rows, texts_cand, on="member",
+                                       num_buckets=num_shards)
 
     def add_pshard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -31,6 +31,20 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read_docs(sf_dir: str, columns) -> "rd.Dataset":
+    """Read documents.parquet split into ~one block per CPU. At test SFs
+    the table is ONE small file -> Ray's default gives it one block, and
+    every CPU-bound per-doc stage downstream (shingle hashing, signatures,
+    language ID) serializes on a single task. At real corpus scale the
+    file count provides the blocks and an override like this should be
+    dropped (it would CAP parallelism); here the table is a single file by
+    construction."""
+    import ray
+    n = max(int(ray.cluster_resources().get("CPU", 8)), 8)
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=columns,
+                           override_num_blocks=n)
+
+
 def _i64(t: pa.Table, *cols: str) -> pa.Table:
     for c in cols:
         t = t.set_column(t.column_names.index(c), c, pc.cast(t[c], pa.int64()))
@@ -482,7 +496,7 @@ def q_inverted_index(sf_dir: str):
     for serving."""
     import re as _re
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     pat = _re.compile(r"[a-z]+")
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:
@@ -601,7 +615,7 @@ def q_join_asof(sf_dir: str):
 
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment (8/1/1 by doc_id % 10)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = _read_docs(sf_dir, columns=["doc_id"])
     return rel.assign_split(ds, "doc_id")
 
 
@@ -819,7 +833,7 @@ def q_tfrecord_roundtrip(sf_dir: str):
 
     path = f"/tmp/graft_tfrec/sf{walmod.sf_from_dir(sf_dir):g}.tfrecord"
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    src = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    src = _read_docs(sf_dir, columns=["doc_id", "n_chars"])
     DefaultPipeline().from_dataset(src).to_tfrecord(path).do()
     out = DefaultPipeline().from_tfrecord(path).collect().do()
 
@@ -880,7 +894,7 @@ def q_text_features(sf_dir: str):
     fingerprint, every column SQL-reproducible and hash-checked. The float
     quality ratios/score and the rolling-hash winnowing fingerprint stay
     pytest-covered (``text.quality`` / ``text.fingerprints``)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     return text.text_features(ds)
 
 
@@ -891,7 +905,7 @@ def q_tokenize(sf_dir: str):
     """Deterministic hash-vocab tokenizer over documents. The driver checks
     the SQL-reproducible projection (doc_id, n_tok) — the ids themselves
     are siphash-derived (pytest-verified for determinism/range)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     out = text.tokenize(ds)
     return out.map_batches(
         lambda t: _i64(t.select(["doc_id", "n_tok"]), "doc_id", "n_tok"),
@@ -906,7 +920,7 @@ def q_tokenize_pack(sf_dir: str):
     which SQL reproduces with the same regex — layout-independent."""
     from ..functions import pack
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     toks = text.tokenize(ds)
     packed = pack.pack_sequences(toks, context_len=256, eod_token=50256)
 
@@ -924,7 +938,7 @@ def q_tokenize_pack(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     out = dedup.exact_dedup(ds, content_col="text", key_col="doc_id")
     return out.map_batches(lambda t: _i64(t, "doc_id", "n_copies"), batch_format="pyarrow")
 
@@ -972,7 +986,7 @@ def q_minhash_dedup(sf_dir: str):
     machinery is ``ngram_dedup`` (same shingle→minhash→band→bucket
     pipeline + exact distributed verify); recall/threshold monotonicity is
     pytest-covered."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     return dedup.minhash_lsh_dedup(ds, threshold=0.5)
 
 
@@ -1041,7 +1055,7 @@ def q_simhash_neardup(sf_dir: str):
     bit-flip Hamming fixtures are pytest-covered; the dedup family's
     hash-checked rows come from dedup_exact / ngram_dedup /
     embedding_neardup / dedup_clusters_planted."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     return dedup.simhash_banded_neardup(ds, max_hamming=3)
 
 
@@ -1050,7 +1064,7 @@ def q_dedup_clusters_planted(sf_dir: str):
     set (chains (d, d-1) for d % 5 ≠ 0 ⇒ clusters of 5 consecutive ids with
     min-id representative) — oracle-checks the union-find contraction that
     dedup_clusters applies to LSH pairs."""
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    docs = _read_docs(sf_dir, columns=["doc_id"])
 
     def mk_pairs(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1071,7 +1085,7 @@ def q_ngram_dedup(sf_dir: str):
     — same closed-form oracle as minhash_dedup, but reached through the
     pair-explode → semi-join-narrow → bucketed-join → pair-shard-verify
     machinery. Sub-1.0 thresholds stay pytest-covered."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     out = dedup.ngram_verified_dedup(_plant_doc_copies(ds), threshold=1.0,
                                      candidate_margin=1.0)
     return out.map_batches(
