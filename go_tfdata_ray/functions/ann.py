@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..stages.exchange import exchange_coalesce_map
+
 
 # per-worker-process stage cache, keyed by the broadcast ref (unique per
 # query invocation): plain tasks + this cache keep "state loads once per
@@ -85,8 +87,7 @@ def _finalize_topk(cand: rd.Dataset, key_col: str, k: int, n_queries: int,
         return df
 
     if n_queries < 256:
-        return cand.repartition(1).map_batches(topk, batch_format="pandas",
-                                               batch_size=None)
+        return exchange_coalesce_map(cand, topk)
 
     def add_qshard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -24,7 +24,7 @@ import ray
 import ray.data as rd
 
 from .text import _worker_cached
-from ..stages.exchange import exchange_group_map
+from ..stages.exchange import exchange_coalesce_map, exchange_group_map
 
 _MERSENNE = (1 << 61) - 1
 
@@ -590,7 +590,7 @@ def cluster_duplicates(
         nodes = sorted(set(a) | set(b))
         return pd.DataFrame({key_col: nodes, "cluster": [find(n) for n in nodes]})
 
-    return pairs.repartition(1).map_batches(uf, batch_format="pandas", batch_size=None)
+    return exchange_coalesce_map(pairs, uf)
 
 
 def cluster_duplicates_distributed(

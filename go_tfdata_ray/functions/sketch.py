@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..stages.exchange import exchange_coalesce_map
+
 
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
     """uint8[2^p] HLL registers for one batch of values."""
@@ -92,9 +94,10 @@ def build_bloom(ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 7) -> 
             np.bitwise_or(out, np.frombuffer(b, dtype=np.uint8), out=out)
         return pa.table({"bits": pa.array([out.tobytes()], pa.large_binary())})
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-              .repartition(1)
-              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    merged = exchange_coalesce_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge, batch_format="pyarrow",
+    )
     (row,) = merged.take_all()
     return row["bits"]
 
@@ -130,7 +133,6 @@ def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:
         return pa.table({"regs": pa.array([out.tobytes()], pa.large_binary())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.repartition(1).map_batches(merge, batch_format="pyarrow",
-                                                 batch_size=None)
+    merged = exchange_coalesce_map(partials, merge, batch_format="pyarrow")
     (row,) = merged.take_all()
     return int(round(_estimate(np.frombuffer(row["regs"], dtype=np.uint8))))

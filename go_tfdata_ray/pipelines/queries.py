@@ -24,6 +24,7 @@ from ..cdc.engine import CDCEngine
 from ..functions import ann, dedup, text
 from ..sources import wal as walmod
 from ..stages import joins, relational as rel, transforms as tr
+from ..stages.exchange import exchange_coalesce_map
 from ..stages.transforms import ByKey, ByKeyValue, ByPrefix, BySubstring, BySuffix
 
 
@@ -169,10 +170,12 @@ def q_agg_pricing(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
-    """Top-k two ways in one result (kind-tagged union): 'global' = native
-    ``ds.sort`` shuffle + ``limit`` (10 priciest orders overall); 'group' =
-    windowed rank via the per-batch-partial top-k combiner (2 priciest per
-    priority class). Also exercises ``ds.union`` across same-schema legs."""
+    """Top-k two ways in one result (kind-tagged union): 'global' = 10
+    priciest orders overall via per-block partial top-k + one tiny final
+    (``rel.topk_global`` — k rows per block move, vs every row through
+    ``ds.sort``'s all-to-all exchange); 'group' = windowed rank via the
+    per-batch-partial top-k combiner (2 priciest per priority class).
+    Also exercises ``ds.union`` across same-schema legs."""
     ds = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
     )
@@ -183,8 +186,9 @@ def q_topk_orders(sf_dir: str):
             return cols.add_column(0, "kind", pa.array([kind] * len(t)))
         return f
 
-    top_global = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
-        .limit(10).map_batches(tag("global"), batch_format="pyarrow")
+    top_global = rel.topk_global(
+        ds, "o_totalprice", k=10, descending=True, tie_col="o_orderkey"
+    ).map_batches(tag("global"), batch_format="pyarrow")
     top_group = rel.topk_per_group(
         ds, "o_orderpriority", "o_totalprice", k=2, descending=True, tie_col="o_orderkey"
     ).map_batches(tag("group"), batch_format="pyarrow")
@@ -932,8 +936,8 @@ def q_tokenize_pack(sf_dir: str):
     def total(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"content_tokens": [np.int64(df["content_tokens"].sum())]})
 
-    return packed.map_batches(partial, batch_format="pyarrow").repartition(1).map_batches(
-        total, batch_format="pandas", batch_size=None
+    return exchange_coalesce_map(
+        packed.map_batches(partial, batch_format="pyarrow"), total
     )
 
 

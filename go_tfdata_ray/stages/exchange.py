@@ -28,6 +28,40 @@ import ray
 import ray.data as rd
 
 
+def exchange_coalesce_map(
+    ds: rd.Dataset,
+    fn: Callable,
+    batch_format: Literal["pandas", "pyarrow"] = "pandas",
+) -> rd.Dataset:
+    """Replacement for ``ds.repartition(1).map_batches(fn, batch_size=None)``
+    on TINY datasets (partial aggregates, per-block top-k): one task fetches
+    every block ref and applies ``fn`` to the concatenation. Ray's
+    Repartition is an AllToAll operator whose scheduling fixed cost
+    (~0.5-1 s) dwarfs the actual combine at partial-aggregate sizes; this
+    is a plain task. ONLY for finals whose input is already combiner-capped
+    (k × blocks / groups × blocks rows) — never point corpus-sized data at
+    a single task."""
+
+    @ray.remote
+    def combine(*blocks):
+        parts = [b for b in blocks if b.num_columns and b.num_rows]
+        if not parts:
+            parts = [b for b in blocks if b.num_columns] or list(blocks)
+        t = (
+            pa.concat_tables(parts, promote_options="permissive")
+            if len(parts) > 1
+            else parts[0]
+        )
+        if batch_format == "pandas":
+            return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
+        return fn(t)
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds.map_batches(fn, batch_format=batch_format, batch_size=None)
+    return rd.from_arrow_refs([combine.remote(*refs)])
+
+
 def exchange_group_map(
     ds: rd.Dataset,
     fn: Callable,

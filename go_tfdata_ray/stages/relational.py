@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..cdc.collapse import hash_partition
-from .exchange import exchange_group_map
+from .exchange import exchange_coalesce_map, exchange_group_map
 
 
 def combine_partials(
@@ -33,19 +33,34 @@ def combine_partials(
 
     Partial aggregates are tiny — ≤ groups × blocks rows — so Ray's
     all-to-all Aggregate operator (sort shuffle, ~seconds of fixed cost even
-    for 100 rows) is the wrong tool. A coalesce + one combine task is the
-    tree-reduce final node; pass ``fanout`` > 0 to add an intermediate
-    combine level when group cardinality × blocks is large (e.g. per-user
-    windows over many blocks)."""
+    for 100 rows) is the wrong tool. Default: a coalesce + one combine task
+    (the tree-reduce final node). Pass ``fanout`` > 0 when group
+    cardinality × blocks is large (e.g. per-user windows over many
+    blocks): partials are then hash-sharded BY GROUP KEY over the object
+    exchange and combined once per shard — each group lands wholly in one
+    shard, so the per-shard combine is already the final (distributed)
+    result, with no all-to-all and no single-task bottleneck."""
 
     def comb(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(group_cols, sort=False, as_index=False)[sum_cols].sum()
 
     if fanout:
-        partials = partials.repartition(fanout).map_batches(
-            comb, batch_format="pandas", batch_size=None
+        def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_shard"] = (
+                pd.util.hash_pandas_object(df[group_cols], index=False).to_numpy()
+                % np.uint64(fanout)
+            ).astype(np.int64)
+            return df
+
+        def comb_shard(df: pd.DataFrame) -> pd.DataFrame:
+            return comb(df.drop(columns=["_shard"]))
+
+        return exchange_group_map(
+            partials.map_batches(add_shard, batch_format="pandas"),
+            comb_shard, fanout,
         )
-    return partials.repartition(1).map_batches(comb, batch_format="pandas", batch_size=None)
+    return exchange_coalesce_map(partials, comb)
 
 
 def distinct(ds: rd.Dataset, cols: list[str] | None = None,
@@ -318,6 +333,25 @@ def quantiles_per_group(
     return exchange_group_map(sharded, quant_shard, num_shards)
 
 
+def topk_global(
+    ds: rd.Dataset, order_col: str, k: int,
+    descending: bool = True, tie_col: str | None = None,
+) -> rd.Dataset:
+    """Global top-k WITHOUT a global sort: per-batch partial top-k (the
+    combiner — caps what moves at k × blocks rows) then one tiny final.
+    ``ds.sort().limit(k)`` moves every row through an all-to-all sort
+    exchange to keep k of them; this moves k rows per block. Rows come
+    back order-canonical (sorted by the rank key)."""
+    by = [order_col] + ([tie_col] if tie_col else [])
+    asc = [not descending] + ([True] if tie_col else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return exchange_coalesce_map(partials, partial)
+
+
 def topk_per_group(
     ds: rd.Dataset, group_col: str, order_col: str, k: int,
     descending: bool = True, tie_col: str | None = None,
@@ -339,4 +373,4 @@ def topk_per_group(
 
     # partials are ≤ k × groups × blocks rows — single-task final combine
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
+    return exchange_coalesce_map(partials, final)

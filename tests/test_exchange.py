@@ -108,3 +108,26 @@ def test_custom_shard_col_and_pyarrow_format():
     want = df.groupby("k", as_index=False)["v"].sum().rename(columns={"v": "v_sum"})
     got = out.sort_values("k").reset_index(drop=True)[["k", "v_sum"]]
     pd.testing.assert_frame_equal(got, want.sort_values("k").reset_index(drop=True))
+
+
+def test_coalesce_map_combines_all_blocks():
+    from go_tfdata_ray.stages.exchange import exchange_coalesce_map
+
+    df = pd.DataFrame({"k": np.arange(100) % 7, "v": np.ones(100, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(9)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    out = exchange_coalesce_map(ds, agg).to_pandas()
+    assert out["k"].is_unique and out["v"].sum() == 100
+
+
+def test_combine_partials_fanout_is_final():
+    # fanout shards by GROUP KEY hash: each group must appear exactly once
+    from go_tfdata_ray.stages.relational import combine_partials
+
+    df = pd.DataFrame({"g": np.arange(400) % 37, "n": np.ones(400, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(10)
+    out = combine_partials(ds, ["g"], ["n"], fanout=8).to_pandas()
+    assert out["g"].is_unique and len(out) == 37 and out["n"].sum() == 400

@@ -157,3 +157,16 @@ def test_quantiles_per_group_duckdb_semantics():
         assert row["p0"] == vs[0]  # q=0 clamps to the group MIN, no wrap
         assert row["p50"] == vs[int(np.ceil(0.5 * n)) - 1]
         assert row["p90"] == vs[int(np.ceil(0.9 * n)) - 1]
+
+
+def test_topk_global_matches_sort_limit():
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"v": rng.integers(0, 10_000, 5000),
+                       "id": np.arange(5000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = rel.topk_global(ds, "v", k=10, descending=True, tie_col="id").to_pandas()
+    want = df.sort_values(["v", "id"], ascending=[False, True]).head(10)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    asc = rel.topk_global(ds, "v", k=3, descending=False).to_pandas()
+    assert list(asc["v"]) == sorted(df["v"])[:3]
