@@ -383,9 +383,14 @@ class CDCEngine:
                 group_key = "_sk"
             else:
                 group_key = "part_id"
-            intents_ds = ds.groupby(group_key).map_groups(
+            from ..stages.exchange import exchange_group_map
+
+            intents_ds = exchange_group_map(
+                ds,
                 functools.partial(write_delta, lake_dir=self.lake_dir,
                                   epoch=epoch, salt=salt),
+                self.num_partitions * (salt if salt > 1 else 1),
+                shard_col=group_key,
                 batch_format="pyarrow",
             )
         intents = intents_ds.take_all()  # small intent rows (phase 1 output)

@@ -37,6 +37,7 @@ import ray
 import ray.data as rd
 
 from ..cdc.collapse import hash_partition
+from .exchange import exchange_group_map
 
 
 # per-worker-process cache of deserialized broadcast sides, keyed by object
@@ -105,8 +106,9 @@ def asof_join(
 ) -> rd.Dataset:
     """As-of join (the reference lacks it; Ray Data lacks it): for each left
     row, the latest right row of the same ``by`` key with ``on`` ≤ (or <)
-    the left's ``on``. Implemented as bucket-by-key → ONE groupby shuffle →
-    per-bucket ``pd.merge_asof`` (sorted by ``on``, ``by=`` the key).
+    the left's ``on``. Implemented as bucket-by-key → ONE object-store
+    exchange → per-bucket ``pd.merge_asof`` (sorted by ``on``, ``by=`` the
+    key).
     Partitioning assumption: all rows of one ``by`` key land in one bucket
     (hash-bucketed), so the per-bucket merge is globally correct.
 
@@ -169,7 +171,7 @@ def asof_join(
             allow_exact_matches=allow_exact_matches, suffixes=("", right_suffix),
         )
 
-    return both.groupby("_b").map_groups(merge, batch_format="pandas")
+    return exchange_group_map(both, merge, num_buckets, shard_col="_b")
 
 
 def storage_hash_join(
