@@ -99,8 +99,11 @@ def _finalize_topk(cand: rd.Dataset, key_col: str, k: int, n_queries: int,
     def topk_shard(df: pd.DataFrame) -> pd.DataFrame:
         return topk(df.drop(columns=["_qs"]))
 
-    return cand.map_batches(add_qshard, batch_format="pandas").groupby("_qs").map_groups(
-        topk_shard, batch_format="pandas"
+    from ..stages.exchange import exchange_group_map
+
+    return exchange_group_map(
+        cand.map_batches(add_qshard, batch_format="pandas"),
+        topk_shard, num_shards, shard_col="_qs",
     )
 
 

@@ -604,3 +604,22 @@ def test_lsh_multiprobe_recall_beats_single_probe():
     # LSH-hardest case; planted near-dups are found at flips=1)
     assert single <= multi <= multi2
     assert multi2 >= 0.4, (single, multi, multi2)
+
+
+def test_brute_force_topk_sharded_final_many_queries():
+    # n_queries >= 256 takes the query-hash-sharded exchange final instead
+    # of the single coalesced combine — results must be identical in shape
+    # and content
+    df = synth_embeddings(400, 8)
+    ds = rd.from_pandas(df).repartition(4)
+    out = ann.brute_force_topk(ds, df, k=3).to_pandas()
+    assert len(out) == 400 * 3
+    assert out.groupby("query_id").size().eq(3).all()
+    mat = np.stack(df["embedding"].to_numpy())
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in (0, 137, 399):
+        sims = unit @ unit[qid]
+        sims[qid] = -np.inf
+        expect = set(np.argsort(-sims)[:3])
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        assert got == expect
