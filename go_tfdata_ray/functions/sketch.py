@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -136,3 +137,162 @@ def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:
     merged = exchange_coalesce_map(partials, merge, batch_format="pyarrow")
     (row,) = merged.take_all()
     return int(round(_estimate(np.frombuffer(row["regs"], dtype=np.uint8))))
+
+
+# -- approximate quantiles (two-pass histogram narrow-in) --------------------
+#
+# The exact per-group quantile operator (stages/relational.py:
+# quantiles_per_group) must co-locate each group's full value multiset —
+# the inherent cost of exactness. At larger-than-memory group sizes the
+# documented scale path is this sketch: pass 1 finds the value range
+# (per-batch min/max/count partials, tiny), pass 2 bins every value into a
+# fixed-width histogram (one n_bins-long int64 vector per batch — size
+# independent of row count) and folds histograms by vector add, an
+# associative combiner. The quantile is read off the cumulative histogram
+# with linear interpolation inside the bin: absolute value error is
+# bounded by one bin width, (max-min)/n_bins, regardless of data size.
+
+
+def _hist_quantiles(counts: np.ndarray, lo: float, hi: float,
+                    qs: "dict[str, float]") -> "dict[str, float]":
+    total = int(counts.sum())
+    if total == 0 or hi <= lo:
+        return {name: lo for name in qs}
+    width = (hi - lo) / len(counts)
+    cum = np.cumsum(counts)
+    out = {}
+    for name, q in qs.items():
+        target = max(q * total, 1e-9)
+        b = int(np.searchsorted(cum, target))
+        b = min(b, len(counts) - 1)
+        prev = cum[b - 1] if b else 0
+        inside = (target - prev) / max(counts[b], 1)
+        out[name] = lo + (b + min(inside, 1.0)) * width
+    return out
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, qs: "dict[str, float]",
+                     n_bins: int = 4096) -> "dict[str, float]":
+    """Global approximate quantiles of a numeric column in two streaming
+    passes. ``qs``: out-name → q in [0, 1]. Error ≤ (max-min)/n_bins."""
+
+    def range_partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    def range_merge(t: pa.Table) -> pa.Table:
+        lo = pc.min(t["lo"]).as_py()
+        hi = pc.max(t["hi"]).as_py()
+        return pa.table({"lo": pa.array([lo]), "hi": pa.array([hi])})
+
+    merged = exchange_coalesce_map(
+        ds.map_batches(range_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        range_merge, batch_format="pyarrow",
+    )
+    (row,) = merged.take_all()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return {name: float("nan") for name in qs}
+    span = max(hi - lo, 1e-300)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.minimum(((v - lo) / span * n_bins).astype(np.int64), n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.large_binary())})
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        out = np.zeros(n_bins, dtype=np.int64)
+        for buf in t["counts"].to_pylist():
+            out += np.frombuffer(buf, dtype=np.int64)
+        return pa.table({"counts": pa.array([out.tobytes()], pa.large_binary())})
+
+    merged = exchange_coalesce_map(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        hist_merge, batch_format="pyarrow",
+    )
+    (row,) = merged.take_all()
+    counts = np.frombuffer(row["counts"], dtype=np.int64)
+    return _hist_quantiles(counts, lo, hi + 1e-300, qs)
+
+
+def approx_quantiles_per_group(
+    ds: rd.Dataset, group_col: str, value_col: str, qs: "dict[str, float]",
+    n_bins: int = 1024, num_shards: int = 16,
+) -> rd.Dataset:
+    """Per-group approximate quantiles, two passes, both combiner-shaped:
+    pass 1 folds per-group (min, max) partials group-sharded over the
+    exchange and broadcasts the ranges (one small row per GROUP — ship via
+    ``ray.put``, read once per worker); pass 2 bins each group's values
+    into its own n_bins histogram, vector-adds histograms per group
+    (group-sharded exchange), and reads the quantiles off. Shuffle volume:
+    O(groups × n_bins), independent of row count. Error per group ≤
+    (group max - group min)/n_bins. Returns (group_col, *qs-names)."""
+    import ray as _ray
+
+    from ..stages.exchange import exchange_group_map
+
+    def range_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[value_col].agg(["min", "max"]).reset_index()
+        g["_shard"] = (
+            pd.util.hash_array(g[group_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return g
+
+    def range_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, sort=False).agg(
+            **{"min": ("min", "min"), "max": ("max", "max")}
+        ).reset_index()
+
+    ranges = exchange_group_map(
+        ds.map_batches(range_partial, batch_format="pandas"),
+        range_merge, num_shards,
+    ).to_pandas()
+    lo = dict(zip(ranges[group_col], ranges["min"].astype(np.float64)))
+    hi = dict(zip(ranges[group_col], ranges["max"].astype(np.float64)))
+    ranges_ref = _ray.put((lo, hi))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = _ray.get(ranges_ref)
+        out_g, out_c = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            span = max(hi_m[g] - lo_m[g], 1e-300)
+            b = np.minimum(((v - lo_m[g]) / span * n_bins).astype(np.int64),
+                           n_bins - 1)
+            out_g.append(g)
+            out_c.append(np.bincount(b, minlength=n_bins).astype(np.int64).tobytes())
+        out = pd.DataFrame({group_col: out_g, "_counts": out_c})
+        out["_shard"] = (
+            pd.util.hash_array(out[group_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return out
+
+    def hist_merge(df: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = _ray.get(ranges_ref)
+        rows = {group_col: []}
+        for name in qs:
+            rows[name] = []
+        for g, sub in df.groupby(group_col, sort=False):
+            counts = np.zeros(n_bins, dtype=np.int64)
+            for buf in sub["_counts"]:
+                counts += np.frombuffer(buf, dtype=np.int64)
+            est = _hist_quantiles(counts, lo_m[g], hi_m[g] + 1e-300, qs)
+            rows[group_col].append(g)
+            for name in qs:
+                rows[name].append(est[name])
+        return pd.DataFrame(rows)
+
+    return exchange_group_map(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        hist_merge, num_shards,
+    )

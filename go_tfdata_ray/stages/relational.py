@@ -305,8 +305,10 @@ def quantiles_per_group(
     Shuffles only the (group, value) pair columns — prune the read to
     those two; exactness requires each group's full value multiset on one
     task, the inherent cost of exact quantiles. ``qs``: out-column → q.
-    At larger-than-memory group sizes switch to a two-pass histogram
-    narrow-in; this operator is the exact path."""
+    At larger-than-memory group sizes switch to the two-pass histogram
+    sketch (``functions/sketch.py:approx_quantiles_per_group`` — shuffle
+    volume O(groups × bins), error ≤ one bin width); this operator is the
+    exact path."""
 
     def add_shard(t: pa.Table) -> pa.Table:
         sh = hash_partition(t[group_col], num_shards).astype(np.int64)

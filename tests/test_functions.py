@@ -623,3 +623,36 @@ def test_brute_force_topk_sharded_final_many_queries():
         expect = set(np.argsort(-sims)[:3])
         got = set(out[out["query_id"] == qid]["vec_id"])
         assert got == expect
+
+
+def test_approx_quantiles_error_bound():
+    from go_tfdata_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = rng.standard_normal(50_000) * 100
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    est = approx_quantiles(ds, "v", qs, n_bins=4096)
+    bin_w = (vals.max() - vals.min()) / 4096
+    for name, q in qs.items():
+        truth = np.quantile(vals, q)
+        assert abs(est[name] - truth) <= 2 * bin_w, (name, est[name], truth)
+
+
+def test_approx_quantiles_per_group_error_bound():
+    from go_tfdata_ray.functions.sketch import approx_quantiles_per_group
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    g = rng.integers(0, 5, n)
+    v = rng.standard_normal(n) * (g + 1) * 10 + g * 100  # distinct ranges
+    ds = rd.from_pandas(pd.DataFrame({"g": g, "v": v})).repartition(6)
+    qs = {"p25": 0.25, "p50": 0.5, "p95": 0.95}
+    out = approx_quantiles_per_group(ds, "g", "v", qs, n_bins=1024).to_pandas()
+    assert len(out) == 5
+    for _, row in out.iterrows():
+        sub = v[g == row["g"]]
+        bin_w = (sub.max() - sub.min()) / 1024
+        for name, q in qs.items():
+            truth = np.quantile(sub, q)
+            assert abs(row[name] - truth) <= 2 * bin_w, (row["g"], name)
