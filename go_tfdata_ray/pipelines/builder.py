@@ -99,19 +99,22 @@ class DefaultPipeline:
                 if _os.path.isdir(p):
                     expanded += sorted(
                         _os.path.join(p, n) for n in _os.listdir(p)
-                        if n.endswith(".tfrecord")
+                        if n.endswith((".tfrecord", ".tfrecord.gz"))
                     )
                 else:
                     expanded.append(p)
             # ray's ReadTFRecord needs tensorflow AT TASK TIME (lazy), so
-            # probe for it up front rather than catching at execution
-            if importlib.util.find_spec("tensorflow") is not None:
+            # probe for it up front rather than catching at execution;
+            # gz shards always take the compat reader (gzip sniff)
+            if importlib.util.find_spec("tensorflow") is not None and not any(
+                p.endswith(".gz") for p in expanded
+            ):
                 return rd.read_tfrecords(expanded)
             else:  # no fast parser in this env: compat reader
-                from ..sources.tfrecord import TFRecordReader
+                from ..sources.tfrecord import TFRecordReader, open_tfrecord
 
                 def gen_rows(path_row):
-                    with open(path_row["path"], "rb") as f:
+                    with open_tfrecord(path_row["path"]) as f:
                         yield from TFRecordReader(f).read_all_examples()
 
                 return rd.from_items([{"path": p} for p in expanded]).flat_map(gen_rows)
@@ -127,10 +130,11 @@ class DefaultPipeline:
         ``to_tfrecord_dir``."""
 
         def _sink(ds: rd.Dataset):
-            from ..sources.tfrecord import TFRecordWriter, encode_example
+            from ..sources.tfrecord import (TFRecordWriter, encode_example,
+                                            open_tfrecord)
 
             n = 0
-            with open(path, "wb") as f:
+            with open_tfrecord(path, "wb") as f:
                 w = TFRecordWriter(f)
                 for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
                     rows = batch.to_dict("records")
@@ -142,7 +146,8 @@ class DefaultPipeline:
         self._sink = _sink
         return self
 
-    def to_tfrecord_dir(self, out_dir: str) -> "DefaultPipeline":
+    def to_tfrecord_dir(self, out_dir: str,
+                        compression: str | None = None) -> "DefaultPipeline":
         """↔ WriteMessagesAsync (tfrecord.go:128-180), Ray-native: upstream
         stages execute in parallel and EVERY block writes its own shard file
         (tmp name + rename; readers glob ``*.tfrecord`` so half-written tmp
@@ -153,7 +158,12 @@ class DefaultPipeline:
         retry-after-rename. (Two byte-identical blocks would collapse into
         one shard; distinct blocks collide only at 2^-64.) One file per
         partition is the resumable-output layout; encode + CRC run
-        vectorized inside the tasks, not on the driver."""
+        vectorized inside the tasks, not on the driver.
+        ``compression="gz"`` writes gzip shards (``part-*.tfrecord.gz``) —
+        the read side sniffs the gzip magic, so mixed dirs round-trip."""
+        if compression not in (None, "gz"):
+            raise ValueError(f"unsupported compression {compression!r}")
+        suffix = ".tfrecord.gz" if compression == "gz" else ".tfrecord"
 
         def _sink(ds: rd.Dataset):
             import hashlib as _hashlib
@@ -164,16 +174,23 @@ class DefaultPipeline:
             _os.makedirs(out_dir, exist_ok=True)
 
             def write_shard(df) -> "_pa.Table":
-                from ..sources.tfrecord import TFRecordWriter, encode_example
+                from ..sources.tfrecord import (TFRecordWriter, encode_example,
+                                                open_tfrecord)
 
                 rows = df.to_dict("records")
                 payloads = [encode_example(_clean_row(r)) for r in rows]
                 digest = _hashlib.sha256()
                 for p in payloads:
                     digest.update(p)
-                rel = f"part-{digest.hexdigest()[:16]}.tfrecord"
-                tmp = _os.path.join(out_dir, rel + f".tmp-{_os.getpid()}")
-                with open(tmp, "wb") as f:
+                rel = f"part-{digest.hexdigest()[:16]}{suffix}"
+                # tmp SUFFIX keeps half-written files invisible to the
+                # reader's *.tfrecord/*.tfrecord.gz glob; re-append .gz so
+                # open_tfrecord picks the gzip writer for compressed shards
+                tmp = _os.path.join(
+                    out_dir,
+                    rel + f".tmp-{_os.getpid()}" + ("." + "gz" if suffix.endswith("gz") else ""),
+                )
+                with open_tfrecord(tmp, "wb") as f:
                     TFRecordWriter(f).write_many(payloads)
                 _os.rename(tmp, _os.path.join(out_dir, rel))
                 return _pa.table({"path": _pa.array([rel]),

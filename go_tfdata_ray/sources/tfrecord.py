@@ -331,6 +331,27 @@ class CorruptRecordError(IOError):
     pass
 
 
+def open_tfrecord(path: str, mode: str = "rb"):
+    """Open a TFRecord file with transparent gzip: reads sniff the gzip
+    magic (1f 8b), writes gzip-wrap when the path ends in ``.gz``. The
+    reference gets this by ``io.Reader`` composition (its readers/writers
+    take a stream, tfrecord.go:93-104 — callers pass a gzip reader); here
+    the pipeline layer owns file opening, so the sniff lives at the path
+    boundary instead."""
+    import gzip
+
+    if "r" in mode:
+        f = open(path, "rb")
+        magic = f.read(2)
+        f.seek(0)
+        if magic == b"\x1f\x8b":
+            return gzip.open(f, "rb")
+        return f
+    if path.endswith(".gz"):
+        return gzip.open(path, mode, compresslevel=4)
+    return open(path, mode)
+
+
 class TFRecordReader:
     """Framed reader with CRC verification (tfrecord.go:199-236)."""
 

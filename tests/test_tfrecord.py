@@ -195,3 +195,54 @@ def test_tfrecord_sink_throughput(tmp_path):
     dt_r = time.perf_counter() - t0
     assert got == payloads
     assert mb / dt_r > 20, f"read {mb/dt_r:.1f} MB/s"
+
+
+def test_tfrecord_gzip_roundtrip(tmp_path):
+    # transparent gzip: single-file writer gz-wraps on .gz suffix, readers
+    # sniff the magic (the reference composes io.Readers for the same)
+    import gzip
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from go_tfdata_ray.pipelines.builder import DefaultPipeline
+    from go_tfdata_ray.sources.tfrecord import TFRecordReader, open_tfrecord
+
+    df = pd.DataFrame({"doc_id": range(200), "val": [i * 7 for i in range(200)]})
+    src = rd.from_pandas(df)
+    path = str(tmp_path / "data.tfrecord.gz")
+    n = DefaultPipeline().from_dataset(src).to_tfrecord(path).do()
+    assert n == 200
+    with open(path, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # actually gzip on disk
+    with open_tfrecord(path) as f:
+        assert len(TFRecordReader(f).read_all_payloads()) == 200
+    back = DefaultPipeline().from_tfrecord(path).collect().do().to_pandas()
+    got = sorted((int(r[0]), int(v[0])) for r, v in zip(back["doc_id"], back["val"]))
+    assert got == [(i, i * 7) for i in range(200)]
+
+
+def test_tfrecord_dir_gzip_shards_and_mixed_read(tmp_path):
+    import os
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from go_tfdata_ray.pipelines.builder import DefaultPipeline
+
+    df = pd.DataFrame({"doc_id": range(400), "val": [i + 1 for i in range(400)]})
+    out = str(tmp_path / "shards")
+    n = (DefaultPipeline().from_dataset(rd.from_pandas(df).repartition(4))
+         .to_tfrecord_dir(out, compression="gz").do())
+    assert n == 400
+    parts = os.listdir(out)
+    assert parts and all(p.endswith(".tfrecord.gz") for p in parts)
+    # add an UNCOMPRESSED shard to the same dir: the reader handles both
+    df2 = pd.DataFrame({"doc_id": range(400, 500), "val": [i + 1 for i in range(400, 500)]})
+    (DefaultPipeline().from_dataset(rd.from_pandas(df2))
+     .to_tfrecord_dir(out).do())
+    back = DefaultPipeline().from_tfrecord(out).collect().do().to_pandas()
+    got = sorted((int(r[0]), int(v[0])) for r, v in zip(back["doc_id"], back["val"]))
+    assert got == [(i, i + 1) for i in range(500)]
