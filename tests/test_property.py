@@ -166,3 +166,62 @@ def test_rolling_shard_kernel_matches_pandas(rows):
         got = cs - base[key_idx]
         want = g.groupby("k", sort=False)["v"].cumsum().to_numpy()
         assert (got == want).all()
+
+
+# -- object-store exchange: must equal a pandas reference for ANY frame ------
+
+# min_size=1: an all-empty input legitimately returns a schemaless empty
+# Dataset (fn never ran, so its output schema is unknowable)
+exchange_frames = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+    min_size=1, max_size=120,
+)
+
+
+@given(rows=exchange_frames, num_shards=st.sampled_from([1, 3, 8]),
+       blocks=st.integers(1, 5))
+@settings(max_examples=15, deadline=None)
+def test_exchange_group_map_matches_pandas(rows, num_shards, blocks):
+    import ray.data as rd
+
+    from go_tfdata_ray.stages.exchange import exchange_group_map
+
+    df = pd.DataFrame({"k": [k for k, _ in rows], "v": [v for _, v in rows]})
+    df["k"] = df["k"].astype(np.int64)
+    df["v"] = df["v"].astype(np.int64)
+    df["_shard"] = (df["k"] % num_shards).astype(np.int64)
+    ds = rd.from_pandas(df).repartition(blocks)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    got = exchange_group_map(ds, agg, num_shards).to_pandas()
+    want = df.groupby("k", sort=False, as_index=False)["v"].sum()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]],
+                                  check_dtype=False)
+
+
+@given(rows=exchange_frames, blocks=st.integers(1, 5))
+@settings(max_examples=10, deadline=None)
+def test_exchange_coalesce_map_matches_pandas(rows, blocks):
+    import ray.data as rd
+
+    from go_tfdata_ray.stages.exchange import exchange_coalesce_map
+
+    df = pd.DataFrame({"k": [k for k, _ in rows], "v": [v for _, v in rows]})
+    df["k"] = df["k"].astype(np.int64)
+    df["v"] = df["v"].astype(np.int64)
+    ds = rd.from_pandas(df).repartition(blocks)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    got = exchange_coalesce_map(ds, agg).to_pandas()
+    want = df.groupby("k", sort=False, as_index=False)["v"].sum()
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True)[["k", "v"]],
+        want.sort_values("k").reset_index(drop=True)[["k", "v"]],
+        check_dtype=False,
+    )
