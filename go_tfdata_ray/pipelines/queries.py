@@ -354,8 +354,10 @@ def q_join_range(sf_dir: str):
     exchange (all rows of a user share a bucket slice), per-bucket masked
     merge, then partial-count combine on the purchase id."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    # row-group predicate pushdown: only purchase rows leave storage
     pur = rd.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pc.field("event_type") == "purchase",
     )
 
     def mk_windows(df: pd.DataFrame) -> pd.DataFrame:
@@ -590,15 +592,14 @@ def q_join_asof(sf_dir: str):
     """As-of join: for each event, the user's most recent PRIOR purchase
     (strict <). Purchases deduped to one per (user, ts) by max event_id so
     the tie-break is well-defined in both engines."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
-    ev = ev.map_batches(lambda t: t.select(["event_id", "user_id", "ts"]),
-                        batch_format="pyarrow")
-    pur = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"])
-    pur = pur.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))).select(
-            ["event_id", "user_id", "ts"]),
-        batch_format="pyarrow",
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    # row-group predicate pushdown: only purchase rows leave storage
+    pur = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pc.field("event_type") == "purchase",
     )
+    pur = pur.map_batches(lambda t: t.select(["event_id", "user_id", "ts"]),
+                          batch_format="pyarrow")
 
     # unique per (user, ts) by max event_id (well-defined asof tie-break) —
     # deduped INSIDE the per-bucket merge, not in a single-task pre-pass
