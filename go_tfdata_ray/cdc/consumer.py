@@ -97,3 +97,44 @@ class SourceRollup:
                 "total_tokens": pa.array([self.state[k][1] for k in keys], pa.int64()),
             }
         )
+
+    # -- checkpointing -------------------------------------------------------
+    # The engine resumes from its committed manifest; a consumer restarted
+    # without its cursor would have to full-refresh (O(lake)). Persisting
+    # (view state, engine version) makes the view resumable for O(change
+    # set) instead — the same crash story as the engine, scaled down.
+    # tmp+rename keeps the checkpoint atomic; a torn write is invisible.
+
+    def save(self, path: str) -> None:
+        """Atomically checkpoint the view table + its engine-version cursor."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        if self.version is None:
+            raise ValueError("nothing to checkpoint: refresh first")
+        t = self.table().replace_schema_metadata(
+            {b"rollup_version": str(self.version).encode()}
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.rename(tmp, path)
+
+    @classmethod
+    def load(cls, engine: CDCEngine, path: str) -> "SourceRollup":
+        """Restore a checkpointed view; the next ``refresh()`` rolls forward
+        incrementally from the checkpoint's version. If the engine has
+        compacted/vacuumed past it, ``refresh()`` raises its documented
+        full-resync error — call ``full_refresh()`` then."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        view = cls(engine)
+        view.version = int(t.schema.metadata[b"rollup_version"].decode())
+        view.state = {
+            s: [int(n), int(tok)]
+            for s, n, tok in zip(t["source"].to_pylist(),
+                                 t["n_docs"].to_pylist(),
+                                 t["total_tokens"].to_pylist())
+        }
+        return view

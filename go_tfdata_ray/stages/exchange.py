@@ -90,6 +90,13 @@ def exchange_group_map(
         if t.num_columns == 0 or t.num_rows == 0:  # empty pandas block → 0-col
             return (*[pa.table({})] * B, np.zeros(B, dtype=np.int64))
         sh = t[shard_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sh) and (sh.min() < 0 or sh.max() >= B):
+            # the searchsorted slicing below would silently DROP rows outside
+            # [0, B) — turn a contract violation into a loud error instead
+            raise ValueError(
+                f"shard column {shard_col!r} has values outside [0, {B}): "
+                f"min={sh.min()}, max={sh.max()}"
+            )
         order = np.argsort(sh, kind="stable")
         t = t.take(pa.array(order))
         bounds = np.searchsorted(sh[order], np.arange(B + 1))

@@ -762,3 +762,38 @@ def test_training_batches_loader(tmp_path):
     b3 = drain(0, 1)  # next epoch: same cells, different order
     assert sum(b.size for b in b3) == total_cells
     assert any((x.shape != y.shape) or (x != y).any() for x, y in zip(b1, b3))
+
+
+def test_source_rollup_checkpoint_resume(tmp_path):
+    """A consumer restarted from its checkpoint rolls forward incrementally
+    (O(change set)) instead of full-refreshing, and matches a view that
+    never went away."""
+    from go_tfdata_ray.cdc.consumer import SourceRollup
+    from go_tfdata_ray.sources.wal import list_segments
+
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=300, num_epochs=3)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    segs = list_segments(wal_dir)
+    ckpt = str(tmp_path / "rollup.ckpt.parquet")
+
+    view = SourceRollup(eng)
+    e0, p0 = segs[0]
+    eng.apply_epoch(e0, p0)
+    view.refresh()
+    view.save(ckpt)
+
+    for e, paths in segs[1:]:
+        eng.apply_epoch(e, paths)
+        view.refresh()
+
+    # "crashed" consumer comes back from the checkpoint
+    resumed = SourceRollup.load(eng, ckpt)
+    out = resumed.refresh()
+    assert out["mode"] == "incremental"  # NOT a full recompute
+    assert resumed.state == view.state
+    assert resumed.table().equals(view.table())
+
+    # checkpoint is atomic: the tmp file never survives
+    import os
+    assert not os.path.exists(ckpt + ".tmp")
