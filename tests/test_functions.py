@@ -656,3 +656,30 @@ def test_approx_quantiles_per_group_error_bound():
         for name, q in qs.items():
             truth = np.quantile(sub, q)
             assert abs(row[name] - truth) <= 2 * bin_w, (row["g"], name)
+
+
+def test_profile_one_pass():
+    from go_tfdata_ray.functions.profile import profile
+
+    df = pd.DataFrame({
+        "k": np.arange(1000, dtype=np.int64) % 100,
+        "f": np.linspace(-5.0, 5.0, 1000),
+        "s": [f"name-{i % 37}" for i in range(1000)],
+        "toks": [list(range(i % 9)) for i in range(1000)],
+    })
+    df.loc[::10, "f"] = np.nan
+    ds = rd.from_pandas(df).repartition(6)
+    out = profile(ds).set_index("column")
+    assert (out["rows"] == 1000).all()
+    k = out.loc["k"]
+    assert k["min"] == 0 and k["max"] == 99
+    assert abs(k["approx_ndv"] - 100) <= 5  # HLL p=12 ~1.6% error
+    f = out.loc["f"]
+    # pandas NaN arrives as arrow null after the pandas->arrow block cast
+    assert abs(f["null_rate"] - 0.1) < 1e-9
+    s = out.loc["s"]
+    assert s["kind"] == "string" and abs(s["approx_ndv"] - 37) <= 3
+    assert s["min"] == len("name-0") and s["max"] == len("name-36")
+    t = out.loc["toks"]
+    assert t["kind"] == "list_len" and t["min"] == 0 and t["max"] == 8
+    assert np.isnan(t["approx_ndv"])
