@@ -13,6 +13,7 @@ Commands:
   delete        --lake DIR (--where col:op:val ... | --ids a,b)  bulk tombstone
   compact       --lake DIR
   status        --lake DIR                              manifest summary
+  profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
 """
 
 from __future__ import annotations
@@ -88,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("status")
     s.add_argument("--lake", required=True)
+
+    s = sub.add_parser("profile")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--columns", default=None, help="comma-separated (default all)")
 
     a = ap.parse_args(argv)
 
@@ -194,6 +199,16 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         print(json.dumps(eng.compact()))
+        return 0
+
+    if a.cmd == "profile":
+        _ray_up()
+        from ..functions.profile import profile as _profile
+
+        eng = CDCEngine(a.lake)
+        cols = a.columns.split(",") if a.columns else None
+        out = _profile(eng.scan(columns=cols), columns=cols)
+        print(out.to_json(orient="records"))
         return 0
 
     if a.cmd == "status":
