@@ -6,10 +6,11 @@ Image and audio kernels are REAL — PNG, baseline JPEG, GIF and WAV via
 mirroring the reference's use of Go stdlib codecs at
 /root/reference/tfdata/core/example.go:131-146): ``mode="real"`` sniffs
 the payload magic and decodes actual pixels/samples/frames. Frame
-sampling is real over animated GIF; other video containers raise
-``NotImplementedError`` at the same seam (they need ffmpeg, absent in
-this container); ``mode="fake"`` keeps the deterministic bytes-derived
-path for plumbing tests and for payloads without a codec.
+sampling is real over animated GIF and MJPEG (container walks, no pixel
+decode); other video containers raise ``NotImplementedError`` at the
+same seam (they need ffmpeg, absent in this container); ``mode="fake"``
+keeps the deterministic bytes-derived path for plumbing tests and for
+payloads without a codec.
 
 Payload-aware batch sizing: media rows are KB–MB wide, so these stages use
 small ``batch_size`` (default 64) — batch_bytes ≈ batch_size × payload, and
@@ -115,10 +116,10 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
 class ImageDecoder:
     """Decode stage (worker-cached task): payload bytes → feature vector.
 
-    real: sniffing PNG/JPEG decode (``codecs.decode_image``) → [width,
-    height, channels, pixel mean, pixel std, min, max, mean |horizontal
-    gradient|]. GIF payloads raise at the same seam a PIL kernel would
-    plug into.
+    real: sniffing PNG/JPEG/GIF decode (``codecs.decode_image``; GIF
+    yields its first composed frame) → [width, height, channels, pixel
+    mean, pixel std, min, max, mean |horizontal gradient|]. Unrecognized
+    payloads raise at the seam a PIL/ffmpeg kernel would plug into.
     fake: deterministic 8-dim moments of the raw bytes (tests the plumbing).
     """
 
@@ -132,7 +133,7 @@ class ImageDecoder:
         if self.mode == "real":
             widths, heights = [], []
             for buf in t["payload"].to_pylist():
-                img = codecs.decode_image(buf)  # sniffs PNG/JPEG magic
+                img = codecs.decode_image(buf)  # sniffs PNG/JPEG/GIF magic
                 px = img.astype(np.float64)
                 grad = np.abs(np.diff(px, axis=1)).mean() if img.shape[1] > 1 else 0.0
                 feats.append(np.array([
@@ -168,14 +169,14 @@ class FrameSampler:
     """Frame sampling: emits one row per sampled frame index (flat-map
     shape: output rows ≠ input rows).
 
-    real: REAL frame extraction from animated GIF payloads
-    (``functions/gif.py`` — LZW decode + disposal composition) and from
-    MJPEG streams (concatenated baseline JPEGs — ``codecs.split_mjpeg``
-    marker-walks the frame boundaries without touching pixels, the right
-    cost model for sampling: only the SAMPLED frames would ever be pixel-
-    decoded downstream). The frame count comes from the container, not
-    metadata. Other video containers raise at this seam (ffmpeg would
-    plug in).
+    real: REAL frame counting from the container structure in both legs —
+    animated GIF via the descriptor/sub-block walk
+    (``gif.count_gif_frames``) and MJPEG via the marker-segment walk
+    (``codecs.split_mjpeg``) — neither touches pixels, the right cost
+    model for sampling: only the SAMPLED frames would ever be pixel-
+    decoded downstream (``gif.decode_gif`` / ``jpeg.decode_jpeg``). The
+    frame count comes from the container, not metadata. Other video
+    containers raise at this seam (ffmpeg would plug in).
     fake: frame indices derived from the n_frames metadata column."""
 
     def __init__(self, every_n: int = 10, mode: str = "fake"):
@@ -188,8 +189,9 @@ class FrameSampler:
                                 t["payload"].to_pylist()):
                 fmt = codecs.sniff_image_format(buf)
                 if fmt == "gif":
-                    decoded, _delays = codecs.decode_gif(buf)
-                    n_frames = decoded.shape[0]
+                    from .gif import count_gif_frames
+
+                    n_frames = count_gif_frames(buf)
                 elif fmt == "jpeg":  # MJPEG: a still JPEG is a 1-frame clip
                     n_frames = len(codecs.split_mjpeg(buf))
                 else:

@@ -31,14 +31,17 @@ def _col_partial(arr: pa.ChunkedArray, p: int) -> dict:
     n = len(arr)
     nulls = arr.null_count
     valid = arr.drop_null()
+    import pyarrow.compute as pc
+
     if pa.types.is_list(typ) or pa.types.is_large_list(typ):
-        v = np.asarray([len(x) for x in valid.to_pylist()], dtype=np.float64) \
-            if len(valid) else np.empty(0)
+        # offsets-only kernel — never materializes the list payloads
+        v = pc.list_value_length(valid).to_numpy(zero_copy_only=False).astype(
+            np.float64) if len(valid) else np.empty(0)
         kind = "list_len"
         vals_for_ndv = None
     elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
-        v = np.asarray([len(x) for x in valid.to_pylist()], dtype=np.float64) \
-            if len(valid) else np.empty(0)
+        v = pc.binary_length(valid).to_numpy(zero_copy_only=False).astype(
+            np.float64) if len(valid) else np.empty(0)
         kind = "byte_len"
         vals_for_ndv = None
     elif pa.types.is_floating(typ) or pa.types.is_integer(typ):
@@ -64,7 +67,7 @@ def _col_partial(arr: pa.ChunkedArray, p: int) -> dict:
     if vals_for_ndv is not None and len(vals_for_ndv):
         out["regs"] = _registers(vals_for_ndv, p).tobytes()
     if kind == "string" and len(vals_for_ndv):
-        lens = np.char.str_len(vals_for_ndv.astype(str)).astype(np.float64)
+        lens = pc.utf8_length(valid).to_numpy(zero_copy_only=False)
         out["min"], out["max"] = float(lens.min()), float(lens.max())
     return out
 
@@ -121,4 +124,11 @@ def profile(ds: rd.Dataset, columns: list[str] | None = None,
         ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
         merge, batch_format="pyarrow",
     )
-    return merged.to_pandas().sort_values("column").reset_index(drop=True)
+    out = merged.to_pandas()
+    if "column" not in out.columns:  # zero-row input: no partials ever ran
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in
+                             [("column", object), ("kind", object),
+                              ("rows", np.int64), ("null_rate", np.float64),
+                              ("min", np.float64), ("max", np.float64),
+                              ("approx_ndv", np.float64)]})
+    return out.sort_values("column").reset_index(drop=True)

@@ -199,7 +199,14 @@ class DefaultPipeline:
             intents = ds.map_batches(
                 write_shard, batch_format="pandas", batch_size=None
             ).take_all()  # tiny: one intent row per shard
-            return sum(int(i["rows"]) for i in intents)
+            # count DISTINCT paths: byte-identical blocks content-address to
+            # the same shard file (collapsing is what makes retries
+            # idempotent), so the returned count must reflect what is on
+            # disk, not how many writers raced to the same name
+            seen: dict[str, int] = {}
+            for i in intents:
+                seen[i["path"]] = int(i["rows"])
+            return sum(seen.values())
 
         self._sink = _sink
         return self

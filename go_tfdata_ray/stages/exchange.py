@@ -56,9 +56,15 @@ def exchange_coalesce_map(
             return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
         return fn(t)
 
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return ds.map_batches(fn, batch_format=batch_format, batch_size=None)
+    # materialize first: an all-empty input arrives as 0-COLUMN arrow
+    # blocks (pandas empties lose their schema in the block conversion),
+    # and fn would crash on a schemaless frame — route that case through
+    # the plain map_batches path, which degrades exactly like the old
+    # repartition(1) final did
+    m = ds.materialize()
+    if m.count() == 0:
+        return m.map_batches(fn, batch_format=batch_format, batch_size=None)
+    refs = m.to_arrow_refs()
     return rd.from_arrow_refs([combine.remote(*refs)])
 
 

@@ -40,6 +40,23 @@ from ..cdc.collapse import hash_partition
 from .exchange import exchange_group_map
 
 
+def _dataset_arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset without full execution: use the plan's
+    base schema when it is already Arrow, else peek one block. Raises a
+    clear error for a schemaless empty dataset instead of IndexError."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    refs = ds.limit(1).to_arrow_refs()
+    if not refs:
+        raise ValueError("cannot infer the Arrow schema of an empty, "
+                         "schemaless dataset")
+    return ray.get(refs[0]).schema
+
+
+
+
 # per-worker-process cache of deserialized broadcast sides, keyed by object
 # ref: ray.get of the SAME ref on the same worker re-deserializes pandas
 # objects each task, and a dedicated actor pool costs ~1.5 s spin-up per
@@ -118,14 +135,7 @@ def asof_join(
     ``repartition(1)`` pre-dedup of an O(input) right side would
     materialize it in one task."""
 
-    def _schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
-
-    l_schema, r_schema = _schema(left), _schema(right)
+    l_schema, r_schema = _dataset_arrow_schema(left), _dataset_arrow_schema(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     r_renamed = [c if c in (by, on) else c + right_suffix if c in l_cols else c
@@ -328,14 +338,7 @@ def range_join(
     if (by is None) == (bin_width is None):
         raise ValueError("exactly one of by= or bin_width= is required")
 
-    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
-
-    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_schema, r_schema = _dataset_arrow_schema(left), _dataset_arrow_schema(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     r_renamed = [c if c == by else (c + right_suffix if c in l_cols else c)
@@ -533,14 +536,7 @@ def object_exchange_hash_join(
     with ``hot_keys=`` (salting needs the tag-stage machinery)."""
     B = num_buckets
 
-    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
-
-    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_schema, r_schema = _dataset_arrow_schema(left), _dataset_arrow_schema(right)
     overlap = (set(l_schema.names) & set(r_schema.names)) - {on}
     if overlap and suffixes[0] == suffixes[1]:
         raise ValueError(f"suffixes {suffixes} cannot disambiguate overlap {overlap}")
@@ -587,7 +583,13 @@ def object_exchange_hash_join(
         m = mk(l_parts, l_schema_r).merge(mk(r_parts, r_schema_r), on=on, how=how)
         if len(m) == 0:
             return empty
-        return pa.Table.from_pandas(m[out_schema.names], preserve_index=False)
+        # pin every bucket to out_schema: under left/outer, pandas promotes
+        # int columns with unmatched rows to float64(NaN) — without the
+        # explicit schema the Dataset's blocks would carry int64 or float64
+        # per bucket depending on which keys missed (from_pandas maps the
+        # NaNs back to nulls)
+        return pa.Table.from_pandas(m[out_schema.names], schema=out_schema,
+                                    preserve_index=False)
 
     l_sliced = [route.options(num_returns=B if B > 1 else 1).remote(r, l_ren, 0)
                 for r in left.to_arrow_refs()]
@@ -626,14 +628,7 @@ def object_exchange_range_join(
         raise ValueError("exactly one of by= or bin_width= is required")
     B = num_buckets
 
-    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        return ray.get(ds.limit(1).to_arrow_refs()[0]).schema
-
-    l_schema, r_schema = _arrow_schema(left), _arrow_schema(right)
+    l_schema, r_schema = _dataset_arrow_schema(left), _dataset_arrow_schema(right)
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     r_renamed = [c if c == by else (c + right_suffix if c in l_cols else c)

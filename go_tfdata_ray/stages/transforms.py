@@ -212,9 +212,16 @@ def coerce_batch(t: pa.Table, types_map: dict[str, pa.DataType]) -> pa.Table:
         elif (pa.types.is_integer(col.type) or pa.types.is_boolean(col.type)
               or pa.types.is_floating(col.type)):
             # int literals, lowercase true/false, and arrow's shortest
-            # round-trip float rendering are all valid JSON that parses
-            # back to the identical value
-            out[name] = pc.cast(pc.cast(col, pa.string()), pa.binary())
+            # round-trip finite-float rendering are all valid JSON that
+            # parses back to the identical value — but arrow renders
+            # non-finite floats as 'nan'/'inf'/'-inf', which json.loads
+            # rejects; rewrite those to json.dumps's 'NaN'/'Infinity'
+            s = pc.cast(col, pa.string())
+            if pa.types.is_floating(col.type):
+                for bad, good in (("nan", "NaN"), ("inf", "Infinity"),
+                                  ("-inf", "-Infinity")):
+                    s = pc.if_else(pc.equal(s, bad), pa.scalar(good), s)
+            out[name] = pc.cast(s, pa.binary())
         else:
             out[name] = pa.array(
                 [None if v is None else json.dumps(v).encode() for v in col.to_pylist()],
