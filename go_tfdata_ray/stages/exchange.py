@@ -74,6 +74,7 @@ def exchange_group_map(
     num_shards: int,
     shard_col: str = "_shard",
     batch_format: Literal["pandas", "pyarrow"] = "pandas",
+    max_exchange_blocks: int = 4096,
 ) -> rd.Dataset:
     """Drop-in replacement for ``ds.groupby(shard_col).map_groups(fn)``
     when ``shard_col`` holds ints in ``[0, num_shards)`` (the hash-shard
@@ -88,7 +89,12 @@ def exchange_group_map(
     memory per task is one shard, not the dataset. The per-shard counts
     round-trip to the driver is O(num_shards × blocks) ints — the merge
     stage is already an all-blocks barrier per shard, so this adds no
-    critical-path latency."""
+    critical-path latency. Crossover: past ``max_exchange_blocks`` input
+    blocks the (B+1)-objects-per-block ref fan-out becomes object-store
+    metadata pressure while the sort-shuffle's fixed cost (the reason
+    this exchange exists) is fully amortized — the call transparently
+    falls back to Ray's groupby there (the shuffle materializes its
+    input either way, and the object store spills)."""
     B = num_shards
 
     @ray.remote
@@ -126,8 +132,18 @@ def exchange_group_map(
             out = fn(t)
         return out, out.num_rows
 
+    m = ds.materialize()  # both paths below consume the same blocks
+    refs = m.to_arrow_refs()
+    if len(refs) > max_exchange_blocks:
+        # Scale crossover: the exchange creates (B+1) objects per input
+        # block and each finalize takes #blocks arguments — at huge block
+        # counts that is object-store metadata pressure, while the
+        # sort-shuffle's FIXED cost (the reason this exchange exists) is
+        # fully amortized by then. Route the big case through Ray's
+        # groupby, which spills and scales its exchange machinery.
+        return m.groupby(shard_col).map_groups(fn, batch_format=batch_format)
     routed = [
-        route.options(num_returns=B + 1).remote(r) for r in ds.to_arrow_refs()
+        route.options(num_returns=B + 1).remote(r) for r in refs
     ]
     totals = np.zeros(B, dtype=np.int64)
     for c in ray.get([r[B] for r in routed]):
@@ -140,7 +156,7 @@ def exchange_group_map(
     if not out_refs:
         # fully-empty input: fall back to the groupby path (cheap at 0 rows)
         # so the result still carries fn's output schema where inferable
-        return ds.groupby(shard_col).map_groups(fn, batch_format=batch_format)
+        return m.groupby(shard_col).map_groups(fn, batch_format=batch_format)
     # drop zero-row fn outputs: a pandas fn that builds its frame from empty
     # Python lists types the columns float64, and one such block would poison
     # the whole Dataset's schema (int64 ∪ double → double after concat).

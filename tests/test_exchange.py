@@ -131,3 +131,17 @@ def test_combine_partials_fanout_is_final():
     ds = rd.from_pandas(df).repartition(10)
     out = combine_partials(ds, ["g"], ["n"], fanout=8).to_pandas()
     assert out["g"].is_unique and len(out) == 37 and out["n"].sum() == 400
+
+
+def test_group_map_block_count_crossover_falls_back():
+    # past max_exchange_blocks the call transparently takes Ray's groupby
+    # path — results must be identical
+    df = pd.DataFrame({"k": np.arange(60) % 6, "v": np.ones(60, dtype=np.int64)})
+    df["_shard"] = (df["k"] % 4).astype(np.int64)
+    ds = rd.from_pandas(df).repartition(5)
+    out = exchange_group_map(ds, _mk_agg(), num_shards=4,
+                             max_exchange_blocks=2).to_pandas()
+    want = df.groupby("k", sort=False, as_index=False)["v"].sum()
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]],
+                                  want.sort_values("k").reset_index(drop=True))
