@@ -683,3 +683,20 @@ def test_profile_one_pass():
     t = out.loc["toks"]
     assert t["kind"] == "list_len" and t["min"] == 0 and t["max"] == 8
     assert np.isnan(t["approx_ndv"])
+
+
+def test_empty_inputs_do_not_crash_coalesce_consumers():
+    # zero candidate pairs / empty filters route through the map_batches
+    # fallback instead of calling fn on a schemaless 0-column table
+    from go_tfdata_ray.functions.profile import profile
+    from go_tfdata_ray.stages import relational as rel
+
+    pairs = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                         "dup_of": pd.Series(dtype=np.int64)}))
+    assert dedup.cluster_duplicates(pairs).count() == 0
+    df = pd.DataFrame({"v": np.arange(10, dtype=np.int64),
+                       "id": np.arange(10, dtype=np.int64)})
+    ds = rd.from_pandas(df).filter(lambda r: r["v"] > 100)
+    assert rel.topk_global(ds, "v", k=3, tie_col="id").count() == 0
+    empty = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype=np.int64)}))
+    assert len(profile(empty)) == 0

@@ -343,3 +343,20 @@ def test_object_exchange_range_join_timestamps():
         on="ts", lo="lo", hi="hi", bin_width=60.0, num_buckets=8).to_pandas()
     assert set(zip(got["pid"], got["iid"])) == set(zip(ref["pid"], ref["iid"]))
     assert len(got) > 0
+
+
+def test_object_exchange_left_join_schema_stable():
+    # unmatched left rows make pandas promote int right-columns to
+    # float64(NaN); every bucket must still emit the SAME int64-with-nulls
+    # schema
+    import ray
+
+    l = rd.from_pandas(pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                                     "lv": np.arange(50, dtype=np.int64)})).repartition(3)
+    r = rd.from_pandas(pd.DataFrame({"k": np.arange(0, 50, 2, dtype=np.int64),
+                                     "rv": np.arange(25, dtype=np.int64)})).repartition(2)
+    j = joins.object_exchange_hash_join(l, r, on="k", how="left", num_buckets=8)
+    schemas = {str(ray.get(ref).schema) for ref in j.to_arrow_refs()}
+    assert len(schemas) == 1
+    df = j.to_pandas()
+    assert len(df) == 50 and df["rv"].isna().sum() == 25

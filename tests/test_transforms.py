@@ -155,3 +155,18 @@ def test_pipeline_requires_source_and_sink():
         DefaultPipeline().collect().do()
     with pytest.raises(ValueError):
         DefaultPipeline().from_dataset(synth(1)).do()
+
+
+def test_coerce_json_fallback_nonfinite_floats():
+    # arrow renders nan/inf as 'nan'/'inf' which json.loads rejects; the
+    # vectorized fallback must emit json.dumps-compatible spellings
+    import json
+
+    from go_tfdata_ray.stages.transforms import coerce_batch
+
+    t = pa.table({"f": pa.array([1.5, float("nan"), float("inf"),
+                                 float("-inf"), None])})
+    out = [None if v is None else json.loads(v)
+           for v in coerce_batch(t, {})["f"].to_pylist()]
+    assert out[0] == 1.5 and out[1] != out[1]  # NaN
+    assert out[2] == float("inf") and out[3] == float("-inf") and out[4] is None
