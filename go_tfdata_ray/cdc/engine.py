@@ -523,6 +523,7 @@ class CDCEngine:
         idle_limit: int | None = None,
         max_epochs: int | None = None,
         auto_compact: int | None = None,
+        on_commit=None,
     ) -> dict[str, Any]:
         """Continuous ingest: poll the WAL directory for new SEALED segments
         (``list_segments`` hides segments still carrying the producer's
@@ -530,7 +531,13 @@ class CDCEngine:
         each exactly once. Stops after ``idle_limit`` consecutive empty
         polls (None = only on ``max_epochs``). Returns cumulative metrics.
         Resume-safe: committed epochs are skipped by the manifest watermark.
-        """
+
+        ``on_commit``: callable invoked with each applied epoch's commit
+        result AFTER the manifest commit — the hook point for live
+        downstream consumers (e.g. ``consumer.SourceRollup.refresh()`` +
+        ``save()`` keeps an incrementally-maintained view and its
+        checkpoint current with every committed epoch). A hook exception
+        propagates (the commit itself is already durable)."""
         import time as _time
 
         applied = 0
@@ -547,6 +554,8 @@ class CDCEngine:
                     applied += 1
                     events += r.get("delta_rows", 0)
                     progressed = True
+                    if on_commit is not None:
+                        on_commit(r)
                     if auto_compact:
                         self.maybe_compact(auto_compact)
                 if max_epochs is not None and applied >= max_epochs:

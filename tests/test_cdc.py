@@ -797,3 +797,33 @@ def test_source_rollup_checkpoint_resume(tmp_path):
     # checkpoint is atomic: the tmp file never survives
     import os
     assert not os.path.exists(ckpt + ".tmp")
+
+
+def test_tail_on_commit_keeps_live_view_current(tmp_path):
+    """tail(on_commit=...) drives a checkpointed incremental view in
+    lockstep with every committed epoch."""
+    from go_tfdata_ray.cdc.consumer import SourceRollup
+
+    wal_dir, files = make_wal(tmp_path, n_events=3000, n_keys=300, num_epochs=3)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    ckpt = str(tmp_path / "view.parquet")
+
+    view = SourceRollup(eng)
+    seen = []
+
+    def hook(r):
+        seen.append(r["epoch"])
+        view.refresh()
+        view.save(ckpt)
+
+    out = eng.tail(wal_dir, idle_limit=1, poll_secs=0.05, on_commit=hook)
+    assert out["epochs_applied"] == 3 and seen == [0, 1, 2]
+    # the checkpoint on disk IS the current view
+    restored = SourceRollup.load(eng, ckpt)
+    assert restored.state == view.state
+    assert restored.refresh()["mode"] == "noop"
+    # and the view equals a full recompute
+    fresh = SourceRollup(eng)
+    fresh.full_refresh()
+    assert fresh.state == view.state
