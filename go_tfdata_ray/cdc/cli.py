@@ -6,7 +6,7 @@ itself never calls ``ray.init``.
 Commands:
   generate-wal  --wal DIR --events N [--keys K --epochs E --max-len L]
   apply         --wal DIR --lake DIR [--partitions P]   one-shot replay
-  tail          --wal DIR --lake DIR [--poll S --idle-limit N]
+  tail          --wal DIR --lake DIR [--poll S --idle-limit N --view-checkpoint F]
   scan          --lake DIR --out DIR [--where col:op:val ...]
   lookup        --lake DIR --ids a,b,c                  point query → JSON rows
   changes       --lake DIR --since VERSION --out DIR [--collapsed]
@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--max-epochs", type=int, default=None)
             s.add_argument("--auto-compact", type=int, default=None,
                            help="compact when a partition exceeds N fragments")
+            s.add_argument("--view-checkpoint", default=None,
+                           help="maintain a live SourceRollup view, saved "
+                                "atomically to this path after every commit "
+                                "(resumes incrementally if the file exists)")
 
     s = sub.add_parser("scan")
     s.add_argument("--lake", required=True)
@@ -128,9 +132,25 @@ def main(argv: list[str] | None = None) -> int:
                 "manifest_version": eng.manifest.version,
             }))
         else:
+            hook = None
+            if a.view_checkpoint:
+                import os
+
+                from .consumer import SourceRollup
+
+                if os.path.exists(a.view_checkpoint):
+                    view = SourceRollup.load(eng, a.view_checkpoint)
+                else:
+                    view = SourceRollup(eng)
+
+                def hook(_r, _v=view, _p=a.view_checkpoint):
+                    _v.refresh()
+                    _v.save(_p)
+
             print(json.dumps(eng.tail(
                 a.wal, poll_secs=a.poll, idle_limit=a.idle_limit,
                 max_epochs=a.max_epochs, auto_compact=a.auto_compact,
+                on_commit=hook,
             )))
         return 0
 
