@@ -645,6 +645,22 @@ class CDCEngine:
             batch_size=1,  # one partition per task — full merge parallelism
         ).randomize_block_order(seed=0)
 
+    def export_tfrecord(self, out_dir: str, columns: list[str] | None = None,
+                        at_version: int | None = None,
+                        where: list[tuple] | None = None,
+                        compression: str | None = None) -> int:
+        """Export a lake snapshot as sharded TFRecord training files — the
+        lake→reference-format bridge (a go-tfdata user's end product is a
+        TFRecord dir). Streams the merge-on-read scan through the parallel
+        content-addressed sink (one shard per merge block, tmp+rename,
+        retry-idempotent); supports time travel, predicates and gzip.
+        Returns the number of exported rows."""
+        from ..pipelines.builder import DefaultPipeline
+
+        ds = self.scan(columns=columns, at_version=at_version, where=where)
+        return (DefaultPipeline().from_dataset(ds)
+                .to_tfrecord_dir(out_dir, compression=compression).do())
+
     def lookup(self, doc_ids: list[str],
                columns: list[str] | None = None,
                at_version: int | None = None) -> pa.Table:

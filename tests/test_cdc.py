@@ -827,3 +827,23 @@ def test_tail_on_commit_keeps_live_view_current(tmp_path):
     fresh = SourceRollup(eng)
     fresh.full_refresh()
     assert fresh.state == view.state
+
+
+def test_export_tfrecord_bridge(tmp_path):
+    """Lake snapshot -> sharded TFRecord -> read back equals the scan."""
+    from go_tfdata_ray.pipelines.builder import DefaultPipeline
+
+    wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=200, num_epochs=2)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    eng.apply_wal(wal_dir)
+    out = str(tmp_path / "export")
+    n = eng.export_tfrecord(out, columns=["doc_id", "n_tok"],
+                            where=[("n_tok", ">=", 10)])
+    want = eng.scan(columns=["doc_id", "n_tok"],
+                    where=[("n_tok", ">=", 10)]).to_pandas()
+    assert n == len(want) > 0
+    back = DefaultPipeline().from_tfrecord(out).collect().do().to_pandas()
+    got = sorted((r[0].decode() if isinstance(r[0], bytes) else r[0], int(v[0]))
+                 for r, v in zip(back["doc_id"], back["n_tok"]))
+    assert got == sorted(zip(want["doc_id"], want["n_tok"]))
