@@ -62,7 +62,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--view-checkpoint", default=None,
                            help="maintain a live SourceRollup view, saved "
                                 "atomically to this path after every commit "
-                                "(resumes incrementally if the file exists)")
+                                "(resumes incrementally while the changes "
+                                "feed is retained; silently full-refreshes "
+                                "past compaction/vacuum)")
 
     s = sub.add_parser("scan")
     s.add_argument("--lake", required=True)
@@ -178,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "lookup":
         _ray_up()
         eng = CDCEngine(a.lake)
-        t = eng.lookup(a.ids.split(","), at_version=a.at_version)
+        t = eng.lookup([i.strip() for i in a.ids.split(",")], at_version=a.at_version)
         rows = t.to_pylist()
         for r in rows:
             r.pop("tokens", None)  # keep stdout line-sized; payload via scan
@@ -198,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         if a.ids:
-            out = eng.delete_where(doc_ids=a.ids.split(","))
+            out = eng.delete_where(doc_ids=[i.strip() for i in a.ids.split(",")])
         else:
             def _parse(w: str):
                 col, op, val = w.split(":", 2)
@@ -226,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
         from ..functions.profile import profile as _profile
 
         eng = CDCEngine(a.lake)
-        cols = a.columns.split(",") if a.columns else None
+        cols = [c.strip() for c in a.columns.split(",")] if a.columns else None
         out = _profile(eng.scan(columns=cols), columns=cols)
         print(out.to_json(orient="records"))
         return 0

@@ -124,8 +124,9 @@ class SourceRollup:
     def load(cls, engine: CDCEngine, path: str) -> "SourceRollup":
         """Restore a checkpointed view; the next ``refresh()`` rolls forward
         incrementally from the checkpoint's version. If the engine has
-        compacted/vacuumed past it, ``refresh()`` raises its documented
-        full-resync error — call ``full_refresh()`` then."""
+        compacted/vacuumed past it, ``refresh()`` falls back to a full
+        recompute internally and reports ``{"mode": "full"}`` — monitor
+        that mode if the O(change set) guarantee matters operationally."""
         import pyarrow.parquet as pq
 
         t = pq.read_table(path)

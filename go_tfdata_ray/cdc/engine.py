@@ -648,15 +648,32 @@ class CDCEngine:
     def export_tfrecord(self, out_dir: str, columns: list[str] | None = None,
                         at_version: int | None = None,
                         where: list[tuple] | None = None,
-                        compression: str | None = None) -> int:
+                        compression: str | None = None,
+                        overwrite: bool = False) -> int:
         """Export a lake snapshot as sharded TFRecord training files — the
         lake→reference-format bridge (a go-tfdata user's end product is a
         TFRecord dir). Streams the merge-on-read scan through the parallel
         content-addressed sink (one shard per merge block, tmp+rename,
         retry-idempotent); supports time travel, predicates and gzip.
-        Returns the number of exported rows."""
+        Returns the number of exported rows.
+
+        Refuses a directory that already holds TFRecord shards unless
+        ``overwrite=True`` (which clears them first): shard names are
+        content-addressed, so exporting a CHANGED snapshot into an old
+        export would leave the old shards beside the new ones and a
+        reader would see a mix of two snapshots."""
         from ..pipelines.builder import DefaultPipeline
 
+        if os.path.isdir(out_dir):
+            stale = [n for n in os.listdir(out_dir)
+                     if n.endswith((".tfrecord", ".tfrecord.gz"))]
+            if stale and not overwrite:
+                raise FileExistsError(
+                    f"{out_dir} already holds {len(stale)} TFRecord shards "
+                    "(possibly from an older snapshot); pass overwrite=True "
+                    "to replace them")
+            for n in stale:
+                os.remove(os.path.join(out_dir, n))
         ds = self.scan(columns=columns, at_version=at_version, where=where)
         return (DefaultPipeline().from_dataset(ds)
                 .to_tfrecord_dir(out_dir, compression=compression).do())

@@ -308,6 +308,13 @@ def count_gif_frames(buf: bytes) -> int:
     not pay for pixels that are immediately discarded."""
     if buf[:6] not in (_GIF87, _GIF89):
         raise ValueError("not a GIF (bad signature)")
+    try:
+        return _count_gif_frames(buf)
+    except IndexError:
+        raise ValueError("truncated GIF payload") from None
+
+
+def _count_gif_frames(buf: bytes) -> int:
     flags = buf[10]
     pos = 13
     if flags & 0x80:

@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import codecs
+from .gif import count_gif_frames
 from .text import _worker_cached
 
 MEDIA_SCHEMA = pa.schema(
@@ -189,8 +190,6 @@ class FrameSampler:
                                 t["payload"].to_pylist()):
                 fmt = codecs.sniff_image_format(buf)
                 if fmt == "gif":
-                    from .gif import count_gif_frames
-
                     n_frames = count_gif_frames(buf)
                 elif fmt == "jpeg":  # MJPEG: a still JPEG is a 1-frame clip
                     n_frames = len(codecs.split_mjpeg(buf))

@@ -45,7 +45,11 @@ def _col_partial(arr: pa.ChunkedArray, p: int) -> dict:
         kind = "byte_len"
         vals_for_ndv = None
     elif pa.types.is_floating(typ) or pa.types.is_integer(typ):
-        v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+        # NDV hashes the RAW values: a float64 cast would collapse int64s
+        # beyond 2^53 (consecutive snowflake-style ids land on one float)
+        # and silently undercount far past the HLL's ±1.6%. min/max also
+        # fold on the raw dtype; only the report column is float.
+        v = valid.to_numpy(zero_copy_only=False)  # raw dtype: min/max exact
         kind = "numeric"
         vals_for_ndv = v
     elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
@@ -54,9 +58,10 @@ def _col_partial(arr: pa.ChunkedArray, p: int) -> dict:
         kind = "string"
         vals_for_ndv = s
     elif pa.types.is_timestamp(typ):
-        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = valid.cast(pa.int64()).to_numpy(zero_copy_only=False)
         kind = "numeric"
-        vals_for_ndv = v
+        vals_for_ndv = v  # exact epoch ints for the NDV hash; the report
+        # column is float64 (min/max off by ≤256 ns at ns resolution)
     else:
         return {"kind": "opaque", "n": n, "nulls": nulls}
     out = {

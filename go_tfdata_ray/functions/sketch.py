@@ -99,8 +99,8 @@ def build_bloom(ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 7) -> 
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         merge, batch_format="pyarrow",
     )
-    (row,) = merged.take_all()
-    return row["bits"]
+    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
+    return rows[0]["bits"] if rows else np.zeros(n_bits // 8, np.uint8).tobytes()
 
 
 def bloom_contains(bloom: bytes, values: np.ndarray, k: int = 7) -> np.ndarray:
@@ -135,8 +135,10 @@ def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = exchange_coalesce_map(partials, merge, batch_format="pyarrow")
-    (row,) = merged.take_all()
-    return int(round(_estimate(np.frombuffer(row["regs"], dtype=np.uint8))))
+    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
+    if not rows:
+        return 0
+    return int(round(_estimate(np.frombuffer(rows[0]["regs"], dtype=np.uint8))))
 
 
 # -- approximate quantiles (two-pass histogram narrow-in) --------------------
@@ -195,8 +197,8 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: "dict[str, float]",
                        zero_copy_batch=True),
         range_merge, batch_format="pyarrow",
     )
-    (row,) = merged.take_all()
-    lo, hi = row["lo"], row["hi"]
+    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
+    lo, hi = (rows[0]["lo"], rows[0]["hi"]) if rows else (None, None)
     if lo is None:
         return {name: float("nan") for name in qs}
     span = max(hi - lo, 1e-300)
@@ -219,8 +221,9 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: "dict[str, float]",
                        zero_copy_batch=True),
         hist_merge, batch_format="pyarrow",
     )
-    (row,) = merged.take_all()
-    counts = np.frombuffer(row["counts"], dtype=np.int64)
+    rows = merged.take_all()
+    counts = (np.frombuffer(rows[0]["counts"], dtype=np.int64) if rows
+              else np.zeros(n_bins, dtype=np.int64))
     return _hist_quantiles(counts, lo, hi + 1e-300, qs)
 
 

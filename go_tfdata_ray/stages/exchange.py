@@ -56,14 +56,33 @@ def exchange_coalesce_map(
             return pa.Table.from_pandas(fn(t.to_pandas()), preserve_index=False)
         return fn(t)
 
-    # materialize first: an all-empty input arrives as 0-COLUMN arrow
-    # blocks (pandas empties lose their schema in the block conversion),
-    # and fn would crash on a schemaless frame — route that case through
-    # the plain map_batches path, which degrades exactly like the old
-    # repartition(1) final did
     m = ds.materialize()
     if m.count() == 0:
-        return m.map_batches(fn, batch_format=batch_format, batch_size=None)
+        # Zero-row input: the blocks arrive as 0-COLUMN arrow (pandas
+        # empties lose their schema in the block conversion), so the
+        # combine task can't feed fn a typed frame. Rebuild the typed
+        # empty from the Dataset-level schema and run fn on it HERE —
+        # aggregate finals rely on fn emitting its identity row (e.g. a
+        # 0-count histogram) even for empty input. Only a fully
+        # schemaless input degrades to the plain map_batches path.
+        schema = m.schema()
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            empty = base.empty_table()
+        elif schema is not None and getattr(base, "names", None):
+            empty = pa.Table.from_pandas(
+                pd.DataFrame({n: pd.Series(dtype=t)
+                              for n, t in zip(base.names, base.types)}),
+                preserve_index=False,
+            )
+        else:
+            return m.map_batches(fn, batch_format=batch_format, batch_size=None)
+        if batch_format == "pandas":
+            out = pa.Table.from_pandas(fn(empty.to_pandas()),
+                                       preserve_index=False)
+        else:
+            out = fn(empty)
+        return rd.from_arrow(out)
     refs = m.to_arrow_refs()
     return rd.from_arrow_refs([combine.remote(*refs)])
 
@@ -140,8 +159,22 @@ def exchange_group_map(
         # counts that is object-store metadata pressure, while the
         # sort-shuffle's FIXED cost (the reason this exchange exists) is
         # fully amortized by then. Route the big case through Ray's
-        # groupby, which spills and scales its exchange machinery.
-        return m.groupby(shard_col).map_groups(fn, batch_format=batch_format)
+        # groupby — with the same out-of-range validation the exchange
+        # router applies, so the contract doesn't change across the
+        # crossover. (The zero-row-output schema-drop protection does not
+        # apply here; shard groups this large don't produce empty frames.)
+        def fn_checked(g):
+            first = g[shard_col].iloc[0] if batch_format == "pandas" \
+                else g[shard_col][0].as_py()
+            if not 0 <= int(first) < B:
+                raise ValueError(
+                    f"shard column {shard_col!r} has value {first} "
+                    f"outside [0, {B})")
+            return fn(g)
+
+        fn_checked.__name__ = getattr(fn, "__name__", "exchange_group_fn")
+        return m.groupby(shard_col).map_groups(fn_checked,
+                                               batch_format=batch_format)
     routed = [
         route.options(num_returns=B + 1).remote(r) for r in refs
     ]

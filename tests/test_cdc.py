@@ -847,3 +847,21 @@ def test_export_tfrecord_bridge(tmp_path):
     got = sorted((r[0].decode() if isinstance(r[0], bytes) else r[0], int(v[0]))
                  for r, v in zip(back["doc_id"], back["n_tok"]))
     assert got == sorted(zip(want["doc_id"], want["n_tok"]))
+
+
+def test_export_tfrecord_refuses_stale_dir(tmp_path):
+    import pytest
+
+    wal_dir, files = make_wal(tmp_path, n_events=1000, n_keys=100, num_epochs=1)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=2)
+    eng.apply_wal(wal_dir)
+    out = str(tmp_path / "export")
+    n1 = eng.export_tfrecord(out, columns=["doc_id", "n_tok"])
+    assert n1 > 0
+    # second export into the same dir must refuse (stale-snapshot mixing) …
+    with pytest.raises(FileExistsError):
+        eng.export_tfrecord(out, columns=["doc_id", "n_tok"])
+    # … unless overwrite clears the old shards first
+    n2 = eng.export_tfrecord(out, columns=["doc_id", "n_tok"], overwrite=True)
+    assert n2 == n1

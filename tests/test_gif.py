@@ -118,3 +118,16 @@ def test_image_resizer_real_gif_keeps_all_frames():
     for i in range(3):
         frames, delays = decode_gif(bytes(out["payload"][i]))
         assert frames.shape == (int(src["n_frames"][i]), 8, 8, 3)
+
+
+def test_count_gif_frames_truncated_raises_valueerror():
+    import numpy as np
+    import pytest
+
+    from go_tfdata_ray.functions.gif import count_gif_frames, encode_gif
+    from go_tfdata_ray.functions.multimodal import synth_gif_frames
+
+    buf = encode_gif(synth_gif_frames(1, 5))
+    assert count_gif_frames(buf) == 5
+    with pytest.raises(ValueError):
+        count_gif_frames(buf[: len(buf) // 2])
