@@ -299,3 +299,43 @@ def approx_quantiles_per_group(
         ds.map_batches(hist_partial, batch_format="pandas"),
         hist_merge, num_shards,
     )
+
+
+def approx_ndv_per_group(
+    ds: rd.Dataset, group_col: str, col: str, p: int = 12,
+    num_shards: int = 16,
+) -> rd.Dataset:
+    """Per-group approximate distinct count of ``col`` in ONE pass — the
+    grouped form of ``approx_ndv`` (COUNT(DISTINCT x) GROUP BY g at scale):
+    per-batch per-group HLL register rows (2^p bytes per (group, batch)),
+    folded per group with the element-wise max over a group-hash-sharded
+    exchange. Shuffle volume is O(groups × blocks × 2^p) regardless of row
+    count or cardinality. Returns (group_col, approx_ndv). Lower ``p`` for
+    very high group cardinality (register rows dominate the exchange)."""
+    from ..stages.exchange import exchange_group_map
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_r = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            out_g.append(g)
+            out_r.append(_registers(sub[col].to_numpy(), p).tobytes())
+        out = pd.DataFrame({group_col: out_g, "_regs": out_r})
+        out["_shard"] = (
+            pd.util.hash_array(out[group_col].to_numpy()) % np.uint64(num_shards)
+        ).astype(np.int64)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        gs, ndv = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for b in sub["_regs"]:
+                np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+            gs.append(g)
+            ndv.append(int(round(_estimate(regs))))
+        return pd.DataFrame({group_col: gs,
+                             "approx_ndv": np.asarray(ndv, dtype=np.int64)})
+
+    return exchange_group_map(
+        ds.map_batches(partial, batch_format="pandas"), fold, num_shards
+    )

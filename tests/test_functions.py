@@ -700,3 +700,20 @@ def test_empty_inputs_do_not_crash_coalesce_consumers():
     assert rel.topk_global(ds, "v", k=3, tie_col="id").count() == 0
     empty = rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype=np.int64)}))
     assert len(profile(empty)) == 0
+
+
+def test_approx_ndv_per_group_error_bound():
+    from go_tfdata_ray.functions.sketch import approx_ndv_per_group
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    g = rng.integers(0, 4, n)
+    # distinct cardinality differs per group: group i draws from 100*(i+1)**2 values
+    v = np.array([rng.integers(0, 100 * (gi + 1) ** 2) for gi in g])
+    df = pd.DataFrame({"g": g, "v": v})
+    ds = rd.from_pandas(df).repartition(5)
+    out = approx_ndv_per_group(ds, "g", "v").to_pandas().set_index("g")
+    for gi in range(4):
+        exact = df[df["g"] == gi]["v"].nunique()
+        got = out.loc[gi, "approx_ndv"]
+        assert abs(got - exact) <= max(0.05 * exact, 3), (gi, got, exact)
