@@ -657,13 +657,20 @@ class CDCEngine:
         retry-idempotent); supports time travel, predicates and gzip.
         Returns the number of exported rows.
 
-        Refuses a directory that already holds TFRecord shards unless
-        ``overwrite=True`` (which clears them first): shard names are
-        content-addressed, so exporting a CHANGED snapshot into an old
-        export would leave the old shards beside the new ones and a
-        reader would see a mix of two snapshots."""
+        The export COMMITS like the engine does: shards are written into a
+        hidden staging subdir first and only swapped into ``out_dir``
+        after the whole scan succeeded — a mid-export failure leaves the
+        previous export untouched (plus a removable staging dir). Refuses
+        a directory that already holds TFRecord shards unless
+        ``overwrite=True``: shard names are content-addressed, so
+        exporting a CHANGED snapshot beside an old one would make a
+        reader see a mix of two snapshots."""
+        import shutil
+        import uuid as _uuid
+
         from ..pipelines.builder import DefaultPipeline
 
+        stale: list[str] = []
         if os.path.isdir(out_dir):
             stale = [n for n in os.listdir(out_dir)
                      if n.endswith((".tfrecord", ".tfrecord.gz"))]
@@ -672,11 +679,21 @@ class CDCEngine:
                     f"{out_dir} already holds {len(stale)} TFRecord shards "
                     "(possibly from an older snapshot); pass overwrite=True "
                     "to replace them")
-            for n in stale:
-                os.remove(os.path.join(out_dir, n))
+        staging = os.path.join(out_dir, f".export-staging-{_uuid.uuid4().hex[:12]}")
         ds = self.scan(columns=columns, at_version=at_version, where=where)
-        return (DefaultPipeline().from_dataset(ds)
-                .to_tfrecord_dir(out_dir, compression=compression).do())
+        try:
+            n = (DefaultPipeline().from_dataset(ds)
+                 .to_tfrecord_dir(staging, compression=compression).do())
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        # commit: clear the stale shards only AFTER the new set is complete
+        for name in stale:
+            os.remove(os.path.join(out_dir, name))
+        for name in os.listdir(staging):
+            os.replace(os.path.join(staging, name), os.path.join(out_dir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+        return n
 
     def lookup(self, doc_ids: list[str],
                columns: list[str] | None = None,

@@ -48,7 +48,11 @@ def _col_partial(arr: pa.ChunkedArray, p: int) -> dict:
         # NDV hashes the RAW values: a float64 cast would collapse int64s
         # beyond 2^53 (consecutive snowflake-style ids land on one float)
         # and silently undercount far past the HLL's ±1.6%. min/max also
-        # fold on the raw dtype; only the report column is float.
+        # fold on the raw dtype; only the report column is float. Caveat:
+        # a column whose BLOCKS mix int and float dtypes (mid-evolution
+        # data) hashes 5 and 5.0 differently — profile after schema
+        # normalization (stages/schema.py), which is where dtype-mixed
+        # columns get resolved anyway.
         v = valid.to_numpy(zero_copy_only=False)  # raw dtype: min/max exact
         kind = "numeric"
         vals_for_ndv = v

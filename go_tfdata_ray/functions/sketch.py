@@ -30,6 +30,14 @@ import ray.data as rd
 from ..stages.exchange import exchange_coalesce_map
 
 
+def _single_row(merged: "rd.Dataset", default):
+    """First row of a one-row combine result, or ``default()`` when the
+    input had no blocks at all (schemaless-empty corner: the coalesce ran
+    nothing, so no identity row exists)."""
+    rows = merged.take_all()
+    return rows[0] if rows else default()
+
+
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
     """uint8[2^p] HLL registers for one batch of values."""
     h = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
@@ -99,8 +107,9 @@ def build_bloom(ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 7) -> 
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         merge, batch_format="pyarrow",
     )
-    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
-    return rows[0]["bits"] if rows else np.zeros(n_bits // 8, np.uint8).tobytes()
+    return _single_row(
+        merged, lambda: {"bits": np.zeros(n_bits // 8, np.uint8).tobytes()}
+    )["bits"]
 
 
 def bloom_contains(bloom: bytes, values: np.ndarray, k: int = 7) -> np.ndarray:
@@ -135,10 +144,11 @@ def approx_ndv(ds: rd.Dataset, col: str, p: int = 12) -> int:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = exchange_coalesce_map(partials, merge, batch_format="pyarrow")
-    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
-    if not rows:
-        return 0
-    return int(round(_estimate(np.frombuffer(rows[0]["regs"], dtype=np.uint8))))
+    row = _single_row(
+        merged, lambda: {"regs": np.zeros(1 << p, np.uint8).tobytes()}
+    )
+    regs = np.frombuffer(row["regs"], dtype=np.uint8)
+    return 0 if not regs.any() else int(round(_estimate(regs)))
 
 
 # -- approximate quantiles (two-pass histogram narrow-in) --------------------
@@ -197,8 +207,8 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: "dict[str, float]",
                        zero_copy_batch=True),
         range_merge, batch_format="pyarrow",
     )
-    rows = merged.take_all()  # a ZERO-BLOCK input yields no identity row
-    lo, hi = (rows[0]["lo"], rows[0]["hi"]) if rows else (None, None)
+    row = _single_row(merged, lambda: {"lo": None, "hi": None})
+    lo, hi = row["lo"], row["hi"]
     if lo is None:
         return {name: float("nan") for name in qs}
     span = max(hi - lo, 1e-300)
@@ -221,9 +231,10 @@ def approx_quantiles(ds: rd.Dataset, col: str, qs: "dict[str, float]",
                        zero_copy_batch=True),
         hist_merge, batch_format="pyarrow",
     )
-    rows = merged.take_all()
-    counts = (np.frombuffer(rows[0]["counts"], dtype=np.int64) if rows
-              else np.zeros(n_bins, dtype=np.int64))
+    row = _single_row(
+        merged, lambda: {"counts": np.zeros(n_bins, np.int64).tobytes()}
+    )
+    counts = np.frombuffer(row["counts"], dtype=np.int64)
     return _hist_quantiles(counts, lo, hi + 1e-300, qs)
 
 

@@ -177,6 +177,10 @@ class DefaultPipeline:
                 from ..sources.tfrecord import (TFRecordWriter, encode_example,
                                                 open_tfrecord)
 
+                if len(df) == 0:  # an empty merge block must not leave an
+                    return _pa.table(  # empty content-addressed shard file
+                        {"path": _pa.array([], _pa.string()),
+                         "rows": _pa.array([], _pa.int64())})
                 rows = df.to_dict("records")
                 payloads = [encode_example(_clean_row(r)) for r in rows]
                 digest = _hashlib.sha256()

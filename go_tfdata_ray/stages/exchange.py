@@ -67,7 +67,7 @@ def exchange_coalesce_map(
         # schemaless input degrades to the plain map_batches path.
         schema = m.schema()
         base = getattr(schema, "base_schema", None)
-        if isinstance(base, pa.Schema):
+        if isinstance(base, pa.Schema) and base.names:
             empty = base.empty_table()
         elif schema is not None and getattr(base, "names", None):
             empty = pa.Table.from_pandas(
@@ -151,30 +151,18 @@ def exchange_group_map(
             out = fn(t)
         return out, out.num_rows
 
-    m = ds.materialize()  # both paths below consume the same blocks
+    m = ds.materialize()
     refs = m.to_arrow_refs()
     if len(refs) > max_exchange_blocks:
         # Scale crossover: the exchange creates (B+1) objects per input
         # block and each finalize takes #blocks arguments — at huge block
-        # counts that is object-store metadata pressure, while the
-        # sort-shuffle's FIXED cost (the reason this exchange exists) is
-        # fully amortized by then. Route the big case through Ray's
-        # groupby — with the same out-of-range validation the exchange
-        # router applies, so the contract doesn't change across the
-        # crossover. (The zero-row-output schema-drop protection does not
-        # apply here; shard groups this large don't produce empty frames.)
-        def fn_checked(g):
-            first = g[shard_col].iloc[0] if batch_format == "pandas" \
-                else g[shard_col][0].as_py()
-            if not 0 <= int(first) < B:
-                raise ValueError(
-                    f"shard column {shard_col!r} has value {first} "
-                    f"outside [0, {B})")
-            return fn(g)
-
-        fn_checked.__name__ = getattr(fn, "__name__", "exchange_group_fn")
-        return m.groupby(shard_col).map_groups(fn_checked,
-                                               batch_format=batch_format)
+        # counts that is object-store metadata pressure. COALESCE the
+        # blocks (streaming split/merge repartition, one extra pass —
+        # comparable to what a sort-shuffle would copy anyway) and stay on
+        # the exchange path, so the out-of-range validation and the
+        # zero-row-output schema protection hold at every block count.
+        m = m.repartition(max_exchange_blocks // 2).materialize()
+        refs = m.to_arrow_refs()
     routed = [
         route.options(num_returns=B + 1).remote(r) for r in refs
     ]
