@@ -12,6 +12,7 @@ Commands:
   changes       --lake DIR --since VERSION --out DIR [--collapsed]
   delete        --lake DIR (--where col:op:val ... | --ids a,b)  bulk tombstone
   compact       --lake DIR
+  dedup         --lake DIR [--content-col C --dry-run]  exact content dedup
   status        --lake DIR                              manifest summary
   profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
 """
@@ -92,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("compact")
     s.add_argument("--lake", required=True)
+
+    s = sub.add_parser("dedup")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--content-col", default="tokens")
+    s.add_argument("--shards", type=int, default=64)
+    s.add_argument("--dry-run", action="store_true",
+                   help="count duplicates without tombstoning them")
 
     s = sub.add_parser("status")
     s.add_argument("--lake", required=True)
@@ -221,6 +229,14 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         print(json.dumps(eng.compact()))
+        return 0
+
+    if a.cmd == "dedup":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        print(json.dumps(eng.dedup_lake(
+            content_col=a.content_col, num_shards=a.shards,
+            dry_run=a.dry_run)))
         return 0
 
     if a.cmd == "profile":

@@ -446,7 +446,10 @@ class CDCEngine:
         mf.commit(self.lake_dir, new)  # raises FencedOutError if we lost
         self.manifest = new
         return {"epoch": epoch, "skipped": False, "delta_rows": applied,
-                "partitions_touched": len(intents), "version": new.version}
+                # distinct partitions, not fragment intents — direct mode
+                # writes one (run-file × partition) fragment each
+                "partitions_touched": len({int(i["part_id"]) for i in intents}),
+                "fragments": len(intents), "version": new.version}
 
     def apply_wal(self, wal_dir: str) -> list[dict[str, Any]]:
         """Tail the WAL: apply every segment above the committed epoch, in
@@ -515,6 +518,91 @@ class CDCEngine:
         out = self._stage_epoch(pa.table({"doc_id": pa.array(ids, pa.string())}), "D")
         out["deleted"] = len(ids)
         return out
+
+    def delete_dataset(self, keys: rd.Dataset, key_col: str = "doc_id") -> dict[str, Any]:
+        """Distributed bulk delete: tombstone every key in ``keys`` (a
+        Dataset with a ``key_col`` column) WITHOUT materializing the keys on
+        the driver — the 10^10-doc variant of ``delete_where(doc_ids=...)``.
+
+        Each block writes one staged WAL shard whose NAME and SEQS are
+        content-addressed (sha1 of the block's sorted keys / per-doc hash
+        offsets), so a task retry after rename overwrites the same file with
+        the same bytes — idempotent, like the delta writers. Only the tiny
+        per-shard path rows return to the driver; the standard exactly-once
+        ``apply_epoch`` then runs over the staged shards."""
+        import hashlib
+
+        epoch = self.manifest.committed_epoch + 1
+        base = max(self.manifest.watermarks().values(), default=-1) + 1
+        stage_dir = os.path.join(self.lake_dir, "_staging", f"epoch-{epoch:06d}")
+        os.makedirs(stage_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"path": pa.array([], pa.string())})
+            ids = pc.cast(t[key_col], pa.string())
+            id_np = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
+            # seq: above every committed watermark; per-doc hash offset (keys
+            # are unique, so cross-doc seq ties are harmless — collapse
+            # orders (doc_id, seq) within a doc only)
+            import pandas as _pd
+            off = (_pd.util.hash_array(id_np, categorize=False)
+                   % np.uint64(1 << 31)).astype(np.int64)
+            n = len(t)
+            staged = pa.table({
+                "seq": pa.array(base + off),
+                "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+                "op": pa.array(["D"] * n, pa.string()),
+                "doc_id": ids,
+                "tokens": pa.array([[]] * n, pa.list_(pa.int32())),
+                "n_tok": pa.array(np.zeros(n, dtype=np.int32)),
+                "source": pa.array([""] * n, pa.string()),
+            })
+            name = hashlib.sha1(
+                "\x00".join(sorted(map(str, id_np))).encode()).hexdigest()[:20]
+            final = os.path.join(stage_dir, f"del-{name}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(staged, tmp)
+            os.rename(tmp, final)
+            return pa.table({"path": pa.array([final], pa.string()),
+                             "rows": pa.array([n], pa.int64())})
+
+        intents = keys.map_batches(
+            write_shard, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ).take_all()  # tiny: one (path, rows) row per staged shard
+        paths = sorted({r["path"] for r in intents})
+        deleted = int(sum(r["rows"] for r in intents))
+        if not paths:
+            return {"epoch": self.manifest.committed_epoch, "skipped": True,
+                    "deleted": 0}
+        out = self.apply_epoch(epoch, paths)
+        out["deleted"] = deleted
+        return out
+
+    def dedup_lake(self, content_col: str = "tokens", num_shards: int = 64,
+                   dry_run: bool = False) -> dict[str, Any]:
+        """Lake-level exact content dedup (a maintenance op, like
+        ``compact``): find docs whose ``content_col`` equals another doc's —
+        per-row token-array equality, the engine's correctness invariant —
+        and tombstone all but the smallest ``doc_id`` per content group
+        through the ordinary delete-epoch path. Inherits exactly-once
+        commit, time travel (the pre-dedup snapshot stays queryable at its
+        version) and physical reclaim via ``compact()`` + ``vacuum()``.
+
+        Scale shape: merged scan streams; only (128-bit hash, doc_id) rows
+        cross the wire (``functions/dedup.duplicate_keys``); the loser keys
+        never land on the driver (``delete_dataset`` stages shards
+        distributed). Idempotent: a second run finds zero duplicates."""
+        from ..functions.dedup import duplicate_keys
+
+        dups = duplicate_keys(
+            self.scan(columns=["doc_id", content_col]),
+            content_col=content_col, key_col="doc_id", num_shards=num_shards,
+        )
+        if dry_run:
+            return {"duplicates": dups.count(), "dry_run": True}
+        return self.delete_dataset(dups.select_columns(["doc_id"]))
 
     def tail(
         self,

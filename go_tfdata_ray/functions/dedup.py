@@ -78,6 +78,123 @@ def exact_dedup(
     return exchange_group_map(partials, resolve, num_shards, shard_col="shard")
 
 
+_SPLITMIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants): bijective 64-bit
+    avalanche, vectorized with wraparound uint64 arithmetic."""
+    x = x.astype(np.uint64, copy=True)
+    x += _SPLITMIX_GOLDEN
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_list_column(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarray:
+    """Order- AND length-sensitive 64-bit content hash per list<int> row.
+
+    Why not ``pd.util.hash_array`` over the object column: pandas falls back
+    to ``str()`` for unhashable cells, and ``str(np.ndarray)`` TRUNCATES long
+    arrays ("[1 2 3 ... 9]") — distinct token arrays would collide. This
+    kernel is one vectorized pass over the FLATTENED values: each element is
+    mixed with its local position (XOR alone would be permutation-
+    insensitive), XOR-reduced per row via ``np.bitwise_xor.reduceat``, then
+    mixed with the row length. Inner nulls hash as the -1 sentinel; null
+    rows hash to a constant distinct from the empty list. Two calls with
+    different salts give independent 64-bit halves of a 128-bit hash."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = np.empty(len(col), dtype=np.uint64)
+    s = np.uint64(salt)
+    base = 0
+    for chunk in chunks:
+        m = len(chunk)
+        if m == 0:
+            continue
+        null_rows = np.asarray(pc.is_null(chunk))
+        counts = pc.fill_null(pc.list_value_length(chunk), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(chunk)
+        if flat.null_count:
+            flat = pc.fill_null(flat, -1)
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(starts, counts)).view(np.uint64)
+        elem = _mix64(vals ^ _mix64(pos + s))
+        seg = np.zeros(m, dtype=np.uint64)
+        valid = counts > 0
+        if valid.any():
+            # strictly increasing starts (count>0 rows only): reduceat's
+            # i-th reduce spans exactly row i's elements — empty rows in
+            # between contribute nothing and keep seg=0
+            seg[valid] = np.bitwise_xor.reduceat(elem, starts[valid])
+        row = _mix64(seg ^ _mix64(counts.view(np.uint64) + s + np.uint64(1)))
+        if null_rows.any():
+            row[null_rows] = _mix64(
+                np.full(int(null_rows.sum()), np.uint64(0xDEADBEEF) + s))
+        out[base:base + m] = row
+        base += m
+    return out
+
+
+def duplicate_keys(
+    ds: rd.Dataset, content_col: str = "tokens", key_col: str = "doc_id",
+    num_shards: int = 64,
+) -> rd.Dataset:
+    """Enumerate exact content duplicates: one output row per LOSING key —
+    ``(key_col, dup_of, n_copies)`` where ``dup_of`` is the group's winner
+    (smallest key) and ``n_copies`` the group size. The complement of
+    ``exact_dedup`` (which returns winners): feed the losers to a delete
+    sink (``CDCEngine.dedup_lake`` tombstones them through the CDC path).
+
+    Content may be a string column (siphash pair, as in ``exact_dedup``) or
+    a list<int> column — token arrays hash via ``hash_list_column`` (a
+    str()-fallback would truncate and collide). Scale shape: the shuffle
+    carries one (16 B hash, key) row per doc — the honest lower bound for
+    enumerating losers; content never crosses the wire. Upstream keys are
+    unique (a keyed table / the lake scan), so there is nothing for a
+    per-batch combiner to collapse."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            h1 = hash_list_column(col, salt=0xA5).view(np.int64)
+            h2 = hash_list_column(col, salt=0x5C).view(np.int64)
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+            h1 = _stable_hash(vals).astype(np.int64)
+            h2 = pd.util.hash_array(
+                np.asarray(vals, dtype=object), categorize=False,
+                hash_key="beefcafe0badf00d",
+            ).astype(np.int64)
+        shard = (h1.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({
+            key_col: pc.cast(t[key_col], pa.string()),
+            "_h1": pa.array(h1), "_h2": pa.array(h2),
+            "shard": pa.array(shard),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(["_h1", "_h2"], sort=False)[key_col]
+        win = grp.transform("min")
+        size = grp.transform("size")
+        losers = (size > 1) & (g[key_col] != win)
+        # explicit dtypes: an all-empty shard output must not poison the
+        # Dataset schema (empty object columns convert to arrow null)
+        return pd.DataFrame({
+            key_col: g.loc[losers, key_col].astype("string").values,
+            "dup_of": win[losers].astype("string").values,
+            "n_copies": size[losers].to_numpy(dtype=np.int64),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_group_map(tagged, resolve, num_shards, shard_col="shard")
+
+
 # --- shingles + MinHash -----------------------------------------------------
 
 class MinHasher:

@@ -865,3 +865,49 @@ def test_export_tfrecord_refuses_stale_dir(tmp_path):
     # … unless overwrite clears the old shards first
     n2 = eng.export_tfrecord(out, columns=["doc_id", "n_tok"], overwrite=True)
     assert n2 == n1
+
+
+def test_dedup_lake_exact_content(tmp_path):
+    """Lake-level content dedup: docs with byte-identical token arrays are
+    tombstoned down to the smallest doc_id, through the ordinary delete
+    epoch — exactly-once, time-travelable, idempotent on re-run."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rng = np.random.default_rng(7)
+    contents = [rng.integers(0, 500, rng.integers(1, 20)).tolist()
+                for _ in range(40)]
+    docs = [f"doc{i:04d}" for i in range(200)]
+    toks = [contents[i % 40] for i in range(200)]
+    eng.upsert(pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "source": pa.array(["s"] * 200),
+    }))
+    want = {}
+    for d, tk in zip(docs, toks):
+        want.setdefault(tuple(tk), d)  # docs ascend, so first = min
+
+    pre_version = eng.manifest.version
+    dry = eng.dedup_lake(num_shards=16, dry_run=True)
+    assert dry == {"duplicates": 200 - len(want), "dry_run": True}
+
+    out = eng.dedup_lake(num_shards=16)
+    assert out["deleted"] == 200 - len(want) and not out.get("skipped")
+    alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
+    got = {tuple(r): d for d, r in zip(alive["doc_id"], alive["tokens"])}
+    assert got == want
+
+    # idempotent: a second pass finds nothing to delete
+    again = eng.dedup_lake(num_shards=16)
+    assert again.get("skipped") and again["deleted"] == 0
+
+    # time travel: the pre-dedup snapshot is intact at its version
+    assert len(eng.scan(at_version=pre_version).to_pandas()) == 200
+
+    # re-applying the committed delete epoch is a no-op (resume path)
+    stage = os.path.join(lake, "_staging",
+                         f"epoch-{out['epoch']:06d}")
+    fs = [os.path.join(stage, f) for f in os.listdir(stage)]
+    assert eng.apply_epoch(out["epoch"], fs)["skipped"]

@@ -717,3 +717,58 @@ def test_approx_ndv_per_group_error_bound():
         exact = df[df["g"] == gi]["v"].nunique()
         got = out.loc[gi, "approx_ndv"]
         assert abs(got - exact) <= max(0.05 * exact, 3), (gi, got, exact)
+
+
+def test_hash_list_column_sensitivity():
+    """Content hash for list<int32>: equal content ⇒ equal hash; order,
+    length, trailing zeros, empty-vs-null all distinguish; slices agree."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_tfdata_ray.functions.dedup import hash_list_column
+
+    a = pa.chunked_array([
+        pa.array([[1, 2, 3], [3, 2, 1], [1, 2], [], [1, 2, 3], None,
+                  [1, 2, 3, 0]], pa.list_(pa.int32())),
+        pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+    ])
+    h = hash_list_column(a, salt=5)
+    assert h[0] == h[4] == h[7]
+    assert len({h[0], h[1], h[2], h[3], h[5], h[6]}) == 6
+    sl = a.combine_chunks().slice(2, 4)
+    assert np.array_equal(hash_list_column(sl, salt=5), h[2:6])
+    assert not np.any(h == hash_list_column(a, salt=9))
+
+
+def test_duplicate_keys_token_lists():
+    """duplicate_keys enumerates exactly the non-minimal keys per distinct
+    token array (brute-force cross-check)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_tfdata_ray.functions.dedup import duplicate_keys
+
+    rng = np.random.default_rng(3)
+    contents = [rng.integers(0, 99, rng.integers(0, 8)).tolist()
+                for _ in range(25)]
+    docs = [f"d{i:03d}" for i in range(150)]
+    toks = [contents[i % 25] for i in range(150)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+    }))
+    got = duplicate_keys(ds, num_shards=8).to_pandas()
+    winners, want_losers = {}, {}
+    for d, tk in zip(docs, toks):
+        k = tuple(tk)
+        if k in winners:
+            want_losers[d] = winners[k]
+        else:
+            winners[k] = d
+    assert dict(zip(got["doc_id"], got["dup_of"])) == want_losers
+    by_content = {}
+    for tk in toks:
+        by_content[tuple(tk)] = by_content.get(tuple(tk), 0) + 1
+    assert all(by_content[tuple(toks[int(d[1:])])] == n
+               for d, n in zip(got["doc_id"], got["n_copies"]))
