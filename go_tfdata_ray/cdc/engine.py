@@ -581,28 +581,58 @@ class CDCEngine:
         return out
 
     def dedup_lake(self, content_col: str = "tokens", num_shards: int = 64,
-                   dry_run: bool = False) -> dict[str, Any]:
-        """Lake-level exact content dedup (a maintenance op, like
-        ``compact``): find docs whose ``content_col`` equals another doc's —
-        per-row token-array equality, the engine's correctness invariant —
-        and tombstone all but the smallest ``doc_id`` per content group
-        through the ordinary delete-epoch path. Inherits exactly-once
-        commit, time travel (the pre-dedup snapshot stays queryable at its
-        version) and physical reclaim via ``compact()`` + ``vacuum()``.
+                   dry_run: bool = False, method: str = "exact",
+                   threshold: float = 0.85, k: int = 5, n_perm: int = 64,
+                   bands: int = 16) -> dict[str, Any]:
+        """Lake-level content dedup (a maintenance op, like ``compact``):
+        find duplicate docs and tombstone all but one per group through the
+        ordinary delete-epoch path. Inherits exactly-once commit, time
+        travel (the pre-dedup snapshot stays queryable at its version) and
+        physical reclaim via ``compact()`` + ``vacuum()``.
 
-        Scale shape: merged scan streams; only (128-bit hash, doc_id) rows
-        cross the wire (``functions/dedup.duplicate_keys``); the loser keys
-        never land on the driver (``delete_dataset`` stages shards
-        distributed). Idempotent: a second run finds zero duplicates."""
-        from ..functions.dedup import duplicate_keys
+        ``method="exact"``: byte-identical ``content_col`` (per-row
+        token-array equality, the engine's correctness invariant); the
+        smallest ``doc_id`` per content group survives. Idempotent: a
+        second run finds zero duplicates.
 
-        dups = duplicate_keys(
-            self.scan(columns=["doc_id", content_col]),
-            content_col=content_col, key_col="doc_id", num_shards=num_shards,
-        )
+        ``method="minhash"``: near-duplicates by MinHash+LSH over token
+        k-grams (``threshold`` = estimated-Jaccard cut; ``TokenMinHasher``
+        for list columns, word-shingle ``MinHasher`` for strings). Standard
+        cluster-by-representative contraction: each flagged doc's bucket
+        representative survives; a near-dup cluster keeps ≥1 doc (its
+        minimal key is never flagged).
+
+        Scale shape: merged scan streams; only hashes/signatures cross the
+        wire (``functions/dedup``); the loser keys never land on the driver
+        (``delete_dataset`` stages shards distributed)."""
+        from ..functions.dedup import (TokenMinHasher, duplicate_keys,
+                                       minhash_lsh_dedup)
+
+        scan = self.scan(columns=["doc_id", content_col])
+        if method == "exact":
+            dups = duplicate_keys(
+                scan, content_col=content_col, key_col="doc_id",
+                num_shards=num_shards,
+            )
+        elif method == "minhash":
+            ctype = scan.schema().base_schema.field(content_col).type
+            hasher = (TokenMinHasher
+                      if pa.types.is_list(ctype) or pa.types.is_large_list(ctype)
+                      else None)
+            kw = {"hasher": hasher} if hasher is not None else {}
+            dups = minhash_lsh_dedup(
+                scan, text_col=content_col, key_col="doc_id", k=k,
+                n_perm=n_perm, bands=bands, threshold=threshold,
+                num_shards=num_shards, **kw,
+            )
+        else:
+            raise ValueError(f"unknown dedup method {method!r}")
         if dry_run:
-            return {"duplicates": dups.count(), "dry_run": True}
-        return self.delete_dataset(dups.select_columns(["doc_id"]))
+            return {"duplicates": dups.count(), "dry_run": True,
+                    "method": method}
+        out = self.delete_dataset(dups.select_columns(["doc_id"]))
+        out["method"] = method
+        return out
 
     def tail(
         self,

@@ -230,6 +230,13 @@ class MinHasher:
             else:
                 lens[i] = len(toks)
         h = pd.util.hash_array(np.array(flat, dtype=object), categorize=False)  # uint64
+        return self._sigs_from_hashes(h, lens)
+
+    def _sigs_from_hashes(self, h: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Windowed-minimum core: per-doc k-gram shingle hashes over the
+        flat element-hash array ``h`` (doc boundaries from ``lens``, every
+        len ≥ k), then the n_perm permutation minima."""
+        k = self.k
         n_win = lens - k + 1
         doc_off = np.concatenate(([0], np.cumsum(lens)))[:-1]
         total = int(n_win.sum())
@@ -241,7 +248,7 @@ class MinHasher:
         for j in range(k):
             shingle += h[starts + j] * self.kmix[j]  # wraparound mixing
         win_off = np.concatenate(([0], np.cumsum(n_win)))[:-1]
-        sig = np.empty((len(tok_lists), self.n_perm), dtype=np.uint64)
+        sig = np.empty((len(lens), self.n_perm), dtype=np.uint64)
         step = max(1, (4 << 20) // max(total, 1))  # ~32MB temp per chunk
         for c in range(0, self.n_perm, step):
             v = (shingle[:, None] * self.a[None, c : c + step]
@@ -261,6 +268,36 @@ class MinHasher:
         return out
 
 
+class TokenMinHasher(MinHasher):
+    """MinHash over k-grams of INT TOKEN IDS — the pre-tokenized lake's
+    native content (north-rule input shape: ``tokens: list<int32>``). Same
+    windowed-minimum core as :class:`MinHasher`; element hashes come from a
+    splitmix64 mix of the ids, so no string materialization happens. Short
+    docs pad with a sentinel below the token-id space so every doc has ≥1
+    window. Constructor signature matches MinHasher (``text_col`` names the
+    list column) — a drop-in for ``minhash_lsh_dedup(hasher=...)``."""
+
+    def batch_signatures(self, token_lists) -> np.ndarray:
+        k = self.k
+        parts = []
+        for t in token_lists:  # per-doc append only; the concat is one C op
+            a = np.asarray(t if t is not None else (), dtype=np.int64)
+            if len(a) < k:
+                a = np.concatenate([a, np.full(k - len(a), -(1 << 40), np.int64)])
+            parts.append(a)
+        if not parts:
+            return np.empty((0, self.n_perm), dtype=np.uint64)
+        flat = np.concatenate(parts)
+        lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+        return self._sigs_from_hashes(_mix64(flat.view(np.uint64)), lens)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sig = self.batch_signatures(df[self.text_col].tolist()).astype(np.int64)
+        out = df[[self.key_col]].copy()
+        out["sig"] = [row.tobytes() for row in sig]
+        return out
+
+
 def jaccard_from_sigs(a: np.ndarray, b: np.ndarray) -> float:
     return float((a == b).mean())
 
@@ -275,8 +312,13 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     concurrency=(1, 8),
     num_shards: int = 64,
+    hasher: type = MinHasher,
 ) -> rd.Dataset:
     """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby→verify.
+
+    ``hasher`` picks the signature stage: :class:`MinHasher` (word shingles
+    over a string column, the default) or :class:`TokenMinHasher` (k-grams
+    over an int-token list column — the lake's native content).
 
     A doc is a duplicate iff its bucket's min-key representative has
     signature-estimated Jaccard ≥ threshold (cluster-by-representative, the
@@ -337,7 +379,7 @@ def minhash_lsh_dedup(
 
     # light state (permutation arrays) → worker-cached task, not actor pool
     sigs = ds.map_batches(
-        _worker_cached(MinHasher, text_col, key_col, k, n_perm),
+        _worker_cached(hasher, text_col, key_col, k, n_perm),
         batch_format="pandas", batch_size=1024,
     )
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")

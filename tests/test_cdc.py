@@ -891,7 +891,8 @@ def test_dedup_lake_exact_content(tmp_path):
 
     pre_version = eng.manifest.version
     dry = eng.dedup_lake(num_shards=16, dry_run=True)
-    assert dry == {"duplicates": 200 - len(want), "dry_run": True}
+    assert dry == {"duplicates": 200 - len(want), "dry_run": True,
+                   "method": "exact"}
 
     out = eng.dedup_lake(num_shards=16)
     assert out["deleted"] == 200 - len(want) and not out.get("skipped")
@@ -911,3 +912,35 @@ def test_dedup_lake_exact_content(tmp_path):
                          f"epoch-{out['epoch']:06d}")
     fs = [os.path.join(stage, f) for f in os.listdir(stage)]
     assert eng.apply_epoch(out["epoch"], fs)["skipped"]
+
+
+def test_dedup_lake_minhash_neardup(tmp_path):
+    """Near-dup lake dedup: planted near-copies (2 of 200 tokens changed,
+    Jaccard ≈ 0.95 over 5-gram shingles) collapse to one survivor per pair;
+    unrelated docs survive. Deterministic: fixed hasher seed + seeded data."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rng = np.random.default_rng(11)
+    docs, toks, origs = [], [], []
+    for i in range(20):
+        t = rng.integers(0, 30000, 200).tolist()
+        origs.append(t)
+        docs.append(f"orig{i:03d}")
+        toks.append(t)
+    for i in range(20):
+        t = list(origs[i])
+        t[7], t[150] = 77777, 88888
+        docs.append(f"ndup{i:03d}")
+        toks.append(t)
+    eng.upsert(pa.table({
+        "doc_id": pa.array(docs),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "source": pa.array(["s"] * 40),
+    }))
+    out = eng.dedup_lake(method="minhash", threshold=0.8, num_shards=16)
+    assert out["deleted"] == 20 and out["method"] == "minhash"
+    alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    # exactly one survivor per near-dup pair: the smaller key ("ndup" < "orig")
+    assert alive == {f"ndup{i:03d}" for i in range(20)}
