@@ -772,3 +772,36 @@ def test_duplicate_keys_token_lists():
         by_content[tuple(tk)] = by_content.get(tuple(tk), 0) + 1
     assert all(by_content[tuple(toks[int(d[1:])])] == n
                for d, n in zip(got["doc_id"], got["n_copies"]))
+
+
+def test_token_minhash_estimates_kgram_jaccard():
+    """TokenMinHasher's signature agreement estimates the TRUE k-gram
+    Jaccard of the token sequences (deterministic seeds: mean error ≈0.03
+    at n_perm=128, bounded here with slack)."""
+    import numpy as np
+
+    from go_tfdata_ray.functions.dedup import TokenMinHasher
+
+    tm = TokenMinHasher("tokens", "doc_id", k=5, n_perm=128)
+    rng = np.random.default_rng(5)
+
+    def kgrams(t, k=5):
+        return {tuple(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    errs = []
+    for _ in range(30):
+        n = int(rng.integers(50, 400))
+        a = rng.integers(0, 1000, n).tolist()
+        b = list(a)
+        for _ in range(int(rng.integers(0, n // 4))):
+            b[int(rng.integers(0, n))] = int(rng.integers(0, 1000))
+        ga, gb = kgrams(a), kgrams(b)
+        true_j = len(ga & gb) / len(ga | gb)
+        sa, sb = tm.batch_signatures([a, b])
+        errs.append(abs((sa == sb).mean() - true_j))
+    assert np.mean(errs) < 0.06 and np.max(errs) < 0.2
+    # identical and disjoint extremes are exact
+    x = rng.integers(0, 1000, 100).tolist()
+    y = (rng.integers(0, 1000, 100) + 5000).tolist()
+    sx, sx2, sy = tm.batch_signatures([x, list(x), y])
+    assert (sx == sx2).all() and (sx == sy).mean() < 0.05
