@@ -98,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lake", required=True)
     s.add_argument("--content-col", default="tokens")
     s.add_argument("--shards", type=int, default=64)
-    s.add_argument("--method", choices=("exact", "minhash"), default="exact")
+    s.add_argument("--method", choices=("exact", "minhash", "incremental"),
+                   default="exact")
     s.add_argument("--threshold", type=float, default=0.85,
                    help="minhash: estimated-Jaccard near-dup cut")
     s.add_argument("--dry-run", action="store_true",
@@ -237,10 +238,14 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "dedup":
         _ray_up()
         eng = CDCEngine(a.lake)
-        print(json.dumps(eng.dedup_lake(
-            content_col=a.content_col, num_shards=a.shards,
-            method=a.method, threshold=a.threshold,
-            dry_run=a.dry_run)))
+        if a.method == "incremental":
+            out = eng.dedup_incremental(content_col=a.content_col,
+                                        num_shards=a.shards)
+        else:
+            out = eng.dedup_lake(
+                content_col=a.content_col, num_shards=a.shards,
+                method=a.method, threshold=a.threshold, dry_run=a.dry_run)
+        print(json.dumps(out))
         return 0
 
     if a.cmd == "profile":

@@ -634,6 +634,19 @@ class CDCEngine:
         out["method"] = method
         return out
 
+    def dedup_incremental(self, content_col: str = "tokens",
+                          num_shards: int = 64) -> dict[str, Any]:
+        """Exact content dedup of the docs ingested SINCE THE LAST RUN,
+        against a persisted content-hash index — O(new docs) per run, never
+        O(lake). First run bootstraps the index from a full scan (equivalent
+        to ``dedup_lake``); later runs consume the net change feed. Stale
+        index entries (updated/deleted incumbents) are verified against the
+        live lake before any tombstone is written. See ``cdc/dedupidx.py``."""
+        from . import dedupidx
+
+        return dedupidx.dedup_incremental(self, content_col=content_col,
+                                          num_shards=num_shards)
+
     def tail(
         self,
         wal_dir: str,

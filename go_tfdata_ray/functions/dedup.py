@@ -141,6 +141,22 @@ def hash_list_column(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarr
     return out
 
 
+def content_hash_pair(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content hash as two independent int64 halves: segment hash
+    for list<int> columns (``hash_list_column``), siphash pair for strings.
+    The shared identity kernel for exact dedup / the incremental index."""
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        return (hash_list_column(col, salt=0xA5).view(np.int64),
+                hash_list_column(col, salt=0x5C).view(np.int64))
+    vals = col.to_numpy(zero_copy_only=False)
+    h1 = _stable_hash(vals).astype(np.int64)
+    h2 = pd.util.hash_array(
+        np.asarray(vals, dtype=object), categorize=False,
+        hash_key="beefcafe0badf00d",
+    ).astype(np.int64)
+    return h1, h2
+
+
 def duplicate_keys(
     ds: rd.Dataset, content_col: str = "tokens", key_col: str = "doc_id",
     num_shards: int = 64,
@@ -160,17 +176,7 @@ def duplicate_keys(
     per-batch combiner to collapse."""
 
     def tag(t: pa.Table) -> pa.Table:
-        col = t[content_col]
-        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-            h1 = hash_list_column(col, salt=0xA5).view(np.int64)
-            h2 = hash_list_column(col, salt=0x5C).view(np.int64)
-        else:
-            vals = col.to_numpy(zero_copy_only=False)
-            h1 = _stable_hash(vals).astype(np.int64)
-            h2 = pd.util.hash_array(
-                np.asarray(vals, dtype=object), categorize=False,
-                hash_key="beefcafe0badf00d",
-            ).astype(np.int64)
+        h1, h2 = content_hash_pair(t[content_col])
         shard = (h1.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
         return pa.table({
             key_col: pc.cast(t[key_col], pa.string()),

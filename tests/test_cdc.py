@@ -944,3 +944,96 @@ def test_dedup_lake_minhash_neardup(tmp_path):
     alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
     # exactly one survivor per near-dup pair: the smaller key ("ndup" < "orig")
     assert alive == {f"ndup{i:03d}" for i in range(20)}
+
+
+def _tok_table(ids, toks, src="s"):
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "source": pa.array([src] * len(ids)),
+    })
+
+
+def test_dedup_incremental_staleness(tmp_path):
+    """Incremental dedup against the persisted content-hash index: new-epoch
+    dups lose to indexed incumbents; a stale index entry (incumbent updated
+    or deleted) never causes a wrong delete AND never shadows the live
+    incumbent (op='D' index drops)."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rng = np.random.default_rng(2)
+    A, B, C, D = (rng.integers(0, 999, n).tolist() for n in (50, 60, 70, 40))
+
+    eng.upsert(_tok_table(["a1", "a2", "b1"], [A, A, B]))
+    out = eng.dedup_incremental(num_shards=8)
+    assert out["bootstrap"] and out["deleted"] == 1  # a2 loses to a1
+
+    eng.upsert(_tok_table(["a3", "c1", "c2"], [A, C, C]))
+    out = eng.dedup_incremental()
+    assert not out["bootstrap"] and out["deleted"] == 2  # a3→a1, c2→c1
+    assert set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"]) == {
+        "a1", "b1", "c1"}
+
+    # stale via UPDATE: b1's content changes; b9 re-uses B → must SURVIVE
+    eng.upsert(_tok_table(["b1"], [D]))
+    eng.upsert(_tok_table(["b9"], [B]))
+    assert eng.dedup_incremental()["deleted"] == 0
+    alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert alive == {"a1", "b1", "b9", "c1"}
+
+    # the stale entry must be dropped: b8 (with B) loses to live b9
+    eng.upsert(_tok_table(["b8"], [B]))
+    assert eng.dedup_incremental()["deleted"] == 1
+    assert "b8" not in set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+
+    # stale via DELETE: a1 removed; a5 re-uses A → survives, becomes incumbent
+    eng.delete_where(doc_ids=["a1"])
+    eng.upsert(_tok_table(["a5"], [A]))
+    assert eng.dedup_incremental()["deleted"] == 0
+    eng.upsert(_tok_table(["a6"], [A]))
+    assert eng.dedup_incremental()["deleted"] == 1  # a6 loses to a5
+
+    out = eng.dedup_incremental()  # no-op run
+    assert out["deleted"] == 0 and out["candidates"] == 0
+    toks = eng.scan(columns=["tokens"]).to_pandas()["tokens"]
+    assert len({tuple(t) for t in toks}) == len(toks)  # no content dups left
+
+
+def test_dedup_incremental_random_churn(tmp_path):
+    """Randomized insert/update/delete churn with an incremental dedup after
+    every epoch: (1) no two live docs ever share content, (2) every content
+    in the pre-dedup state keeps exactly one live representative."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rng = np.random.default_rng(17)
+    contents = [rng.integers(0, 999, int(rng.integers(5, 40))).tolist()
+                for _ in range(12)]
+    keys = [f"k{i:03d}" for i in range(40)]
+    state: dict[str, tuple] = {}
+
+    for _round in range(6):
+        n = int(rng.integers(5, 15))
+        ids = list(rng.choice(keys, n, replace=False))
+        toks = [contents[int(rng.integers(0, 12))] for _ in ids]
+        eng.upsert(_tok_table(ids, toks))
+        for d, t in zip(ids, toks):
+            state[d] = tuple(t)
+        if _round % 2 == 1 and state:
+            victims = sorted(state)[:2]
+            eng.delete_where(doc_ids=victims)
+            for v in victims:
+                state.pop(v)
+        eng.dedup_incremental(num_shards=8)
+        alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
+        got = {d: tuple(t) for d, t in zip(alive["doc_id"], alive["tokens"])}
+        want_contents = set(state.values())
+        assert set(got.values()) == want_contents          # nothing lost
+        assert len(got) == len(want_contents)              # nothing duplicated
+        for d, c in got.items():                           # rows are genuine
+            assert state[d] == c
+        # mirror the dedup into the model: survivors define the state
+        state = dict(got)
