@@ -111,8 +111,45 @@ def _read_shard_index(idx_dir: str, shard: int) -> pd.DataFrame:
     return live if len(live) else empty
 
 
+def compact_index(lake_dir: str, min_segments: int = 2) -> dict[str, Any]:
+    """Fold each index shard's segment pile into ONE segment holding only
+    live entries (adds minus drops) — segments otherwise accumulate one per
+    dedup run. One Ray task per shard over ``min_segments`` (each reads only
+    its own shard's files). Single-maintainer discipline, like ``compact``:
+    don't run concurrently with a dedup run on the same lake."""
+    import ray
+
+    idx_dir = _index_dir(lake_dir)
+    state = _load_state(lake_dir)
+    if state is None:
+        return {"compacted_shards": 0, "removed_segments": 0}
+    num_shards = int(state["num_shards"])
+
+    @ray.remote
+    def fold(shard: int) -> int:
+        paths = sorted(glob.glob(
+            os.path.join(idx_dir, f"seg-*-s{shard:04d}.parquet")))
+        if len(paths) < min_segments:
+            return 0
+        live = _read_shard_index(idx_dir, shard)
+        keep = None
+        if len(live):
+            live = live.copy()
+            live["op"] = "A"
+            keep = _write_segment(idx_dir, shard, live)
+        for p in paths:
+            if p != keep:
+                os.remove(p)
+        return len(paths) - (1 if keep else 0)
+
+    removed = ray.get([fold.remote(s) for s in range(num_shards)])
+    return {"compacted_shards": int(sum(1 for r in removed if r)),
+            "removed_segments": int(sum(removed))}
+
+
 def dedup_incremental(engine, content_col: str = "tokens",
-                      num_shards: int = 64) -> dict[str, Any]:
+                      num_shards: int = 64,
+                      compact_over: int = 8) -> dict[str, Any]:
     """One incremental dedup run over ``engine``'s lake. See module doc."""
     lake = engine.lake_dir
     idx_dir = _index_dir(lake)
@@ -235,4 +272,14 @@ def dedup_incremental(engine, content_col: str = "tokens",
     })
     _save_state(lake, {"version": engine.manifest.version,
                        "num_shards": num_shards})
+    # bound the per-shard segment pile: one segment lands per run, so past
+    # the threshold fold each hot shard back to a single live segment
+    if compact_over:
+        per_shard: dict[str, int] = {}
+        for p in glob.glob(os.path.join(idx_dir, "seg-*.parquet")):
+            sfx = p.rsplit("-s", 1)[-1]
+            per_shard[sfx] = per_shard.get(sfx, 0) + 1
+        if per_shard and max(per_shard.values()) > compact_over:
+            out["index_compaction"] = compact_index(lake,
+                                                    min_segments=compact_over)
     return out

@@ -635,7 +635,8 @@ class CDCEngine:
         return out
 
     def dedup_incremental(self, content_col: str = "tokens",
-                          num_shards: int = 64) -> dict[str, Any]:
+                          num_shards: int = 64,
+                          compact_over: int = 8) -> dict[str, Any]:
         """Exact content dedup of the docs ingested SINCE THE LAST RUN,
         against a persisted content-hash index — O(new docs) per run, never
         O(lake). First run bootstraps the index from a full scan (equivalent
@@ -645,7 +646,8 @@ class CDCEngine:
         from . import dedupidx
 
         return dedupidx.dedup_incremental(self, content_col=content_col,
-                                          num_shards=num_shards)
+                                          num_shards=num_shards,
+                                          compact_over=compact_over)
 
     def tail(
         self,

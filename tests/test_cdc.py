@@ -1037,3 +1037,34 @@ def test_dedup_incremental_random_churn(tmp_path):
             assert state[d] == c
         # mirror the dedup into the model: survivors define the state
         state = dict(got)
+
+
+def test_dedup_index_compaction(tmp_path):
+    """Index segments accumulate one per run; compaction folds each shard to
+    a single live segment without changing dedup behavior."""
+    import glob as _glob
+
+    import numpy as np
+
+    from go_tfdata_ray.cdc import dedupidx
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    rng = np.random.default_rng(4)
+    for i in range(5):  # 5 runs, distinct content each → 5 append segments
+        c = rng.integers(0, 999, 20).tolist()
+        eng.upsert(_tok_table([f"x{i}a", f"x{i}b"], [c, c]))
+        eng.dedup_incremental(num_shards=4, compact_over=0)
+    idx_dir = str(tmp_path / "lake" / "_dedup_index")
+    before = len(_glob.glob(os.path.join(idx_dir, "seg-*.parquet")))
+    assert before >= 5
+    stats = dedupidx.compact_index(lake)
+    after = len(_glob.glob(os.path.join(idx_dir, "seg-*.parquet")))
+    assert stats["removed_segments"] > 0 and after < before
+
+    # behavior unchanged: a dup of run-0 content still loses post-compaction
+    c0 = np.random.default_rng(4).integers(0, 999, 20).tolist()
+    eng.upsert(_tok_table(["zzz"], [c0]))
+    out = eng.dedup_incremental()
+    assert out["deleted"] == 1
+    assert "zzz" not in set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
