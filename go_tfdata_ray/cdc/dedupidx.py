@@ -3,22 +3,31 @@ content-hash index, without rescanning the lake.
 
 ``CDCEngine.dedup_lake`` is the full-corpus maintenance pass; at 10^10 docs
 re-running it per micro-batch would re-hash the whole lake every time. This
-module keeps a hash-sharded index of (content-hash → winning doc_id) under
-``lake/_dedup_index/`` and, per run, processes only the NET CHANGE SET since
-the last run (``CDCEngine.changes(collapsed=True)``) — work is O(new docs),
-not O(lake).
+module keeps a hash-sharded index of (content-hash → winning doc_id, seq)
+under ``lake/_dedup_index/`` and, per run, processes only the NET CHANGE SET
+since the last run (``CDCEngine.changes(collapsed=True)``) — work is O(new
+docs), not O(lake).
 
 Correctness under churn: index entries go stale when their doc is later
 updated or deleted. Stale entries can never cause a wrong delete — every
 candidate loser whose winner came FROM THE INDEX is verified against the
-live lake (point ``lookup`` of the incumbents + content-hash equality)
-before its tombstone is written. A stale entry discovered during
-verification is dropped from the index (an op='D' marker row — the index
-itself is a tiny LSM) and the next live entry, or the minimal new doc,
-becomes the incumbent; without the drop a stale minimum would shadow the
-live incumbent forever and duplicate content would accumulate.
-Verification cost is O(collision candidates), bounded by the run's
-new-doc count (epoch-sized), never the lake.
+live lake before its tombstone is written. Verification is two-tier so it
+never decodes token payloads in the common case:
+
+1. seq check — point ``lookup`` of the incumbents' (seq, op) columns only
+   (tiny pages). Every update assigns a fresh, strictly higher seq, so
+   seq-unchanged ⇒ content-unchanged, exactly; absent/tombstoned ⇒ dead.
+2. hash recheck — ONLY for incumbents that are live but seq-changed (they
+   may have been updated *back* to the indexed content): one payload
+   lookup of just those docs, re-hash, compare. A confirmed match gets its
+   index entry refreshed to the new seq; a mismatch is dropped.
+
+A stale entry is dropped from the index with an op='D' marker row (the
+index itself is a tiny LSM) — without the drop a stale minimum would
+shadow the live incumbent forever and duplicate content would accumulate.
+Verification cost is O(collision candidates) seq reads + O(churned
+incumbents) payload reads, bounded by the run's new-doc count, never the
+lake.
 
 State: ``_dedup_index/state.json`` (last processed manifest version + the
 immutable shard count) written atomically AFTER the delete epoch commits.
@@ -30,9 +39,10 @@ error — rebuild by removing ``_dedup_index/`` and re-running (the next run
 bootstraps from a full scan).
 
 Index layout: ``seg-{sha1(content)}-s{shard:04d}.parquet`` with columns
-(h1, h2, doc_id, op); append-only, op='D' rows drop earlier (hash, doc)
-adds; readers resolve live entries per hash sorted by doc_id. Shard count
-is fixed at index creation (persisted in state.json).
+(h1, h2, doc_id, seq, op); append-only, op='D' rows drop earlier
+(hash, doc) adds (the newest add of a redropped pair wins by max seq);
+readers resolve live entries per hash. Shard count is fixed at index
+creation (persisted in state.json).
 """
 
 from __future__ import annotations
@@ -74,17 +84,18 @@ def _save_state(lake_dir: str, state: dict) -> None:
 
 
 def _write_segment(idx_dir: str, shard: int, df: pd.DataFrame) -> str:
-    """Content-addressed index segment (columns h1, h2, doc_id, op): a task
+    """Content-addressed index segment (h1, h2, doc_id, seq, op): a task
     retry overwrites the same file with the same bytes."""
     t = pa.table({
         "h1": pa.array(df["h1"].to_numpy(dtype=np.int64)),
         "h2": pa.array(df["h2"].to_numpy(dtype=np.int64)),
         "doc_id": pa.array(df["doc_id"].astype(str).tolist(), pa.string()),
+        "seq": pa.array(df["seq"].to_numpy(dtype=np.int64)),
         "op": pa.array(df["op"].astype(str).tolist(), pa.string()),
     })
-    name = hashlib.sha1("\x00".join(
-        sorted(df["doc_id"].astype(str) + ":" + df["op"].astype(str))
-    ).encode()).hexdigest()[:20]
+    name = hashlib.sha1("\x00".join(sorted(
+        df["doc_id"].astype(str) + ":" + df["seq"].astype(str) + ":"
+        + df["op"].astype(str))).encode()).hexdigest()[:20]
     final = os.path.join(idx_dir, f"seg-{name}-s{shard:04d}.parquet")
     tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(t, tmp)
@@ -93,30 +104,31 @@ def _write_segment(idx_dir: str, shard: int, df: pd.DataFrame) -> str:
 
 
 def _read_shard_index(idx_dir: str, shard: int) -> pd.DataFrame:
-    """Live index entries of one shard: adds minus op='D' drops, one row per
-    (h1, h2, doc_id)."""
+    """Live index entries of one shard: per (hash, doc) the max-seq row
+    wins, op='D' winners are dropped — one row per live (h1, h2, doc_id)."""
     paths = sorted(glob.glob(os.path.join(idx_dir, f"seg-*-s{shard:04d}.parquet")))
     empty = pd.DataFrame({"h1": pd.Series([], dtype="int64"),
                           "h2": pd.Series([], dtype="int64"),
-                          "doc_id": pd.Series([], dtype="string")})
+                          "doc_id": pd.Series([], dtype="string"),
+                          "seq": pd.Series([], dtype="int64")})
     if not paths:
         return empty
     df = pa.concat_tables([pq.read_table(p) for p in paths]).to_pandas()
-    dropped = df[df["op"] == "D"][["h1", "h2", "doc_id"]]
-    live = df[df["op"] == "A"][["h1", "h2", "doc_id"]].drop_duplicates()
-    if len(dropped):
-        live = live.merge(dropped.drop_duplicates(), how="left",
-                          indicator=True, on=["h1", "h2", "doc_id"])
-        live = live[live["_merge"] == "left_only"].drop(columns="_merge")
+    # drops carry the seq of the entry they kill; a later re-add (same doc,
+    # same hash, higher seq) revives the pair — resolve by max (seq, op)
+    # where 'D' > 'A' at equal seq (the drop targeted exactly that add)
+    df = df.sort_values(["h1", "h2", "doc_id", "seq", "op"], kind="mergesort")
+    last = df.groupby(["h1", "h2", "doc_id"], sort=False).tail(1)
+    live = last[last["op"] == "A"][["h1", "h2", "doc_id", "seq"]]
     return live if len(live) else empty
 
 
 def compact_index(lake_dir: str, min_segments: int = 2) -> dict[str, Any]:
     """Fold each index shard's segment pile into ONE segment holding only
-    live entries (adds minus drops) — segments otherwise accumulate one per
-    dedup run. One Ray task per shard over ``min_segments`` (each reads only
-    its own shard's files). Single-maintainer discipline, like ``compact``:
-    don't run concurrently with a dedup run on the same lake."""
+    live entries — segments otherwise accumulate one per dedup run. One Ray
+    task per shard over ``min_segments`` (each reads only its own shard's
+    files). Single-maintainer discipline, like ``compact``: don't run
+    concurrently with a dedup run on the same lake."""
     import ray
 
     idx_dir = _index_dir(lake_dir)
@@ -159,38 +171,36 @@ def dedup_incremental(engine, content_col: str = "tokens",
         num_shards = int(state["num_shards"])  # immutable once created
 
     # -- the new-doc set: full scan on bootstrap, net change set after -----
+    # (with_deleted=True keeps the seq column; tombstones filtered in tag)
     if state is None:
-        new = engine.scan(columns=["doc_id", content_col])
+        new = engine.scan(columns=["doc_id", content_col, "seq", "op"],
+                          with_deleted=True)
     else:
-        feed = engine.changes(int(state["version"]), collapsed=True)
-
-        def live_only(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
-            return t.select(["doc_id", content_col])
-
-        new = feed.map_batches(live_only, batch_format="pyarrow",
-                               zero_copy_batch=True)
+        new = engine.changes(int(state["version"]), collapsed=True)
 
     # -- phase A: hash, shard, resolve against the shard's index -----------
     def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], pa.scalar("D")))
         h1, h2 = content_hash_pair(t[content_col])
         shard = (h1.view(np.uint64) % np.uint64(num_shards)).astype(np.int64)
         return pa.table({
             "doc_id": pc.cast(t["doc_id"], pa.string()),
+            "seq": pc.cast(t["seq"], pa.int64()),
             "h1": pa.array(h1), "h2": pa.array(h2), "shard": pa.array(shard),
         })
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         """Per index shard: split the shard's new docs into definite losers
         (in-batch dups of a live winner), unverified candidates (their hash
-        is indexed — all of that hash's index entries ride along for the
-        driver's liveness walk), and appends (new hashes — the winner goes
-        into the index HERE, distributed)."""
+        is indexed — all of that hash's (doc, seq) entries ride along for
+        the driver's liveness walk), and appends (new hashes — the winner
+        goes into the index HERE, distributed)."""
         shard = int(g["shard"].iloc[0])
         idx = _read_shard_index(idx_dir, shard)
         incs = (idx.sort_values("doc_id")
-                .groupby(["h1", "h2"], sort=False)["doc_id"]
-                .agg(lambda s: list(s)).rename("_incs").reset_index())
+                .groupby(["h1", "h2"], sort=False)
+                .agg(_incs=("doc_id", list), _incseqs=("seq", list))
+                .reset_index())
         g = g.sort_values(["h1", "h2", "doc_id"], kind="mergesort")
         g = g.merge(incs, on=["h1", "h2"], how="left")
         first = ~g.duplicated(["h1", "h2"])  # min new doc per hash
@@ -199,24 +209,28 @@ def dedup_incremental(engine, content_col: str = "tokens",
         appends = g[first & ~has_inc].copy()
         if len(appends):
             appends["op"] = "A"
-            _write_segment(idx_dir, shard, appends[["h1", "h2", "doc_id", "op"]])
+            _write_segment(idx_dir, shard,
+                           appends[["h1", "h2", "doc_id", "seq", "op"]])
         # in-batch losers of a new-hash winner: winner is live by
         # construction → no verification needed
         win = g.groupby(["h1", "h2"], sort=False)["doc_id"].transform("min")
         sure = ~has_inc & ~first
         cand = has_inc
-        empty_lists = pd.Series([[]] * int(sure.sum()), dtype=object,
-                                index=g.index[sure])
+        empties = pd.Series([[]] * int(sure.sum()), dtype=object,
+                            index=g.index[sure])
         return pd.DataFrame({
             "doc_id": pd.concat([g.loc[sure, "doc_id"],
                                  g.loc[cand, "doc_id"]]).astype("string").values,
+            "seq": pd.concat([g.loc[sure, "seq"],
+                              g.loc[cand, "seq"]]).to_numpy(dtype=np.int64),
             "dup_of": pd.concat([win[sure],
                                  win[cand]]).astype("string").values,
             "h1": pd.concat([g.loc[sure, "h1"],
                              g.loc[cand, "h1"]]).to_numpy(dtype=np.int64),
             "h2": pd.concat([g.loc[sure, "h2"],
                              g.loc[cand, "h2"]]).to_numpy(dtype=np.int64),
-            "incs": pd.concat([empty_lists, g.loc[cand, "_incs"]]).values,
+            "incs": pd.concat([empties, g.loc[cand, "_incs"]]).values,
+            "incseqs": pd.concat([empties, g.loc[cand, "_incseqs"]]).values,
             "verified": np.r_[np.ones(int(sure.sum()), dtype=bool),
                               np.zeros(int(cand.sum()), dtype=bool)],
         })
@@ -230,35 +244,64 @@ def dedup_incremental(engine, content_col: str = "tokens",
     # driver-side resolution here is O(new dups), never O(lake)
     losers: list[str] = []
     if len(cand):
-        sure = cand[cand["verified"]]
-        losers.extend(sure["doc_id"])
+        losers.extend(cand.loc[cand["verified"], "doc_id"])
     unverified = cand[~cand["verified"]] if len(cand) else cand
     if len(unverified):
+        # tier 1: seq+op point lookup — no payload pages decoded
         incumbents = sorted({d for lst in unverified["incs"] for d in lst})
-        cur = engine.lookup(incumbents, columns=["doc_id", content_col])
-        live: dict[str, tuple[int, int]] = {}
+        cur = engine.lookup(incumbents, columns=["doc_id", "seq", "op"],
+                            with_deleted=True)
+        live_seq: dict[str, int] = {}
         if cur.num_rows:
-            ch1, ch2 = content_hash_pair(cur[content_col])
-            for d, x, y in zip(cur["doc_id"].to_pylist(), ch1, ch2):
-                live[d] = (int(x), int(y))
+            alive = cur.filter(pc.not_equal(cur["op"], pa.scalar("D")))
+            live_seq = dict(zip(alive["doc_id"].to_pylist(),
+                                alive["seq"].to_pylist()))
+        # tier 2: payload re-hash ONLY for live-but-updated incumbents
+        # (they may have been updated BACK to the indexed content)
+        recheck = sorted({d for lst, sq in zip(unverified["incs"],
+                                               unverified["incseqs"])
+                          for d, s in zip(lst, sq)
+                          if d in live_seq and live_seq[d] != int(s)})
+        cur_hash: dict[str, tuple[int, int]] = {}
+        if recheck:
+            pay = engine.lookup(recheck, columns=["doc_id", content_col])
+            if pay.num_rows:
+                rh1, rh2 = content_hash_pair(pay[content_col])
+                cur_hash = {d: (int(x), int(y)) for d, x, y in
+                            zip(pay["doc_id"].to_pylist(), rh1, rh2)}
         for (h1, h2), grp in unverified.groupby(["h1", "h2"]):
-            entries = sorted({d for lst in grp["incs"] for d in lst})
-            matching = [d for d in entries if live.get(d) == (int(h1), int(h2))]
-            stale = [d for d in entries if d not in matching]
+            pairs = sorted({(d, int(s)) for lst, sq in
+                            zip(grp["incs"], grp["incseqs"])
+                            for d, s in zip(lst, sq)})
+            matching, refreshed, stale = [], [], []
+            for d, s in pairs:
+                if live_seq.get(d) == s:
+                    matching.append(d)
+                elif (d in live_seq
+                      and cur_hash.get(d) == (int(h1), int(h2))):
+                    matching.append(d)       # content reverted: still a dup
+                    refreshed.append((d, live_seq[d]))
+                    stale.append((d, s))     # old-seq entry superseded
+                else:
+                    stale.append((d, s))
             shard = int(np.uint64(np.int64(h1)) % np.uint64(num_shards))
-            if stale:  # drop: a stale minimum must not shadow the live one
-                _write_segment(idx_dir, shard, pd.DataFrame(
-                    {"h1": h1, "h2": h2, "doc_id": stale, "op": "D"}))
-            docs = sorted(grp["doc_id"])
+            rows = ([{"h1": h1, "h2": h2, "doc_id": d, "seq": s, "op": "D"}
+                     for d, s in stale]
+                    + [{"h1": h1, "h2": h2, "doc_id": d, "seq": s, "op": "A"}
+                       for d, s in refreshed])
+            docs = sorted(set(grp["doc_id"]))
             if matching:
-                winner = matching[0]
+                winner = sorted(matching)[0]
                 losers.extend(d for d in docs if d != winner)
             else:
                 # no live incumbent: the minimal new doc takes over
                 winner = docs[0]
-                _write_segment(idx_dir, shard, pd.DataFrame(
-                    {"h1": [h1], "h2": [h2], "doc_id": [winner], "op": "A"}))
+                wseq = int(grp.loc[grp["doc_id"] == winner, "seq"].iloc[0])
+                rows.append({"h1": h1, "h2": h2, "doc_id": winner,
+                             "seq": wseq, "op": "A"})
                 losers.extend(docs[1:])
+            if rows:
+                _write_segment(idx_dir, shard, pd.DataFrame(rows))
 
     # -- phase C: tombstone losers through the ordinary delete epoch -------
     out: dict[str, Any] = {"deleted": 0}

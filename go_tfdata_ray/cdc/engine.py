@@ -748,7 +748,8 @@ class CDCEngine:
 
     def scan(self, columns: list[str] | None = None,
              at_version: int | None = None,
-             where: list[tuple] | None = None) -> rd.Dataset:
+             where: list[tuple] | None = None,
+             with_deleted: bool = False) -> rd.Dataset:
         """Merge-on-read snapshot of the lake as a streaming Dataset.
 
         ``at_version`` reads an OLDER committed manifest (time travel /
@@ -760,7 +761,11 @@ class CDCEngine:
         {==, !=, >, >=, <, <=, in} — evaluated against the CURRENT row
         version inside each partition's merge task (a value predicate
         cannot prune fragments: an old version may pass while the newest
-        fails; use ``lookup()`` for key-predicate pruning)."""
+        fails; use ``lookup()`` for key-predicate pruning).
+
+        ``with_deleted=True`` returns the INTERNAL row view: tombstone rows
+        (op='D') retained and the engine columns (seq/op/part_id) kept —
+        the change-data/versioning consumers' escape hatch."""
         m = None if at_version is None else mf.load_version(self.lake_dir, at_version)
         desc = self._descriptors(m)
         cols = columns or LAKE_COLUMNS
@@ -773,7 +778,8 @@ class CDCEngine:
         # 1-row descriptor blocks into ONE task, serializing the whole
         # merge (measured: training_pipeline 4.9s → 1.2s with the barrier).
         return rd.from_items(desc).map_batches(
-            PartitionMergeReader(self.lake_dir, cols, where=where),
+            PartitionMergeReader(self.lake_dir, cols, where=where,
+                                 with_deleted=with_deleted),
             batch_format="pyarrow",
             batch_size=1,  # one partition per task — full merge parallelism
         ).randomize_block_order(seed=0)
@@ -830,7 +836,8 @@ class CDCEngine:
 
     def lookup(self, doc_ids: list[str],
                columns: list[str] | None = None,
-               at_version: int | None = None) -> pa.Table:
+               at_version: int | None = None,
+               with_deleted: bool = False) -> pa.Table:
         """Point query: hash-route each key to its partition and
         merge-on-read ONLY those partitions' fragments, filtering to the
         keys at the fragment reads — O(partitions touched), never a full
@@ -847,7 +854,8 @@ class CDCEngine:
         if not desc:
             return pa.table({c: pa.array([], WAL_SCHEMA.field(c).type) for c in cols})
         ds = rd.from_items(desc).map_batches(
-            PartitionMergeReader(self.lake_dir, cols, key_filter=ids),
+            PartitionMergeReader(self.lake_dir, cols, key_filter=ids,
+                                 with_deleted=with_deleted),
             batch_format="pyarrow", batch_size=1,
         )
         tabs = [t for t in [ray.get(r) for r in ds.to_arrow_refs()] if t.num_rows]

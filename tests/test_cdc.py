@@ -1068,3 +1068,29 @@ def test_dedup_index_compaction(tmp_path):
     out = eng.dedup_incremental()
     assert out["deleted"] == 1
     assert "zzz" not in set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+
+
+def test_dedup_incremental_content_revert(tmp_path):
+    """Tier-2 verification: an incumbent updated AWAY from and then BACK to
+    the indexed content is live with a new seq — the seq check alone would
+    call it stale; the payload re-hash must recognize it as still holding
+    the content, so a later duplicate LOSES to it (no content dup leaks)."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    rng = np.random.default_rng(6)
+    A, B = rng.integers(0, 999, 30).tolist(), rng.integers(0, 999, 35).tolist()
+
+    eng.upsert(_tok_table(["a1"], [A]))
+    eng.dedup_incremental(num_shards=4)       # index: (hA, a1, seq0)
+    eng.upsert(_tok_table(["a1"], [B]))       # away …
+    eng.upsert(_tok_table(["a1"], [A]))       # … and back (new seq, same A)
+    out = eng.dedup_incremental()             # a1 re-feeds as its own hash
+    assert out["deleted"] == 0
+    eng.upsert(_tok_table(["a9"], [A]))       # duplicate of reverted content
+    out = eng.dedup_incremental()
+    alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert out["deleted"] == 1 and alive == {"a1"}, (out, alive)
+    toks = eng.scan(columns=["tokens"]).to_pandas()["tokens"]
+    assert [list(t) for t in toks] == [A]
