@@ -176,7 +176,12 @@ def dedup_incremental(engine, content_col: str = "tokens",
         new = engine.scan(columns=["doc_id", content_col, "seq", "op"],
                           with_deleted=True)
     else:
-        new = engine.changes(int(state["version"]), collapsed=True)
+        try:
+            new = engine.changes(int(state["version"]), collapsed=True)
+        except RuntimeError as e:  # compaction/vacuum broke the feed
+            raise RuntimeError(
+                f"{e}; for incremental dedup, remove {idx_dir} and re-run "
+                "— the next run rebuilds the index from a full scan") from e
 
     # -- phase A: hash, shard, resolve against the shard's index -----------
     def tag(t: pa.Table) -> pa.Table:

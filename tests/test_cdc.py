@@ -1094,3 +1094,28 @@ def test_dedup_incremental_content_revert(tmp_path):
     assert out["deleted"] == 1 and alive == {"a1"}, (out, alive)
     toks = eng.scan(columns=["tokens"]).to_pandas()["tokens"]
     assert [list(t) for t in toks] == [A]
+
+
+def test_dedup_incremental_full_resync_after_compaction(tmp_path):
+    """Compaction folds the epochs the change feed needs: the next
+    incremental run must fail loudly with the index-rebuild hint, and
+    removing the index must recover via a fresh bootstrap."""
+    import shutil
+
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    rng = np.random.default_rng(8)
+    A = rng.integers(0, 999, 20).tolist()
+    eng.upsert(_tok_table(["a1", "a2"], [A, A]))
+    eng.dedup_incremental(num_shards=4)
+    eng.upsert(_tok_table(["b1"], [rng.integers(0, 999, 25).tolist()]))
+    eng.compact()
+    with pytest.raises(RuntimeError, match="remove .*_dedup_index"):
+        eng.dedup_incremental()
+    shutil.rmtree(os.path.join(lake, "_dedup_index"))
+    out = eng.dedup_incremental(num_shards=4)
+    assert out["bootstrap"] and out["deleted"] == 0
+    eng.upsert(_tok_table(["a9"], [A]))
+    assert eng.dedup_incremental()["deleted"] == 1  # index works again
