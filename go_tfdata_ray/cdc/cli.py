@@ -240,7 +240,8 @@ def main(argv: list[str] | None = None) -> int:
         eng = CDCEngine(a.lake)
         if a.method == "incremental":
             out = eng.dedup_incremental(content_col=a.content_col,
-                                        num_shards=a.shards)
+                                        num_shards=a.shards,
+                                        dry_run=a.dry_run)
         else:
             out = eng.dedup_lake(
                 content_col=a.content_col, num_shards=a.shards,

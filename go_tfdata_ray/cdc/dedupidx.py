@@ -161,18 +161,28 @@ def compact_index(lake_dir: str, min_segments: int = 2) -> dict[str, Any]:
 
 def dedup_incremental(engine, content_col: str = "tokens",
                       num_shards: int = 64,
-                      compact_over: int = 8) -> dict[str, Any]:
-    """One incremental dedup run over ``engine``'s lake. See module doc."""
+                      compact_over: int = 8,
+                      dry_run: bool = False) -> dict[str, Any]:
+    """One incremental dedup run over ``engine``'s lake. See module doc.
+    ``dry_run=True`` reports what would happen without mutating anything —
+    no tombstones, no index segments, no state advance."""
     lake = engine.lake_dir
     idx_dir = _index_dir(lake)
     os.makedirs(idx_dir, exist_ok=True)
     state = _load_state(lake)
     if state is not None:
         num_shards = int(state["num_shards"])  # immutable once created
+    elif not dry_run:
+        # persist the shard count BEFORE the first segment lands: a crash
+        # mid-bootstrap must not let a retry re-shard under a different
+        # count and orphan the crashed run's segments ("version" is only
+        # added after a successful run — its absence still means bootstrap)
+        _save_state(lake, {"num_shards": num_shards})
+    bootstrap = state is None or "version" not in state
 
     # -- the new-doc set: full scan on bootstrap, net change set after -----
     # (with_deleted=True keeps the seq column; tombstones filtered in tag)
-    if state is None:
+    if bootstrap:
         new = engine.scan(columns=["doc_id", content_col, "seq", "op"],
                           with_deleted=True)
     else:
@@ -212,7 +222,7 @@ def dedup_incremental(engine, content_col: str = "tokens",
         has_inc = g["_incs"].notna()
         # new-hash winners → append to the index now
         appends = g[first & ~has_inc].copy()
-        if len(appends):
+        if len(appends) and not dry_run:
             appends["op"] = "A"
             _write_segment(idx_dir, shard,
                            appends[["h1", "h2", "doc_id", "seq", "op"]])
@@ -274,7 +284,8 @@ def dedup_incremental(engine, content_col: str = "tokens",
                 rh1, rh2 = content_hash_pair(pay[content_col])
                 cur_hash = {d: (int(x), int(y)) for d, x, y in
                             zip(pay["doc_id"].to_pylist(), rh1, rh2)}
-        for (h1, h2), grp in unverified.groupby(["h1", "h2"]):
+        shard_rows: dict[int, list[dict]] = {}  # batch writes: ONE segment
+        for (h1, h2), grp in unverified.groupby(["h1", "h2"]):  # per shard
             pairs = sorted({(d, int(s)) for lst, sq in
                             zip(grp["incs"], grp["incseqs"])
                             for d, s in zip(lst, sq)})
@@ -306,21 +317,29 @@ def dedup_incremental(engine, content_col: str = "tokens",
                              "seq": wseq, "op": "A"})
                 losers.extend(docs[1:])
             if rows:
+                shard_rows.setdefault(shard, []).extend(rows)
+        if not dry_run:
+            for shard, rows in shard_rows.items():
                 _write_segment(idx_dir, shard, pd.DataFrame(rows))
 
     # -- phase C: tombstone losers through the ordinary delete epoch -------
+    if dry_run:
+        return {"duplicates": len(set(losers)), "dry_run": True,
+                "method": "incremental", "bootstrap": bootstrap,
+                "candidates": int(len(cand)), "num_shards": num_shards}
     out: dict[str, Any] = {"deleted": 0}
     if losers:
         out = engine.delete_where(doc_ids=sorted(set(losers)))
     out.update({
         "method": "incremental",
-        "bootstrap": state is None,
+        "bootstrap": bootstrap,
         "candidates": int(len(cand)),
         "num_shards": num_shards,
     })
     _save_state(lake, {"version": engine.manifest.version,
                        "num_shards": num_shards})
-    # bound the per-shard segment pile: one segment lands per run, so past
+    # bound the per-shard segment pile: a couple of segments land per run
+    # (phase-A appends + one batched phase-B segment per shard), so past
     # the threshold fold each hot shard back to a single live segment
     if compact_over:
         per_shard: dict[str, int] = {}

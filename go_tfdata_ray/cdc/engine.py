@@ -538,8 +538,9 @@ class CDCEngine:
         os.makedirs(stage_dir, exist_ok=True)
 
         def write_shard(t: pa.Table) -> pa.Table:
-            if len(t) == 0:
-                return pa.table({"path": pa.array([], pa.string())})
+            if len(t) == 0:  # keep block schemas homogeneous (path, rows)
+                return pa.table({"path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
             ids = pc.cast(t[key_col], pa.string())
             id_np = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
             # seq: above every committed watermark; per-doc hash offset (keys
@@ -636,7 +637,8 @@ class CDCEngine:
 
     def dedup_incremental(self, content_col: str = "tokens",
                           num_shards: int = 64,
-                          compact_over: int = 8) -> dict[str, Any]:
+                          compact_over: int = 8,
+                          dry_run: bool = False) -> dict[str, Any]:
         """Exact content dedup of the docs ingested SINCE THE LAST RUN,
         against a persisted content-hash index — O(new docs) per run, never
         O(lake). First run bootstraps the index from a full scan (equivalent
@@ -647,7 +649,8 @@ class CDCEngine:
 
         return dedupidx.dedup_incremental(self, content_col=content_col,
                                           num_shards=num_shards,
-                                          compact_over=compact_over)
+                                          compact_over=compact_over,
+                                          dry_run=dry_run)
 
     def tail(
         self,

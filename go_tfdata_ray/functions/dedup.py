@@ -54,12 +54,10 @@ def exact_dedup(
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[content_col].to_numpy()
-        h1 = _stable_hash(vals).astype(np.int64)
-        h2 = pd.util.hash_array(
-            np.asarray(vals, dtype=object), categorize=False,
-            hash_key="beefcafe0badf00d",  # independent second 64-bit siphash
-        ).astype(np.int64)
+        # the ONE content-identity kernel (shared with dedup_lake and the
+        # persisted incremental index — drift here would silently desync
+        # identities across the persisted index)
+        h1, h2 = content_hash_pair(pa.Array.from_pandas(df[content_col]))
         df = pd.DataFrame({key_col: df[key_col].to_numpy(), "_h1": h1, "_h2": h2})
         agg = df.groupby(["_h1", "_h2"], sort=False)[key_col].agg(["min", "size"]).reset_index()
         agg = agg.rename(columns={"min": key_col, "size": "n_copies"})

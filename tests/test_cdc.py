@@ -1119,3 +1119,27 @@ def test_dedup_incremental_full_resync_after_compaction(tmp_path):
     assert out["bootstrap"] and out["deleted"] == 0
     eng.upsert(_tok_table(["a9"], [A]))
     assert eng.dedup_incremental()["deleted"] == 1  # index works again
+
+
+def test_dedup_incremental_dry_run(tmp_path):
+    """dry_run reports counts but mutates nothing: no tombstones, no index
+    segments, no state advance — a real run afterwards behaves as if the
+    dry run never happened."""
+    import glob as _glob
+
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    A = np.random.default_rng(3).integers(0, 999, 20).tolist()
+    eng.upsert(_tok_table(["a1", "a2", "a3"], [A, A, A]))
+    v0 = eng.manifest.version
+    out = eng.dedup_incremental(num_shards=4, dry_run=True)
+    assert out == {"duplicates": 2, "dry_run": True, "method": "incremental",
+                   "bootstrap": True, "candidates": 2, "num_shards": 4}
+    assert eng.manifest.version == v0
+    idx = os.path.join(lake, "_dedup_index")
+    assert not _glob.glob(os.path.join(idx, "seg-*.parquet"))
+    assert not os.path.exists(os.path.join(idx, "state.json"))
+    out = eng.dedup_incremental(num_shards=4)
+    assert out["bootstrap"] and out["deleted"] == 2
