@@ -321,9 +321,22 @@ class CDCEngine:
 
     # -- ingest ------------------------------------------------------------
 
-    def apply_epoch(self, epoch: int, files: list[str]) -> dict[str, Any]:
+    def apply_epoch(self, epoch: int, files: list[str],
+                    stats_extra: dict[str, Any] | None = None,
+                    advance_watermark: bool = True) -> dict[str, Any]:
         """Apply one WAL segment (micro-batch) exactly once. Re-applying a
-        committed epoch is a no-op (resume path)."""
+        committed epoch is a no-op (resume path). ``stats_extra`` entries
+        are folded into the manifest stats atomically with this epoch's
+        commit (e.g. ``tail``'s WAL segment high-watermark).
+
+        ``advance_watermark=False`` is the SYNTHESIZED-epoch mode (upsert /
+        delete_where / dedup tombstones): the per-partition watermark is the
+        PRODUCER-seq replay filter, and a synthesized epoch's seqs live
+        above it only so its own rows pass that filter on apply — letting
+        them RAISE it would silently drop every later WAL event with a
+        smaller producer seq as a replay. Ordering against later producer
+        events needs no watermark: merge-on-read ranks by (epoch, seq), and
+        the synthesized epoch's rank already places it correctly."""
         if epoch <= self.manifest.committed_epoch:
             return {"epoch": epoch, "skipped": True}
         import time as _time
@@ -410,7 +423,8 @@ class CDCEngine:
         applied = 0
         for it in intents:
             ps = new.part(int(it["part_id"]))
-            ps.watermark_seq = max(ps.watermark_seq, int(it["max_seq"]))
+            if advance_watermark:
+                ps.watermark_seq = max(ps.watermark_seq, int(it["max_seq"]))
             applied += int(it["rows"])
         if intents:
             # the (fragment × partition) fan-out goes to a Parquet manifest
@@ -443,6 +457,8 @@ class CDCEngine:
         new.stats["rows_applied_total"] = int(m.stats.get("rows_applied_total", 0)) + applied
         new.stats["epochs_applied_total"] = int(m.stats.get("epochs_applied_total", 0)) + 1
         new.stats["wall_s_total"] = round(float(m.stats.get("wall_s_total", 0.0)) + wall, 3)
+        if stats_extra:
+            new.stats.update(stats_extra)
         mf.commit(self.lake_dir, new)  # raises FencedOutError if we lost
         self.manifest = new
         return {"epoch": epoch, "skipped": False, "delta_rows": applied,
@@ -463,7 +479,13 @@ class CDCEngine:
         anything at or below a partition's committed max seq."""
         epoch = self.manifest.committed_epoch + 1
         n = t.num_rows
-        base = max(self.manifest.watermarks().values(), default=-1) + 1
+        # above every producer watermark (so the rows pass the replay
+        # filter) AND epoch-scaled so no two synthesized versions of a doc
+        # can ever repeat a seq (watermarks are frozen for synthesized
+        # epochs, so base alone would repeat; the dedup index's seq check
+        # relies on distinct seqs per version)
+        base = (max(self.manifest.watermarks().values(), default=-1) + 1
+                + (epoch << 32))
         staged = pa.table({
             "seq": pa.array(base + np.arange(n, dtype=np.int64)),
             "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
@@ -482,7 +504,7 @@ class CDCEngine:
         path = os.path.join(stage_dir, "shard-000000.parquet")
         pq.write_table(staged, path + ".tmp")
         os.rename(path + ".tmp", path)
-        return self.apply_epoch(epoch, [path])
+        return self.apply_epoch(epoch, [path], advance_watermark=False)
 
     def upsert(self, rows: pa.Table | "pd.DataFrame") -> dict[str, Any]:
         """Direct write API (no WAL producer needed): upsert rows
@@ -533,7 +555,10 @@ class CDCEngine:
         import hashlib
 
         epoch = self.manifest.committed_epoch + 1
-        base = max(self.manifest.watermarks().values(), default=-1) + 1
+        # epoch-scaled like _stage_epoch: frozen watermarks must not let two
+        # synthesized epochs hand the same doc the same seq
+        base = (max(self.manifest.watermarks().values(), default=-1) + 1
+                + (epoch << 32))
         stage_dir = os.path.join(self.lake_dir, "_staging", f"epoch-{epoch:06d}")
         os.makedirs(stage_dir, exist_ok=True)
 
@@ -577,7 +602,7 @@ class CDCEngine:
         if not paths:
             return {"epoch": self.manifest.committed_epoch, "skipped": True,
                     "deleted": 0}
-        out = self.apply_epoch(epoch, paths)
+        out = self.apply_epoch(epoch, paths, advance_watermark=False)
         out["deleted"] = deleted
         return out
 
@@ -659,6 +684,7 @@ class CDCEngine:
         idle_limit: int | None = None,
         max_epochs: int | None = None,
         auto_compact: int | None = None,
+        auto_dedup: int | None = None,
         on_commit=None,
     ) -> dict[str, Any]:
         """Continuous ingest: poll the WAL directory for new SEALED segments
@@ -667,6 +693,12 @@ class CDCEngine:
         each exactly once. Stops after ``idle_limit`` consecutive empty
         polls (None = only on ``max_epochs``). Returns cumulative metrics.
         Resume-safe: committed epochs are skipped by the manifest watermark.
+
+        ``auto_dedup=N``: dedup-on-ingest — run ``dedup_incremental`` after
+        every N applied epochs (O(new docs) per run via the persisted
+        content index). When combined with ``auto_compact``, the dedup runs
+        BEFORE any compaction that is about to fire, because compaction
+        folds the epoch segments the dedup's change feed reads.
 
         ``on_commit``: callable invoked with each applied epoch's commit
         result AFTER the manifest commit — the hook point for live
@@ -678,20 +710,37 @@ class CDCEngine:
 
         applied = 0
         events = 0
+        deduped = 0
         idle = 0
         t0 = _time.perf_counter()
+        # WAL segment ids and ENGINE epochs are decoupled here: synthesized
+        # epochs (auto_dedup deletes, interleaved upserts) advance
+        # committed_epoch past unapplied segment ids, so segment skipping
+        # uses its own high-watermark, committed atomically with each epoch
+        # (defaults to committed_epoch for lakes built by plain apply_wal,
+        # where the two numberings coincide).
+        wal_hwm = int(self.manifest.stats.get(
+            "wal_hwm", self.manifest.committed_epoch))
         while True:
             progressed = False
             for e, paths in list_segments(wal_dir):
-                if e <= self.manifest.committed_epoch:
+                if e <= wal_hwm:
                     continue
-                r = self.apply_epoch(e, paths)
+                r = self.apply_epoch(self.manifest.committed_epoch + 1,
+                                     paths, stats_extra={"wal_hwm": e})
+                wal_hwm = e
                 if not r.get("skipped"):
                     applied += 1
                     events += r.get("delta_rows", 0)
                     progressed = True
                     if on_commit is not None:
                         on_commit(r)
+                    if auto_dedup and (
+                        applied % auto_dedup == 0
+                        or (auto_compact
+                            and len(self.manifest.epochs) > auto_compact)
+                    ):  # drain the change feed before compaction folds it
+                        deduped += self.dedup_incremental().get("deleted", 0)
                     if auto_compact:
                         self.maybe_compact(auto_compact)
                 if max_epochs is not None and applied >= max_epochs:
@@ -709,6 +758,7 @@ class CDCEngine:
         return {
             "epochs_applied": applied,
             "rows_applied": events,
+            "rows_deduped": deduped,
             "wall_sec": round(wall, 3),
             "committed_epoch": self.manifest.committed_epoch,
             "manifest_version": self.manifest.version,

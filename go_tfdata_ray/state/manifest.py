@@ -199,7 +199,10 @@ def vacuum(lake_dir: str, keep_versions: int = 2,
         live |= {os.path.abspath(p) for p in _segment_delta_paths(lake_dir, mv)}
     deleted = []
     for root, _dirs, names in os.walk(lake_dir):
-        if os.path.basename(root) == "_manifests":
+        # sidecar state the manifest doesn't reference but that must
+        # survive vacuum: the incremental-dedup content index
+        _dirs[:] = [d for d in _dirs if d != "_dedup_index"]
+        if os.path.basename(root) in ("_manifests", "_dedup_index"):
             continue
         for n in names:
             p = os.path.abspath(os.path.join(root, n))

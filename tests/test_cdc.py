@@ -1143,3 +1143,43 @@ def test_dedup_incremental_dry_run(tmp_path):
     assert not os.path.exists(os.path.join(idx, "state.json"))
     out = eng.dedup_incremental(num_shards=4)
     assert out["bootstrap"] and out["deleted"] == 2
+
+
+def test_tail_auto_dedup_with_compaction(tmp_path):
+    """Dedup-on-ingest: tail(auto_dedup=1) tombstones content duplicates as
+    epochs land; combined with auto_compact, the dedup drains the change
+    feed BEFORE compaction folds it (no full-resync error), and the final
+    state holds exactly one live doc per distinct content."""
+    import numpy as np
+
+    from go_tfdata_ray.sources import wal as walmod
+
+    wal = str(tmp_path / "wal")
+    rng = np.random.default_rng(5)
+    contents = [rng.integers(0, 999, 15).tolist() for _ in range(6)]
+    seq = 0
+    for e in range(5):  # each epoch re-inserts known contents under new ids
+        d = walmod.open_segment(wal, e)
+        ids = [f"e{e}d{i}" for i in range(4)]
+        toks = [contents[(e + i) % 6] for i in range(4)]
+        t = pa.table({
+            "seq": pa.array(range(seq, seq + 4), pa.int64()),
+            "epoch": pa.array([e] * 4, pa.int32()),
+            "op": pa.array(["I"] * 4),
+            "doc_id": pa.array(ids),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+            "source": pa.array(["s"] * 4),
+        })
+        seq += 4
+        pq.write_table(t, os.path.join(d, "shard-000000.parquet"))
+        walmod.seal_segment(d)
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    m = eng.tail(wal, idle_limit=1, poll_secs=0.01,
+                 auto_dedup=1, auto_compact=3)
+    assert m["epochs_applied"] == 5
+    assert m["rows_deduped"] == 20 - 6  # 20 inserts, 6 distinct contents
+    alive = eng.scan(columns=["tokens"]).to_pandas()["tokens"]
+    assert len(alive) == 6
+    assert {tuple(t) for t in alive} == {tuple(c) for c in contents}
