@@ -468,8 +468,12 @@ class CDCEngine:
                 "fragments": len(intents), "version": new.version}
 
     def apply_wal(self, wal_dir: str) -> list[dict[str, Any]]:
-        """Tail the WAL: apply every segment above the committed epoch, in
-        order. Safe to call repeatedly / after a crash (resume)."""
+        """One-shot replay: apply every segment above the committed epoch,
+        in order. Safe to call repeatedly / after a crash (resume). Uses
+        the IDENTITY mapping segment-id == engine-epoch, which assumes no
+        synthesized epochs (upsert / delete_where / dedup) interleave with
+        ingestion — for interleaved workloads use ``tail``, which tracks
+        WAL segments by their own high-watermark."""
         return [self.apply_epoch(e, paths) for e, paths in list_segments(wal_dir)]
 
     def _stage_epoch(self, t: pa.Table, op: str) -> dict[str, Any]:
