@@ -171,13 +171,18 @@ def dedup_incremental(engine, content_col: str = "tokens",
     os.makedirs(idx_dir, exist_ok=True)
     state = _load_state(lake)
     if state is not None:
-        num_shards = int(state["num_shards"])  # immutable once created
+        # both are immutable once the index exists: re-sharding would
+        # orphan segments; re-keying on another column would mix hash
+        # spaces and drop/append against the wrong identities
+        num_shards = int(state["num_shards"])
+        content_col = str(state.get("content_col", content_col))
     elif not dry_run:
-        # persist the shard count BEFORE the first segment lands: a crash
-        # mid-bootstrap must not let a retry re-shard under a different
-        # count and orphan the crashed run's segments ("version" is only
-        # added after a successful run — its absence still means bootstrap)
-        _save_state(lake, {"num_shards": num_shards})
+        # persist the index parameters BEFORE the first segment lands: a
+        # crash mid-bootstrap must not let a retry re-shard / re-key and
+        # orphan the crashed run's segments ("version" is only added after
+        # a successful run — its absence still means bootstrap)
+        _save_state(lake, {"num_shards": num_shards,
+                           "content_col": content_col})
     bootstrap = state is None or "version" not in state
 
     # -- the new-doc set: full scan on bootstrap, net change set after -----
@@ -337,7 +342,8 @@ def dedup_incremental(engine, content_col: str = "tokens",
         "num_shards": num_shards,
     })
     _save_state(lake, {"version": engine.manifest.version,
-                       "num_shards": num_shards})
+                       "num_shards": num_shards,
+                       "content_col": content_col})
     # bound the per-shard segment pile: a couple of segments land per run
     # (phase-A appends + one batched phase-B segment per shard), so past
     # the threshold fold each hot shard back to a single live segment

@@ -473,8 +473,10 @@ class CDCEngine:
         the IDENTITY mapping segment-id == engine-epoch, which assumes no
         synthesized epochs (upsert / delete_where / dedup) interleave with
         ingestion — for interleaved workloads use ``tail``, which tracks
-        WAL segments by their own high-watermark."""
-        return [self.apply_epoch(e, paths) for e, paths in list_segments(wal_dir)]
+        WAL segments by their own high-watermark (recorded here too, so a
+        later ``tail`` of the same lake resumes at the right segment)."""
+        return [self.apply_epoch(e, paths, stats_extra={"wal_hwm": e})
+                for e, paths in list_segments(wal_dir)]
 
     def _stage_epoch(self, t: pa.Table, op: str) -> dict[str, Any]:
         """Synthesize the next epoch from explicit rows and apply it through
@@ -721,10 +723,12 @@ class CDCEngine:
         # epochs (auto_dedup deletes, interleaved upserts) advance
         # committed_epoch past unapplied segment ids, so segment skipping
         # uses its own high-watermark, committed atomically with each epoch
-        # (defaults to committed_epoch for lakes built by plain apply_wal,
-        # where the two numberings coincide).
-        wal_hwm = int(self.manifest.stats.get(
-            "wal_hwm", self.manifest.committed_epoch))
+        # (apply_wal records it too). Absent stat (e.g. an upsert-only
+        # lake) falls back to -1 — re-offering an already-applied segment
+        # is safe (its rows replay-filter to a zero-row epoch), whereas
+        # falling back to committed_epoch would SKIP real segments whenever
+        # synthesized epochs preceded the first tail.
+        wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
         while True:
             progressed = False
             for e, paths in list_segments(wal_dir):
@@ -741,8 +745,7 @@ class CDCEngine:
                         on_commit(r)
                     if auto_dedup and (
                         applied % auto_dedup == 0
-                        or (auto_compact
-                            and len(self.manifest.epochs) > auto_compact)
+                        or (auto_compact and self.would_compact(auto_compact))
                     ):  # drain the change feed before compaction folds it
                         deduped += self.dedup_incremental().get("deleted", 0)
                     if auto_compact:
@@ -953,15 +956,16 @@ class CDCEngine:
             raise RuntimeError(
                 f"manifest v{since_version} vacuumed; incremental changes "
                 "unavailable — full-resync from scan()") from e
-        new_epoch_ids = [int(ep["epoch"]) for ep in self.manifest.epochs
-                         if int(ep["epoch"]) > old.committed_epoch]
-        missing = [e for e in range(old.committed_epoch + 1,
-                                    self.manifest.committed_epoch + 1)
-                   if e not in new_epoch_ids]
-        if missing:
+        # compaction records the highest epoch it folded; needing any epoch
+        # at or below it means the per-epoch fragments are gone. Epoch ids
+        # ABOVE the fold that lack an epochs entry are zero-intent commits
+        # (empty WAL segment / re-offered segment) — nothing to read, not
+        # an error.
+        folded = int(self.manifest.stats.get("folded_epoch", -1))
+        if old.committed_epoch < folded:
             raise RuntimeError(
-                f"epochs {missing} were compacted away; incremental changes "
-                "unavailable — full-resync from scan()")
+                f"epochs up to {folded} were compacted away; incremental "
+                "changes unavailable — full-resync from scan()")
         frags: list[dict[str, Any]] = []
         for ep in self.manifest.epochs:
             if int(ep["epoch"]) <= old.committed_epoch:
@@ -1080,6 +1084,9 @@ class CDCEngine:
             schema=m.schema, stats=dict(m.stats),
             epochs=[],  # all folded into bases
         )
+        # the change-feed retention marker: epochs ≤ this lost their
+        # per-epoch fragments to this fold (changes() full-resync boundary)
+        new.stats["folded_epoch"] = m.committed_epoch
         for k, ps in m.partitions.items():
             new.partitions[k] = mf.PartitionState(ps.watermark_seq, list(ps.files))
         for it in intents:
@@ -1091,12 +1098,17 @@ class CDCEngine:
         self.manifest = new
         return {"compacted": len(intents), "version": new.version}
 
+    def would_compact(self, max_fragments: int = 8) -> bool:
+        """The compaction-policy predicate, exposed so pre-compaction work
+        (``tail``'s dedup feed drain) keys off the SAME condition."""
+        return len(self.manifest.epochs) > max_fragments
+
     def maybe_compact(self, max_fragments: int = 8) -> dict[str, Any] | None:
         """Compaction policy: fold when the number of uncompacted epoch
         segments exceeds ``max_fragments`` (bounds both merge-on-read
         read-amplification and manifest-segment count; the LSM level-0
         trigger). Used by ``tail`` for continuous ingest."""
-        if len(self.manifest.epochs) <= max_fragments:
+        if not self.would_compact(max_fragments):
             return None
         out = self.compact()
         self.vacuum()

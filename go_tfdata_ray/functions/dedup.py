@@ -118,7 +118,14 @@ def hash_list_column(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarr
         flat = pc.list_flatten(chunk)
         if flat.null_count:
             flat = pc.fill_null(flat, -1)
-        vals = flat.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        raw = flat.to_numpy(zero_copy_only=False)
+        if raw.dtype.kind == "f":
+            # float lists (e.g. embeddings): hash the BIT PATTERN —
+            # astype(int64) would truncate 0.1 and 0.2 both to 0
+            vals = (raw.view(np.uint64) if raw.dtype == np.float64
+                    else raw.astype(np.float64).view(np.uint64))
+        else:
+            vals = raw.astype(np.int64).view(np.uint64)
         starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
         pos = (np.arange(len(vals), dtype=np.int64)
                - np.repeat(starts, counts)).view(np.uint64)

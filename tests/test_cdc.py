@@ -1183,3 +1183,84 @@ def test_tail_auto_dedup_with_compaction(tmp_path):
     alive = eng.scan(columns=["tokens"]).to_pandas()["tokens"]
     assert len(alive) == 6
     assert {tuple(t) for t in alive} == {tuple(c) for c in contents}
+
+
+def test_tail_after_synthesized_epochs_ingests_all_segments(tmp_path):
+    """A lake whose FIRST epochs are synthesized (upsert before any tail)
+    must not skip WAL segments: tail's segment watermark starts at -1, not
+    committed_epoch."""
+    import numpy as np
+
+    from go_tfdata_ray.sources import wal as walmod
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    rng = np.random.default_rng(1)
+    eng.upsert(_tok_table(["u1"], [rng.integers(0, 99, 8).tolist()]))
+    eng.upsert(_tok_table(["u2"], [rng.integers(0, 99, 8).tolist()]))
+    assert eng.manifest.committed_epoch == 1  # two synthesized epochs
+
+    wal = str(tmp_path / "wal")
+    seq = 0
+    for e in range(2):  # segment ids 0 and 1 — both BELOW committed_epoch+1
+        d = walmod.open_segment(wal, e)
+        t = pa.table({
+            "seq": pa.array([seq], pa.int64()),
+            "epoch": pa.array([e], pa.int32()),
+            "op": pa.array(["I"]),
+            "doc_id": pa.array([f"w{e}"]),
+            "tokens": pa.array([[e, e + 1]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2], pa.int32()),
+            "source": pa.array(["s"]),
+        })
+        seq += 1
+        pq.write_table(t, os.path.join(d, "shard-000000.parquet"))
+        walmod.seal_segment(d)
+    m = eng.tail(wal, idle_limit=1, poll_secs=0.01)
+    assert m["epochs_applied"] == 2 and m["rows_applied"] == 2
+    alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert alive == {"u1", "u2", "w0", "w1"}
+
+
+def test_empty_epoch_does_not_break_change_feed(tmp_path):
+    """A zero-intent epoch (empty WAL segment) advances committed_epoch
+    without an epochs entry; the change feed must treat the gap as empty,
+    not as compacted-away (full-resync only when compaction actually
+    folded needed epochs)."""
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    rng = np.random.default_rng(2)
+    eng.upsert(_tok_table(["a"], [rng.integers(0, 99, 8).tolist()]))
+    v0 = eng.manifest.version
+    # synthesize an EMPTY epoch through the staging path
+    out = eng.upsert(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "source": pa.array([], pa.string()),
+    }))
+    assert out["delta_rows"] == 0
+    eng.upsert(_tok_table(["b"], [rng.integers(0, 99, 8).tolist()]))
+    feed = eng.changes(v0, collapsed=True).to_pandas()
+    assert set(feed["doc_id"]) == {"b"}  # gap skipped, no RuntimeError
+    # compaction still triggers the genuine full-resync refusal
+    eng.compact()
+    with pytest.raises(RuntimeError, match="full-resync"):
+        eng.changes(v0)
+
+
+def test_hash_list_column_float_lists():
+    """Float lists hash by bit pattern: distinct small floats must not
+    collide (astype-int truncation would map 0.1 and 0.2 both to 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_tfdata_ray.functions.dedup import hash_list_column
+
+    a = pa.array([[0.1, 0.2], [0.2, 0.1], [0.1, 0.2], [0.0, 0.0]],
+                 pa.list_(pa.float64()))
+    h = hash_list_column(a, salt=1)
+    assert h[0] == h[2] and len({h[0], h[1], h[3]}) == 3
+    f32 = pa.array([[0.1, 0.2]], pa.list_(pa.float32()))
+    assert hash_list_column(f32, salt=1)[0] != h[0]  # different widths differ
