@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--max-epochs", type=int, default=None)
             s.add_argument("--auto-compact", type=int, default=None,
                            help="compact when a partition exceeds N fragments")
+            s.add_argument("--auto-dedup", type=int, default=None,
+                           help="dedup-on-ingest: run the incremental "
+                                "content dedup every N applied epochs")
             s.add_argument("--view-checkpoint", default=None,
                            help="maintain a live SourceRollup view, saved "
                                 "atomically to this path after every commit "
@@ -164,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(eng.tail(
                 a.wal, poll_secs=a.poll, idle_limit=a.idle_limit,
                 max_epochs=a.max_epochs, auto_compact=a.auto_compact,
+                auto_dedup=a.auto_dedup,
                 on_commit=hook,
             )))
         return 0
