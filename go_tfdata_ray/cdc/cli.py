@@ -99,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("dedup")
     s.add_argument("--lake", required=True)
-    s.add_argument("--content-col", default="tokens")
+    s.add_argument("--content-col", default=None,
+                   help="content column (default: the index's pinned column "
+                        "for incremental, else 'tokens')")
     s.add_argument("--shards", type=int, default=64)
     s.add_argument("--method", choices=("exact", "minhash", "incremental"),
                    default="exact")
@@ -248,7 +250,7 @@ def main(argv: list[str] | None = None) -> int:
                                         dry_run=a.dry_run)
         else:
             out = eng.dedup_lake(
-                content_col=a.content_col, num_shards=a.shards,
+                content_col=a.content_col or "tokens", num_shards=a.shards,
                 method=a.method, threshold=a.threshold, dry_run=a.dry_run)
         print(json.dumps(out))
         return 0

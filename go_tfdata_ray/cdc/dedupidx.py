@@ -159,11 +159,15 @@ def compact_index(lake_dir: str, min_segments: int = 2) -> dict[str, Any]:
             "removed_segments": int(sum(removed))}
 
 
-def dedup_incremental(engine, content_col: str = "tokens",
+def dedup_incremental(engine, content_col: str | None = None,
                       num_shards: int = 64,
                       compact_over: int = 8,
                       dry_run: bool = False) -> dict[str, Any]:
     """One incremental dedup run over ``engine``'s lake. See module doc.
+    ``content_col=None`` (the default) follows the existing index's column
+    (or 'tokens' on bootstrap); an EXPLICIT column that conflicts with the
+    index raises — silently dedup-ing on a different column than asked, or
+    mixing hash spaces in one index, would both corrupt results.
     ``dry_run=True`` reports what would happen without mutating anything —
     no tombstones, no index segments, no state advance."""
     lake = engine.lake_dir
@@ -175,8 +179,15 @@ def dedup_incremental(engine, content_col: str = "tokens",
         # orphan segments; re-keying on another column would mix hash
         # spaces and drop/append against the wrong identities
         num_shards = int(state["num_shards"])
-        content_col = str(state.get("content_col", content_col))
-    elif not dry_run:
+        pinned = state.get("content_col")
+        if content_col is not None and pinned and content_col != pinned:
+            raise ValueError(
+                f"index at {idx_dir} is keyed on {pinned!r}, not "
+                f"{content_col!r}; remove the index to re-key")
+        content_col = pinned or content_col or "tokens"
+    elif content_col is None:
+        content_col = "tokens"
+    if state is None and not dry_run:
         # persist the index parameters BEFORE the first segment lands: a
         # crash mid-bootstrap must not let a retry re-shard / re-key and
         # orphan the crashed run's segments ("version" is only added after

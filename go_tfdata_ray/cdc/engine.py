@@ -450,6 +450,11 @@ class CDCEngine:
             pq.write_table(seg_table, tmp, compression="lz4")
             os.rename(tmp, seg_path)
             new.epochs.append({"epoch": epoch, "path": seg_rel, "rows": applied})
+        else:
+            # zero-intent epoch (empty / fully replay-filtered segment):
+            # record it with no segment so the change feed can tell an
+            # EMPTY epoch (skip it) from a COMPACTED-AWAY one (full-resync)
+            new.epochs.append({"epoch": epoch, "path": None, "rows": 0})
         wall = _time.perf_counter() - t_start
         # cumulative job metrics, part of the committed checkpoint state
         new.stats["last_epoch_rows"] = applied
@@ -666,7 +671,7 @@ class CDCEngine:
         out["method"] = method
         return out
 
-    def dedup_incremental(self, content_col: str = "tokens",
+    def dedup_incremental(self, content_col: str | None = None,
                           num_shards: int = 64,
                           compact_over: int = 8,
                           dry_run: bool = False) -> dict[str, Any]:
@@ -737,6 +742,12 @@ class CDCEngine:
                 r = self.apply_epoch(self.manifest.committed_epoch + 1,
                                      paths, stats_extra={"wal_hwm": e})
                 wal_hwm = e
+                if r.get("delta_rows", 0) == 0:
+                    # empty or fully replay-filtered segment (e.g. a legacy
+                    # lake without the wal_hwm stat re-offering applied
+                    # segments): advances the watermark but must not count
+                    # toward applied/max_epochs or trigger hooks
+                    continue
                 if not r.get("skipped"):
                     applied += 1
                     events += r.get("delta_rows", 0)
@@ -783,6 +794,8 @@ class CDCEngine:
             for f in ps.files:  # bases (compaction output) — always rank-first
                 frags.setdefault(int(k), []).append((0, f["epoch"], f["path"], f.get("rg", -1)))
         for ep in m.epochs:
+            if ep["path"] is None:  # zero-intent epoch: nothing to read
+                continue
             t = pq.read_table(os.path.join(self.lake_dir, ep["path"]))
             for part, path, rg in zip(
                 t["part_id"].to_numpy(zero_copy_only=False),
@@ -957,18 +970,26 @@ class CDCEngine:
                 f"manifest v{since_version} vacuumed; incremental changes "
                 "unavailable — full-resync from scan()") from e
         # compaction records the highest epoch it folded; needing any epoch
-        # at or below it means the per-epoch fragments are gone. Epoch ids
-        # ABOVE the fold that lack an epochs entry are zero-intent commits
-        # (empty WAL segment / re-offered segment) — nothing to read, not
-        # an error.
+        # at or below it means the per-epoch fragments are gone. Zero-intent
+        # epochs (empty WAL segment / re-offered segment) are recorded with
+        # path=None, so a MISSING entry also means folded — that structural
+        # check covers lakes compacted before the marker existed.
         folded = int(self.manifest.stats.get("folded_epoch", -1))
         if old.committed_epoch < folded:
             raise RuntimeError(
                 f"epochs up to {folded} were compacted away; incremental "
                 "changes unavailable — full-resync from scan()")
+        have = {int(ep["epoch"]) for ep in self.manifest.epochs}
+        missing = [e for e in range(old.committed_epoch + 1,
+                                    self.manifest.committed_epoch + 1)
+                   if e not in have]
+        if missing:
+            raise RuntimeError(
+                f"epochs {missing} were compacted away; incremental changes "
+                "unavailable — full-resync from scan()")
         frags: list[dict[str, Any]] = []
         for ep in self.manifest.epochs:
-            if int(ep["epoch"]) <= old.committed_epoch:
+            if int(ep["epoch"]) <= old.committed_epoch or ep["path"] is None:
                 continue
             t = pq.read_table(os.path.join(self.lake_dir, ep["path"]))
             for part, path, rg in zip(

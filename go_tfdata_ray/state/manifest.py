@@ -65,7 +65,8 @@ class Manifest:
         for ps in self.partitions.values():
             out += [os.path.join(lake_dir, f["path"]) for f in ps.files]
         for ep in self.epochs:
-            out.append(os.path.join(lake_dir, ep["path"]))
+            if ep["path"] is not None:  # zero-intent epochs have no segment
+                out.append(os.path.join(lake_dir, ep["path"]))
         return out
 
     def to_json(self) -> str:
@@ -164,6 +165,8 @@ def _segment_delta_paths(lake_dir: str, m: Manifest) -> set[str]:
 
     out: set[str] = set()
     for ep in m.epochs:
+        if ep["path"] is None:  # zero-intent epoch: no segment
+            continue
         seg = os.path.join(lake_dir, ep["path"])
         if not os.path.exists(seg):
             continue

@@ -52,6 +52,7 @@ def main() -> int:
     pool_flat = rng.integers(0, 32000, int(lens.sum()), dtype=np.int32)
     offs = np.concatenate(([0], np.cumsum(lens)))
     per_epoch = n_events // epochs
+    n_events = per_epoch * epochs  # report/divide by what is generated
     seq = 0
     t_gen = time.perf_counter()
     for e in range(epochs):
@@ -77,43 +78,51 @@ def main() -> int:
     print(f"wal generated: {n_events} events / {n_contents} contents "
           f"in {time.perf_counter() - t_gen:.1f}s", flush=True)
 
-    eng = CDCEngine(os.path.join(base, "lake"), num_partitions=32)
-    t0 = time.perf_counter()
-    m = eng.tail(wal, idle_limit=1, poll_secs=0.01,
-                 auto_dedup=2, auto_compact=6)
-    wall = time.perf_counter() - t0
-    print(f"tail: {json.dumps(m)} ({n_events / wall:,.0f} events/s "
-          f"incl. dedup)", flush=True)
+    try:
+        eng = CDCEngine(os.path.join(base, "lake"), num_partitions=32)
+        t0 = time.perf_counter()
+        m = eng.tail(wal, idle_limit=1, poll_secs=0.01,
+                     auto_dedup=2, auto_compact=6)
+        # final drain: the last epoch may satisfy neither the cadence nor
+        # the pre-compaction trigger
+        final = eng.dedup_incremental()
+        m["rows_deduped"] += final.get("deleted", 0)
+        wall = time.perf_counter() - t0
+        print(f"tail: {json.dumps(m)} ({n_events / wall:,.0f} events/s "
+              f"incl. dedup)", flush=True)
 
-    # verify vs DuckDB over the raw WAL
-    import duckdb
+        # verify vs DuckDB over the raw WAL
+        import duckdb
 
-    alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
-    got_contents = {tuple(t) for t in alive["tokens"]}
-    con = duckdb.connect()
-    want = con.execute(
-        f"SELECT DISTINCT tokens FROM read_parquet('{wal}/epoch-*/*.parquet')"
-    ).fetchall()
-    want_contents = {tuple(r[0]) for r in want}
-    assert got_contents == want_contents, (
-        f"content sets differ: {len(got_contents)} vs {len(want_contents)}")
-    assert len(alive) == len(want_contents), (
-        f"{len(alive)} live docs for {len(want_contents)} contents")
-    # per-row token equality vs the WAL version of each surviving doc
-    wal_rows = con.execute(
-        f"SELECT doc_id, tokens FROM read_parquet('{wal}/epoch-*/*.parquet') "
-        f"WHERE doc_id IN (SELECT UNNEST(?))",
-        [list(alive['doc_id'])]).fetchall()
-    wal_map = {d: tuple(t) for d, t in wal_rows}
-    for d, t in zip(alive["doc_id"], alive["tokens"]):
-        assert wal_map[d] == tuple(t), f"token mismatch for {d}"
-    print(f"verified: {len(alive)} live docs == {len(want_contents)} distinct "
-          f"contents, exact token equality vs WAL; "
-          f"{m['rows_deduped']} duplicates tombstoned")
-    print("DEDUP SOAK PASS")
-    ray.shutdown()
-    shutil.rmtree(base, ignore_errors=True)
-    return 0
+        alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
+        got_contents = {tuple(t) for t in alive["tokens"]}
+        con = duckdb.connect()
+        want = con.execute(
+            f"SELECT DISTINCT tokens FROM read_parquet('{wal}/epoch-*/*.parquet')"
+        ).fetchall()
+        want_contents = {tuple(r[0]) for r in want}
+        assert got_contents == want_contents, (
+            f"content sets differ: {len(got_contents)} vs {len(want_contents)}")
+        assert len(alive) == len(want_contents), (
+            f"{len(alive)} live docs for {len(want_contents)} contents")
+        # per-row token equality vs the WAL version of each surviving doc
+        wal_rows = con.execute(
+            f"SELECT doc_id, tokens FROM read_parquet('{wal}/epoch-*/*.parquet') "
+            f"WHERE doc_id IN (SELECT UNNEST(?))",
+            [list(alive['doc_id'])]).fetchall()
+        wal_map = {d: tuple(t) for d, t in wal_rows}
+        for d, t in zip(alive["doc_id"], alive["tokens"]):
+            assert wal_map[d] == tuple(t), f"token mismatch for {d}"
+        print(f"verified: {len(alive)} live docs == {len(want_contents)} "
+              f"distinct contents, exact token equality vs WAL; "
+              f"{m['rows_deduped']} duplicates tombstoned")
+        print("DEDUP SOAK PASS")
+        return 0
+    finally:
+        # multi-GB tmpfs/tmp state must not outlive the run even on a
+        # failed assert (stale pages feed kcompactd noise for the NEXT job)
+        ray.shutdown()
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
