@@ -267,16 +267,31 @@ def dedup_incremental(engine, content_col: str | None = None,
         })
 
     tagged = new.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    cand = exchange_group_map(tagged, resolve, num_shards,
-                              shard_col="shard").to_pandas()
+    cand_ds = exchange_group_map(tagged, resolve, num_shards,
+                                 shard_col="shard")
 
     # -- phase B: verify index incumbents against the live lake ------------
-    # candidate volume is bounded by the run's new docs (epoch-sized), so
-    # driver-side resolution here is O(new dups), never O(lake)
-    losers: list[str] = []
-    if len(cand):
-        losers.extend(cand.loc[cand["verified"], "doc_id"])
-    unverified = cand[~cand["verified"]] if len(cand) else cand
+    # Only the INDEX-COLLISION candidates come to the driver — bounded by
+    # the run's new docs (epoch-sized). The verified in-batch losers stay a
+    # Dataset: at BOOTSTRAP they are lake-sized (every duplicate in the
+    # corpus), so they route through the distributed delete staging, never
+    # the driver.
+    def split_unverified(t: pa.Table) -> pa.Table:
+        if "verified" not in t.column_names:  # empty-feed schema fallback
+            return t
+        return t.filter(pc.equal(t["verified"], pa.scalar(False)))
+
+    def split_sure(t: pa.Table) -> pa.Table:
+        if "verified" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.string())})
+        t = t.filter(pc.equal(t["verified"], pa.scalar(True)))
+        return t.select(["doc_id"])
+
+    unverified = cand_ds.map_batches(
+        split_unverified, batch_format="pyarrow").to_pandas()
+    sure_ds = cand_ds.map_batches(split_sure, batch_format="pyarrow")
+    n_sure = sure_ds.count()
+    losers: list[str] = []  # phase-B resolutions only (epoch-bounded)
     if len(unverified):
         # tier 1: seq+op point lookup — no payload pages decoded
         incumbents = sorted({d for lst in unverified["incs"] for d in lst})
@@ -353,17 +368,23 @@ def dedup_incremental(engine, content_col: str | None = None,
                 _write_segment(idx_dir, shard, pd.DataFrame(rows))
 
     # -- phase C: tombstone losers through the ordinary delete epoch -------
+    n_cand = n_sure + len(unverified)
     if dry_run:
-        return {"duplicates": len(set(losers)), "dry_run": True,
+        return {"duplicates": n_sure + len(set(losers)), "dry_run": True,
                 "method": "incremental", "bootstrap": bootstrap,
-                "candidates": int(len(cand)), "num_shards": num_shards}
-    out: dict[str, Any] = {"deleted": 0}
+                "candidates": int(n_cand), "num_shards": num_shards}
+    to_delete = sure_ds
     if losers:
-        out = engine.delete_where(doc_ids=sorted(set(losers)))
+        import ray.data as rd
+        extra = pa.table({"doc_id": pa.array(sorted(set(losers)), pa.string())})
+        to_delete = sure_ds.union(rd.from_arrow(extra))
+    out: dict[str, Any] = {"deleted": 0}
+    if n_sure or losers:
+        out = engine.delete_dataset(to_delete)
     out.update({
         "method": "incremental",
         "bootstrap": bootstrap,
-        "candidates": int(len(cand)),
+        "candidates": int(n_cand),
         "num_shards": num_shards,
     })
     _save_state(lake, {"version": engine.manifest.version,
