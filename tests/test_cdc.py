@@ -1001,15 +1001,18 @@ def test_dedup_incremental_staleness(tmp_path):
     assert len({tuple(t) for t in toks}) == len(toks)  # no content dups left
 
 
-def test_dedup_incremental_random_churn(tmp_path):
-    """Randomized insert/update/delete churn with an incremental dedup after
-    every epoch: (1) no two live docs ever share content, (2) every content
-    in the pre-dedup state keeps exactly one live representative."""
+@pytest.mark.parametrize("seed", [17, 23, 99])
+def test_dedup_incremental_random_churn(tmp_path, seed):
+    """Randomized insert/update/delete churn — content reverts happen
+    naturally (the pool is re-sampled) and empty epochs are injected — with
+    an incremental dedup after every epoch: (1) no two live docs ever share
+    content, (2) every content in the pre-dedup state keeps exactly one
+    live representative."""
     import numpy as np
 
     lake = str(tmp_path / "lake")
     eng = CDCEngine(lake, num_partitions=8)
-    rng = np.random.default_rng(17)
+    rng = np.random.default_rng(seed)
     contents = [rng.integers(0, 999, int(rng.integers(5, 40))).tolist()
                 for _ in range(12)]
     keys = [f"k{i:03d}" for i in range(40)]
@@ -1027,6 +1030,12 @@ def test_dedup_incremental_random_churn(tmp_path):
             eng.delete_where(doc_ids=victims)
             for v in victims:
                 state.pop(v)
+        if _round == 3:  # a zero-intent epoch mid-stream must be harmless
+            eng.upsert(pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "source": pa.array([], pa.string()),
+            }))
         eng.dedup_incremental(num_shards=8)
         alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
         got = {d: tuple(t) for d, t in zip(alive["doc_id"], alive["tokens"])}
