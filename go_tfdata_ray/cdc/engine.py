@@ -172,6 +172,32 @@ def normalize_and_write_fragments(
     return _intent_table(rows)
 
 
+def _prune_row_groups(f: pq.ParquetFile, keys_sorted: list) -> list[int] | None:
+    """Row groups whose doc_id [min, max] stats can contain any of the
+    sorted keys — the point-lookup fast path over CLUSTERED bases (compact
+    sorts by doc_id with bounded row groups). Returns None when pruning
+    isn't possible (single group / no stats) — read everything."""
+    import bisect
+
+    md = f.metadata
+    if md.num_row_groups <= 1:
+        return None
+    rg0 = md.row_group(0)
+    ci = next((j for j in range(rg0.num_columns)
+               if rg0.column(j).path_in_schema == "doc_id"), None)
+    if ci is None:
+        return None
+    keep: list[int] = []
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        k = bisect.bisect_left(keys_sorted, st.min)
+        if k < len(keys_sorted) and keys_sorted[k] <= st.max:
+            keep.append(i)
+    return keep
+
+
 def _read_fragment(path: str, rg: int, columns: list[str] | None = None) -> pa.Table:
     """Read a delta/base fragment: a whole file (rg=-1) or one row group of
     a multi-partition run file. ``columns`` prunes at the Parquet reader —
@@ -241,6 +267,9 @@ class PartitionMergeReader:
         self.columns = columns
         self.with_deleted = with_deleted
         self.key_filter = None if key_filter is None else pa.array(list(key_filter))
+        # sorted keys for the clustered-base row-group pruning fast path
+        self._keys_sorted = (None if key_filter is None
+                             else sorted(map(str, key_filter)))
         self.where = where
 
     def _apply_where(self, t: pa.Table) -> pa.Table:
@@ -266,15 +295,34 @@ class PartitionMergeReader:
             paths = batch["paths"][row].as_py()
             ranks = batch["ranks"][row].as_py()
             rgs = batch["rgs"][row].as_py()
-            tabs = [_read_fragment(os.path.join(self.lake_dir, p), rg, read_cols)
-                    for p, rg in zip(paths, rgs)]
+            tabs: list[pa.Table] = []
+            eff_ranks: list[int] = []
+            for p, rg, rank in zip(paths, rgs, ranks):
+                full = os.path.join(self.lake_dir, p)
+                if self._keys_sorted is not None and rg < 0:
+                    # clustered whole-file fragment (compacted base): read
+                    # only the row groups whose key stats match the lookup
+                    f = pq.ParquetFile(full)
+                    keep = _prune_row_groups(f, self._keys_sorted)
+                    if keep is not None:
+                        if not keep:  # no key can live in this fragment
+                            continue
+                        cols = (read_cols if read_cols is None else
+                                [c for c in read_cols
+                                 if c in f.schema_arrow.names])
+                        tabs.append(f.read_row_groups(keep, columns=cols))
+                        eff_ranks.append(rank)
+                        continue
+                tabs.append(_read_fragment(full, rg, read_cols))
+                eff_ranks.append(rank)
             if self.key_filter is not None:
                 tabs = [t.filter(pc.is_in(t["doc_id"], value_set=self.key_filter))
                         for t in tabs]
             if not tabs:
                 continue
             merged = merge_on_read(
-                tabs, ranks=ranks, drop_internal=() if self.with_deleted else _INTERNAL
+                tabs, ranks=eff_ranks,
+                drop_internal=() if self.with_deleted else _INTERNAL
             )
             if self.where:
                 merged = self._apply_where(merged)
@@ -1079,11 +1127,18 @@ class CDCEngine:
                 rgs = batch["rgs"][i].as_py()
                 tabs = [_read_fragment(os.path.join(lake, p), rg) for p, rg in zip(paths, rgs)]
                 merged = merge_on_read(tabs, ranks=ranks)  # keeps seq/op/part_id, drops 'D'
+                # CLUSTER the base by key with bounded row groups: parquet
+                # min/max stats then let point lookups read only the row
+                # groups whose key range matches, instead of the whole
+                # partition (collapse_latest leaves no duplicate keys, so
+                # sorting is free of semantics)
+                merged = merged.sort_by("doc_id")
                 rel = os.path.join(f"part={part:04d}", f"base-{epoch:06d}.parquet")
                 final = os.path.join(lake, rel)
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 tmp = final + f".tmp-{uuid.uuid4().hex}"
-                pq.write_table(merged, tmp, use_dictionary=False, compression="lz4")
+                pq.write_table(merged, tmp, use_dictionary=False,
+                               compression="lz4", row_group_size=32768)
                 os.rename(tmp, final)
                 rows.append((part, rel, len(merged)))
             return pa.table(

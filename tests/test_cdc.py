@@ -1273,3 +1273,36 @@ def test_hash_list_column_float_lists():
     assert h[0] == h[2] and len({h[0], h[1], h[3]}) == 3
     f32 = pa.array([[0.1, 0.2]], pa.list_(pa.float32()))
     assert hash_list_column(f32, salt=1)[0] != h[0]  # different widths differ
+
+
+def test_compacted_base_is_clustered_and_pruned(tmp_path):
+    """compact() clusters bases by doc_id with bounded row groups; point
+    lookups prune to the matching row groups via parquet stats and return
+    exactly the pre-compaction answers."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from go_tfdata_ray.cdc.engine import _prune_row_groups
+
+    wal_dir, files = make_wal(tmp_path, n_events=200000, n_keys=120000,
+                              num_epochs=2, op_mode="hash")
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=2)
+    eng.apply_wal(wal_dir)
+    some = sorted(oracle_replay_dict(files))[:7]
+    before = {r["doc_id"]: r["tokens"] for r in eng.lookup(some).to_pylist()}
+    eng.compact()
+    base = max(_glob.glob(os.path.join(lake, "part=*", "base-*.parquet")),
+               key=os.path.getsize)
+    f = _pq.ParquetFile(base)
+    assert f.metadata.num_row_groups > 1  # bounded row groups
+    col = f.read_row_group(0, columns=["doc_id"])["doc_id"].to_pylist()
+    assert col == sorted(col)  # clustered
+    keep = _prune_row_groups(f, sorted(map(str, some)))
+    assert keep is not None and len(keep) < f.metadata.num_row_groups
+    after = {r["doc_id"]: r["tokens"] for r in eng.lookup(some).to_pylist()}
+    assert after == before
+    # absent keys across the pruned path stay absent
+    assert eng.lookup(["zzz-no-such-key"]).num_rows == 0
