@@ -289,8 +289,12 @@ def dedup_incremental(engine, content_col: str | None = None,
 
     unverified = cand_ds.map_batches(
         split_unverified, batch_format="pyarrow").to_pandas()
-    sure_ds = cand_ds.map_batches(split_sure, batch_format="pyarrow")
+    # materialize: count() and the delete staging must not re-filter every
+    # block twice (at bootstrap this is the lake-sized loser set)
+    sure_ds = cand_ds.map_batches(split_sure,
+                                  batch_format="pyarrow").materialize()
     n_sure = sure_ds.count()
+    n_cand = n_sure + len(unverified)  # before the fast path filters it
     losers: list[str] = []  # phase-B resolutions only (epoch-bounded)
     if len(unverified):
         # tier 1: seq+op point lookup — no payload pages decoded
@@ -368,7 +372,6 @@ def dedup_incremental(engine, content_col: str | None = None,
                 _write_segment(idx_dir, shard, pd.DataFrame(rows))
 
     # -- phase C: tombstone losers through the ordinary delete epoch -------
-    n_cand = n_sure + len(unverified)
     if dry_run:
         return {"duplicates": n_sure + len(set(losers)), "dry_run": True,
                 "method": "incremental", "bootstrap": bootstrap,

@@ -301,18 +301,20 @@ class PartitionMergeReader:
                 full = os.path.join(self.lake_dir, p)
                 if self._keys_sorted is not None and rg < 0:
                     # clustered whole-file fragment (compacted base): read
-                    # only the row groups whose key stats match the lookup
+                    # only the row groups whose key stats match the lookup;
+                    # the open file is reused either way — no second footer
+                    # parse when pruning bails (delta files, legacy bases)
                     f = pq.ParquetFile(full)
                     keep = _prune_row_groups(f, self._keys_sorted)
-                    if keep is not None:
-                        if not keep:  # no key can live in this fragment
-                            continue
-                        cols = (read_cols if read_cols is None else
-                                [c for c in read_cols
-                                 if c in f.schema_arrow.names])
-                        tabs.append(f.read_row_groups(keep, columns=cols))
-                        eff_ranks.append(rank)
-                        continue
+                    if keep is not None and not keep:
+                        continue  # no key can live in this fragment
+                    cols = (read_cols if read_cols is None else
+                            [c for c in read_cols
+                             if c in f.schema_arrow.names])
+                    tabs.append(f.read(columns=cols) if keep is None
+                                else f.read_row_groups(keep, columns=cols))
+                    eff_ranks.append(rank)
+                    continue
                 tabs.append(_read_fragment(full, rg, read_cols))
                 eff_ranks.append(rank)
             if self.key_filter is not None:
