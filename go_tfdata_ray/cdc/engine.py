@@ -808,7 +808,12 @@ class CDCEngine:
                         applied % auto_dedup == 0
                         or (auto_compact and self.would_compact(auto_compact))
                     ):  # drain the change feed before compaction folds it
-                        deduped += self.dedup_incremental().get("deleted", 0)
+                        dres = self.dedup_incremental()
+                        deduped += dres.get("deleted", 0)
+                        if dres.get("deleted", 0) and on_commit is not None:
+                            # the delete epoch is a commit like any other:
+                            # live views must see dedup tombstones too
+                            on_commit(dres)
                     if auto_compact:
                         self.maybe_compact(auto_compact)
                 if max_epochs is not None and applied >= max_epochs:

@@ -1306,3 +1306,47 @@ def test_compacted_base_is_clustered_and_pruned(tmp_path):
     assert after == before
     # absent keys across the pruned path stay absent
     assert eng.lookup(["zzz-no-such-key"]).num_rows == 0
+
+
+def test_tail_auto_dedup_keeps_live_view_current(tmp_path):
+    """on_commit fires for dedup delete epochs too: a SourceRollup view
+    maintained through tail(auto_dedup=) must equal a fresh full recompute
+    at the end (dedup tombstones included)."""
+    import numpy as np
+
+    from go_tfdata_ray.cdc.consumer import SourceRollup
+    from go_tfdata_ray.sources import wal as walmod
+
+    wal = str(tmp_path / "wal")
+    rng = np.random.default_rng(9)
+    contents = [rng.integers(0, 999, 12).tolist() for _ in range(4)]
+    seq = 0
+    for e in range(3):
+        d = walmod.open_segment(wal, e)
+        toks = [contents[i] for i in range(4)]  # same 4 contents every epoch
+        t = pa.table({
+            "seq": pa.array(range(seq, seq + 4), pa.int64()),
+            "epoch": pa.array([e] * 4, pa.int32()),
+            "op": pa.array(["I"] * 4),
+            "doc_id": pa.array([f"e{e}d{i}" for i in range(4)]),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+            "source": pa.array(["a", "a", "b", "b"]),
+        })
+        seq += 4
+        pq.write_table(t, os.path.join(d, "shard-000000.parquet"))
+        walmod.seal_segment(d)
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    view = SourceRollup(eng)
+
+    def hook(_r):
+        view.refresh()
+
+    m = eng.tail(wal, idle_limit=1, poll_secs=0.01, auto_dedup=1,
+                 on_commit=hook)
+    assert m["rows_deduped"] == 8  # epochs 1,2 fully duplicate epoch 0
+    fresh = SourceRollup(eng)
+    fresh.full_refresh()
+    assert view.state == fresh.state
+    assert sum(v[0] for v in view.state.values()) == 4  # one doc per content
