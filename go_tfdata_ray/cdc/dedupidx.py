@@ -27,7 +27,10 @@ index itself is a tiny LSM) — without the drop a stale minimum would
 shadow the live incumbent forever and duplicate content would accumulate.
 Verification cost is O(collision candidates) seq reads + O(churned
 incumbents) payload reads, bounded by the run's new-doc count, never the
-lake.
+lake. Only those index-collision candidates ever reach the driver; the
+in-batch losers of brand-new contents — lake-sized at bootstrap — stay a
+Dataset all the way into ``delete_dataset``'s distributed tombstone
+staging.
 
 State: ``_dedup_index/state.json`` (last processed manifest version + the
 immutable shard count) written atomically AFTER the delete epoch commits.
