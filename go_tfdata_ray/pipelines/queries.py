@@ -815,19 +815,30 @@ def q_tar_pipeline(sf_dir: str):
 
     from .builder import DefaultPipeline
 
-    wide = DefaultPipeline().from_tar(tar_path, members=["txt", "cls"]).collect().do()
+    def finish(kind):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t["__key__"].to_pylist()
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * len(t), pa.string()),
+                    "doc_id": pa.array([int(k.split("-")[-1]) for k in keys], pa.int64()),
+                    "n_bytes": pc.cast(pc.binary_length(t["txt"]), pa.int64()),
+                    "lang": pc.cast(t["cls"], pa.string()),
+                }
+            )
+        return f
 
-    def finish(t: pa.Table) -> pa.Table:
-        keys = t["__key__"].to_pylist()
-        return pa.table(
-            {
-                "doc_id": pa.array([int(k.split("-")[-1]) for k in keys], pa.int64()),
-                "n_bytes": pc.cast(pc.binary_length(t["txt"]), pa.int64()),
-                "lang": pc.cast(t["cls"], pa.string()),
-            }
-        )
-
-    return wide.map_batches(finish, batch_format="pyarrow")
+    # kind-tagged union over BOTH reader tiers: 'greedy' = whole-archive
+    # TarGreedyReader path; 'seek' = the bounded-memory two-pass
+    # TarSeekReader path (streaming=True, seekreader.go:16-138) — the same
+    # oracle rows must come out of each
+    greedy = DefaultPipeline().from_tar(
+        tar_path, members=["txt", "cls"]).collect().do().map_batches(
+        finish("greedy"), batch_format="pyarrow")
+    seek = DefaultPipeline().from_tar(
+        tar_path, members=["txt", "cls"], streaming=True).collect().do().map_batches(
+        finish("seek"), batch_format="pyarrow")
+    return greedy.union(seek)
 
 
 def q_tfrecord_roundtrip(sf_dir: str):
@@ -860,7 +871,16 @@ def q_training_pipeline(sf_dir: str):
     """Flagship composition — the full path a training-data user runs:
     CDC lake snapshot → quality filter (n_tok ≥ 8) → deterministic
     train split → context-length packing. Streams end to end; no stage
-    materializes the corpus."""
+    materializes the corpus.
+
+    Driver-checked via an ORDER-FREE CONTENT-MULTISET DIGEST of the packed
+    output (packing layout is block-arrival-dependent; the content is not):
+    n_docs (docs packed), content_tokens (non-pad positions = Σ n_tok + one
+    EOD per doc), tok_sum / tok_sq (Σ t, Σ t² over non-pad positions —
+    count+sum+sum-of-squares pins the token multiset). All four are
+    SQL-closed-form over the replayed lake, so the whole CDC-replay →
+    filter → split → pack chain is hash-checked end to end. Per-sequence
+    layout/shape stays covered by ``tokenize_pack`` + the loader pytests."""
     from ..functions import pack
 
     eng = replayed_engine(sf_dir)
@@ -878,7 +898,30 @@ def q_training_pipeline(sf_dir: str):
         lambda t: t.filter(pc.equal(t["split"], pa.scalar("train"))),
         batch_format="pyarrow",
     )
-    return pack.pack_sequences(train, context_len=256, eod_token=50256)
+    packed = pack.pack_sequences(train, context_len=256, eod_token=50256)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t["tokens"].combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        fill = t["fill_ratio"].to_numpy(zero_copy_only=False)
+        n_docs = int(t["n_docs"].to_numpy(zero_copy_only=False).sum())
+        # pad token is 0, so padded positions add 0 to both moments
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "content_tokens": pa.array(
+                [int(np.rint(fill.sum() * 256))], pa.int64()),
+            "tok_sum": pa.array([int(flat.sum())], pa.int64()),
+            "tok_sq": pa.array([int((flat * flat).sum())], pa.int64()),
+        })
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [np.int64(df[c].sum())]
+                             for c in ("n_docs", "content_tokens",
+                                       "tok_sum", "tok_sq")})
+
+    return exchange_coalesce_map(
+        packed.map_batches(partial, batch_format="pyarrow"), total
+    )
 
 
 # --------------------------------------------------------------------------
@@ -981,18 +1024,66 @@ def _plant_doc_copies(ds, every: int = 50):
     return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _disjoint_token_docs(sf_dir: str, n_words: int = 24):
+    """Deterministic fixture corpus keyed to the documents table: doc i's
+    text is ``w{i}x0 … w{i}x{n_words-1}`` — token sets (hence k-gram shingle
+    sets) are PROVABLY disjoint across distinct docs, so any signature
+    scheme gives inter-doc similarity exactly 0 (two disjoint shingle sets
+    agree on a minhash component / simhash band only via a 64-bit hash
+    collision). Natural text can't provide this: a real near-dup pair
+    (Jaccard ≈ 0.97) passes a 0.5 signature threshold with P ≈ 0.14 per
+    pair — deterministic for a fixed seed but not SQL-expressible. With
+    disjointness, the ONLY near-dups are the planted exact copies, making
+    the thresholded output SQL-closed-form."""
+    docs = _read_docs(sf_dir, columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [" ".join(f"w{i}x{j}" for j in range(n_words)) for i in d]
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _plant_copies(ds, plan: list[tuple[int, int]]):
+    """Plant exact copies per ``plan`` [(modulus, id_offset), ...]: every
+    doc with doc_id % modulus == 0 gets a byte-identical copy at
+    doc_id + id_offset. Identical text ⇒ identical signatures ⇒ the copy
+    shares every LSH bucket with its original and matches it exactly —
+    recall 1 by construction (the ``embedding_neardup`` pattern)."""
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [t]
+        for every, off in plan:
+            copies = t.filter(pa.array(d % every == 0))
+            copies = copies.set_column(
+                copies.column_names.index("doc_id"), "doc_id",
+                pc.add(copies["doc_id"], pa.scalar(off)),
+            )
+            parts.append(copies)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dup at threshold 0.5 — rows-only BY NATURE: the
-    output is signature-estimate-thresholded, and the fixture's natural
-    near-dups collide in est (a doc pair differing by 1 of ~60 tokens has
-    Jaccard ≈ 0.97, so all 64 minhash components agree with P ≈ 0.97⁶⁴ ≈
-    0.14 — measured: 7 such est=1.0 collisions at sf0.01), which no SQL
-    oracle can reproduce. The hash-checked representative of this exact
-    machinery is ``ngram_dedup`` (same shingle→minhash→band→bucket
-    pipeline + exact distributed verify); recall/threshold monotonicity is
-    pytest-covered."""
-    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return dedup.minhash_lsh_dedup(ds, threshold=0.5)
+    """MinHash-LSH near-dup (shingle→minhash→band→bucket→verify) over the
+    disjoint-token fixture corpus + planted exact copies (every 50th doc →
+    +1M; every 100th ALSO → +2M, exercising multi-copy groups): disjoint
+    shingle sets make inter-doc signature similarity exactly 0, so the
+    0.5-thresholded output is exactly the planted copies, each pointing at
+    its group's min-id representative — SQL-closed-form. Behavior on
+    natural text (recall/threshold monotonicity, Jaccard estimation error)
+    stays pytest-covered (``test_dedup.py``)."""
+    ds = _plant_copies(_disjoint_token_docs(sf_dir),
+                       [(50, 1_000_000), (100, 2_000_000)])
+    out = dedup.minhash_lsh_dedup(ds, threshold=0.5)
+    return out.map_batches(
+        lambda t: _i64(t.select(["doc_id", "dup_of"]), "doc_id", "dup_of"),
+        batch_format="pyarrow",
+    )
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1052,16 +1143,23 @@ def q_ann_lsh(sf_dir: str):
 
 def q_simhash_neardup(sf_dir: str):
     """Hamming-banded SimHash near-dup (4×16-bit bands, full-signature
-    Hamming verify ≤ 3) — rows-only BY NATURE: a natural near-dup pair
-    differing by 1 of ~60 tokens leaves every one of the 64 majority votes
-    unchanged with non-negligible probability (measured: 1 full-signature
-    collision at sf0.01 even at max_hamming=0), so the thresholded output
-    is not SQL-closed-form. Exact-match simhash grouping and the planted
-    bit-flip Hamming fixtures are pytest-covered; the dedup family's
-    hash-checked rows come from dedup_exact / ngram_dedup /
-    embedding_neardup / dedup_clusters_planted."""
-    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    return dedup.simhash_banded_neardup(ds, max_hamming=3)
+    Hamming verify ≤ 3) over the disjoint-token fixture corpus + planted
+    exact copies (every 40th doc → +1M): disjoint token sets make distinct
+    docs' signatures independent uniform 64-bit values (P(Hamming ≤ 3)
+    ≈ 2.4e-15 per pair — band collisions occur but the full-signature
+    verify rejects them), so the output is exactly the planted copies at
+    Hamming 0 — SQL-closed-form. Natural-text behavior (bit-flip Hamming
+    fixtures, exact-match grouping) stays pytest-covered. A natural-text
+    pair differing by 1 of ~60 tokens can leave all 64 majority votes
+    unchanged (measured at sf0.01), which is why the natural corpus can't
+    be the driver fixture."""
+    ds = _plant_copies(_disjoint_token_docs(sf_dir), [(40, 1_000_000)])
+    out = dedup.simhash_banded_neardup(ds, max_hamming=3)
+    return out.map_batches(
+        lambda t: _i64(t.select(["doc_id", "dup_of", "hamming"]),
+                       "doc_id", "dup_of", "hamming"),
+        batch_format="pyarrow",
+    )
 
 
 def q_dedup_clusters_planted(sf_dir: str):
@@ -1465,6 +1563,20 @@ ORACLE_SQL = {
         "op, CAST(seq AS BIGINT) AS seq "
         "FROM net"
     ),
+    "training_pipeline": _CDC_LAST + (
+        # packed-content multiset digest over the live lake rows that pass
+        # the quality filter (n_tok >= 8) and the train split
+        # (doc_num % 10 < 8): one EOD (50256) is appended per doc, padding
+        # is token 0 (adds nothing to any moment)
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_tok) + COUNT(*) AS BIGINT) AS content_tokens, "
+        "CAST(SUM(list_sum(tokens)) + COUNT(*) * 50256 AS BIGINT) AS tok_sum, "
+        "CAST(SUM(list_sum(list_transform(tokens, "
+        "x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))) "
+        "+ COUNT(*) * (CAST(50256 AS BIGINT) * 50256) AS BIGINT) AS tok_sq "
+        "FROM last WHERE op <> 'D' AND n_tok >= 8 "
+        "AND CAST(substr(doc_id, 5) AS BIGINT) % 10 < 8"
+    ),
     "cdc_rollups": _CDC_LAST + (
         "SELECT 'scan' AS kind, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_tok) AS BIGINT) AS total_tokens "
@@ -1475,8 +1587,11 @@ ORACLE_SQL = {
         "FROM last WHERE op <> 'D' GROUP BY source"
     ),
     "tar_pipeline": (
-        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang "
-        "FROM documents"
+        "SELECT 'greedy' AS kind, doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang FROM documents "
+        "UNION ALL "
+        "SELECT 'seek' AS kind, doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang FROM documents"
     ),
     "tfrecord_roundtrip": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars "
@@ -1522,6 +1637,22 @@ ORACLE_SQL = {
         "FROM documents GROUP BY text"
     ),
     "ngram_dedup": _planted_dup_sql(_NORM_SEQ),
+    "minhash_dedup": (
+        # disjoint-token fixture corpus: the only near-dups are the planted
+        # exact copies (+1M every 50th, +2M every 100th), each resolving to
+        # its group's min-id representative = the original
+        "SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, "
+        "CAST(doc_id AS BIGINT) AS dup_of FROM documents WHERE doc_id % 50 = 0 "
+        "UNION ALL "
+        "SELECT CAST(doc_id + 2000000 AS BIGINT), CAST(doc_id AS BIGINT) "
+        "FROM documents WHERE doc_id % 100 = 0"
+    ),
+    "simhash_neardup": (
+        # disjoint-token fixture corpus: output = planted copies at Hamming 0
+        "SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, "
+        "CAST(doc_id AS BIGINT) AS dup_of, CAST(0 AS BIGINT) AS hamming "
+        "FROM documents WHERE doc_id % 40 = 0"
+    ),
     "embedding_neardup": (
         # ground truth: the planted exact copies (natural max cosine ~0.6 is
         # far below the 0.98 threshold, verified in tests)

@@ -109,15 +109,25 @@ def test_pack_sequences_roundtrip():
 
 
 def test_training_pipeline_composition():
-    """The flagship composed pipeline produces fixed-width packed sequences
-    from train-split docs only."""
+    """The flagship composed pipeline's content-multiset digest is
+    internally consistent and matches the lake recomputed directly."""
     from go_tfdata_ray.pipelines import queries as Q
 
     out = Q.QUERIES["training_pipeline"]("/root/testdata/sf0.001")
     df = out.to_pandas()
-    assert len(df) > 0
-    assert all(len(t) == 256 for t in df["tokens"])
-    assert (df["fill_ratio"] <= 1.0).all() and (df["fill_ratio"] > 0).all()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["n_docs"] > 0
+    # content = every train doc's tokens + exactly one EOD per doc
+    eng = Q.replayed_engine("/root/testdata/sf0.001")
+    lake = eng.scan_table(columns=["doc_id", "tokens", "n_tok"]).to_pandas()
+    num = lake["doc_id"].str.slice(4).astype(int)
+    train = lake[(lake["n_tok"] >= 8) & (num % 10 < 8)]
+    assert row["n_docs"] == len(train)
+    assert row["content_tokens"] == int(train["n_tok"].sum()) + len(train)
+    flat = np.concatenate(train["tokens"].to_list()).astype(np.int64)
+    assert row["tok_sum"] == int(flat.sum()) + len(train) * 50256
+    assert row["tok_sq"] == int((flat * flat).sum()) + len(train) * 50256 * 50256
 
 
 def test_rolling_per_key_matches_pandas():
