@@ -788,52 +788,83 @@ def cluster_duplicates_distributed(
 
     All exchange goes through the object store as per-shard Arrow tables -
     the same volume a Dataset shuffle would move, without its control
-    plane. Labels only decrease; fixpoint when Sigma-label stops changing.
-    Same output contract as ``cluster_duplicates`` (min-key cluster reps),
+    plane. THE DRIVER ONLY EVER HOLDS ObjectRefs AND PER-ROUND SCALAR
+    CHECKSUMS: edge blocks are routed to shards by remote tasks
+    (``num_returns``-fanout), initial labels are derived shard-locally
+    from the routed node ids, candidate/jump tables flow task→task as
+    refs, and the result is returned via ``from_arrow_refs`` — nothing
+    proportional to the pair set or the node set ever lands on the
+    driver (a 10^9-pair crawl graph stays distributed end to end).
+    Labels only decrease; fixpoint when Sigma-label stops changing. Same
+    output contract as ``cluster_duplicates`` (min-key cluster reps),
     numeric keys required."""
     from ..cdc.collapse import hash_partition
+
+    B = num_buckets
 
     def to_edges(t: pa.Table) -> pa.Table:
         a, b = t[key_col].combine_chunks(), t[dup_col].combine_chunks()
         return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
                          "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
 
-    edge_tabs = [ray.get(r) for r in
-                 pairs.map_batches(to_edges, batch_format="pyarrow").to_arrow_refs()]
-    edge_tabs = [t for t in edge_tabs if t.num_rows]
-
-    B = num_buckets
-
-    def _route(tab: pa.Table, col: str) -> list[pa.Table]:
+    def _split(tab: pa.Table, col: str) -> list[pa.Table]:
         sh = hash_partition(tab[col], B)
         order = np.argsort(sh, kind="stable")
         tab = tab.take(pa.array(order))
-        sh = sh[order]
-        bounds = np.searchsorted(sh, np.arange(B + 1))
+        bounds = np.searchsorted(sh[order], np.arange(B + 1))
         return [tab.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
                 for i in range(B)]
 
-    # edges routed ONCE by hash(nbr) (the ask key for neighbor lookups)
-    edge_shards: list[list[pa.Table]] = [[] for _ in range(B)]
-    for t in edge_tabs:
-        for s, part in enumerate(_route(t.select(["node", "nbr"]), "nbr")):
-            if part.num_rows:
-                edge_shards[s].append(part)
-    edge_refs = [ray.put(pa.concat_tables(ts) if ts else
-                         pa.table({"node": pa.array([], pa.int64()),
-                                   "nbr": pa.array([], pa.int64())}))
-                 for ts in edge_shards]
-
-    # initial labels: label(v) = v, sharded by hash(node)
-    all_nodes = np.unique(np.concatenate(
-        [t["node"].to_numpy(zero_copy_only=False) for t in edge_tabs]))
-    init = pa.table({"node": pa.array(all_nodes, pa.int64()),
-                     "label": pa.array(all_nodes, pa.int64())})
-    label_refs = [ray.put(p) for p in _route(init, "node")]
+    _EMPTY_EDGE = pa.table({"node": pa.array([], pa.int64()),
+                            "nbr": pa.array([], pa.int64())})
+    _EMPTY_LABEL = pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+    _EMPTY_JUMP = pa.table({"ask": pa.array([], pa.int64()),
+                            "node": pa.array([], pa.int64())})
 
     @ray.remote
-    def answer(label_tab: pa.Table, edge_tab: pa.Table,
-               jump_reqs: list[pa.Table]) -> list[pa.Table]:
+    def route_block(tab: pa.Table):
+        """One edge block → B edge partitions by hash(nbr) (the ask key
+        for neighbor lookups) + B block-local-unique node tables by
+        hash(node) (feedstock for shard-local initial labels)."""
+        edges = _split(tab.select(["node", "nbr"]), "nbr")
+        nodes = [pa.table({"node": pc.unique(p["node"])})
+                 for p in _split(tab.select(["node"]), "node")]
+        return tuple(edges + nodes)
+
+    @ray.remote
+    def concat_edges(*parts: pa.Table) -> pa.Table:
+        ps = [p for p in parts if p.num_rows]
+        return pa.concat_tables(ps) if ps else _EMPTY_EDGE
+
+    @ray.remote
+    def init_shard(*node_parts: pa.Table):
+        """label(v) = v over this shard's (deduped) nodes + the round-0
+        jump view (ask = label = node, so every row stays in-shard)."""
+        ps = [p for p in node_parts if p.num_rows]
+        if not ps:
+            return _EMPTY_LABEL, _EMPTY_JUMP
+        nodes = pc.unique(pa.concat_tables(ps)["node"].combine_chunks())
+        return (pa.table({"node": nodes, "label": nodes}),
+                pa.table({"ask": nodes, "node": nodes}))
+
+    block_refs = pairs.map_batches(
+        to_edges, batch_format="pyarrow").to_arrow_refs()
+    routed = [route_block.options(num_returns=2 * B).remote(r)
+              for r in block_refs]
+    n_blocks = len(routed)
+    edge_refs = [concat_edges.remote(*[routed[i][s] for i in range(n_blocks)])
+                 for s in range(B)]
+    init = [init_shard.options(num_returns=2).remote(
+        *[routed[i][B + s] for i in range(n_blocks)]) for s in range(B)]
+    label_refs = [r[0] for r in init]
+    empty_jump_ref = ray.put(_EMPTY_JUMP)
+    # jump_out[src][dst]: round-0 jumps never leave their own shard
+    jump_out = [[init[src][1] if dst == src else empty_jump_ref
+                 for dst in range(B)] for src in range(B)]
+
+    @ray.remote
+    def answer(label_tab: pa.Table, edge_tab: pa.Table, *jump_reqs: pa.Table):
         have = label_tab.to_pandas()
         asks = [edge_tab.to_pandas().rename(columns={"nbr": "ask"})]
         for jr in jump_reqs:
@@ -843,15 +874,10 @@ def cluster_duplicates_distributed(
         out = req.merge(have.rename(columns={"node": "ask"}), on="ask")[["node", "label"]]
         cand = pa.table({"node": pa.array(out["node"].to_numpy(), pa.int64()),
                          "label": pa.array(out["label"].to_numpy(), pa.int64())})
-        sh = hash_partition(cand["node"], B)
-        order = np.argsort(sh, kind="stable")
-        cand = cand.take(pa.array(order))
-        bounds = np.searchsorted(sh[order], np.arange(B + 1))
-        return [cand.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-                for i in range(B)]
+        return tuple(_split(cand, "node"))
 
     @ray.remote
-    def min_shard(label_tab: pa.Table, cands: list[pa.Table]):
+    def min_shard(label_tab: pa.Table, *cands: pa.Table):
         frames = [label_tab.to_pandas()] + [c.to_pandas() for c in cands if c.num_rows]
         df = pd.concat(frames, ignore_index=True)
         out = df.groupby("node", sort=False, as_index=False)["label"].min()
@@ -859,38 +885,31 @@ def cluster_duplicates_distributed(
                         "label": pa.array(out["label"].to_numpy(), pa.int64())})
         # jump requests for NEXT round: (ask=label(v), node=v), pre-routed
         jt = pa.table({"ask": new["label"], "node": new["node"]})
-        sh = hash_partition(jt["ask"], B)
-        order = np.argsort(sh, kind="stable")
-        jt = jt.take(pa.array(order))
-        bounds = np.searchsorted(sh[order], np.arange(B + 1))
-        jumps = [jt.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-                 for i in range(B)]
-        return new, int(out["label"].sum()), jumps
+        return tuple([new, int(out["label"].sum())] + _split(jt, "ask"))
 
-    # round 0 jump requests from the initial labels
-    jump_out = []
-    for ref in label_refs:
-        t = ray.get(ref)
-        jt = pa.table({"ask": t["label"], "node": t["node"]})
-        jump_out.append(_route(jt, "ask"))
     prev_sum = None
     for _ in range(max_rounds):
-        cand_lists = [answer.remote(label_refs[s], edge_refs[s],
-                                    [jump_out[src][s] for src in range(B)])
-                      for s in range(B)]
-        cand_lists = ray.get(cand_lists)
-        results = ray.get([
-            min_shard.remote(label_refs[s], [cand_lists[src][s] for src in range(B)])
-            for s in range(B)
-        ])
-        label_refs = [ray.put(r[0]) for r in results]
-        cur_sum = sum(r[1] for r in results)
-        jump_out = [r[2] for r in results]
+        # candidates flow answer→min_shard as refs (varargs resolve them
+        # in the receiving task); the driver touches only the B sums
+        cand = [answer.options(num_returns=B).remote(
+                    label_refs[s], edge_refs[s],
+                    *[jump_out[src][s] for src in range(B)])
+                for s in range(B)]
+        results = [min_shard.options(num_returns=B + 2).remote(
+                       label_refs[s], *[cand[src][s] for src in range(B)])
+                   for s in range(B)]
+        label_refs = [r[0] for r in results]
+        cur_sum = sum(ray.get([r[1] for r in results]))
+        jump_out = [list(r[2:]) for r in results]
         if cur_sum == prev_sum:  # labels are non-increasing -> fixpoint
             break
         prev_sum = cur_sum
-    final = pa.concat_tables([ray.get(r) for r in label_refs])
-    return rd.from_arrow(final.rename_columns([key_col, "cluster"]))
+
+    @ray.remote
+    def finish(tab: pa.Table) -> pa.Table:
+        return tab.rename_columns([key_col, "cluster"])
+
+    return rd.from_arrow_refs([finish.remote(r) for r in label_refs])
 
 
 # --- embedding cosine near-dup ----------------------------------------------

@@ -583,6 +583,44 @@ def test_cluster_duplicates_distributed_matches_union_find():
     assert set(got_c["cluster"]) == {0} and len(got_c) == 9
 
 
+def test_cluster_duplicates_distributed_large_pair_set_stays_off_driver():
+    """Web-crawl-shaped planted pair set (many blocks, 200k edges, mixed
+    chain + star components): the edge-routing front runs entirely in
+    remote tasks, so the DRIVER'S resident set must not grow with the pair
+    count (pre-fix it pulled every edge block via ray.get and np.unique'd
+    all node ids driver-side). Correctness is asserted against closed-form
+    components; driver footprint by RSS delta with generous slack (the
+    pair tables total ~3 MB; a driver materialization of edges + nodes +
+    per-round candidates would add tens of MB)."""
+    import resource
+
+    n = 200_000
+    ids = np.arange(n, dtype=np.int64)
+    # components of 8 consecutive ids: chain edges (i, i-1) for i%8 != 0
+    keep = ids % 8 != 0
+    pairs = pd.DataFrame({"doc_id": ids[keep], "dup_of": ids[keep] - 1})
+    ds = rd.from_pandas(pairs).repartition(16)  # many blocks → many routes
+
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    got = dedup.cluster_duplicates_distributed(ds, num_buckets=8)
+    # consume distributed: per-shard assertions inside map_batches, only
+    # tiny (rows, bad) partials reach the driver
+    def check(t):
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["cluster"].to_numpy(zero_copy_only=False)
+        return pa.table({"rows": pa.array([len(t)], pa.int64()),
+                         "bad": pa.array([int((c != d - (d % 8)).sum())],
+                                         pa.int64())})
+    parts = got.map_batches(check, batch_format="pyarrow").to_pandas()
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # every id appears in some pair (8k as a dup_of, 8k+1..8k+7 as doc_ids)
+    assert int(parts["rows"].sum()) == n
+    assert int(parts["bad"].sum()) == 0
+    # peak-RSS delta (KiB): generous 100 MiB slack — a driver-side edge
+    # materialization of this graph plus per-round candidates exceeds it
+    assert rss_after - rss_before < 100 * 1024
+
+
 def test_lsh_multiprobe_recall_beats_single_probe():
     df = synth_embeddings(400, 16, seed=9)
     ds = rd.from_pandas(df)
