@@ -523,15 +523,37 @@ class CDCEngine:
                 "fragments": len(intents), "version": new.version}
 
     def apply_wal(self, wal_dir: str) -> list[dict[str, Any]]:
-        """One-shot replay: apply every segment above the committed epoch,
-        in order. Safe to call repeatedly / after a crash (resume). Uses
-        the IDENTITY mapping segment-id == engine-epoch, which assumes no
-        synthesized epochs (upsert / delete_where / dedup) interleave with
-        ingestion — for interleaved workloads use ``tail``, which tracks
-        WAL segments by their own high-watermark (recorded here too, so a
-        later ``tail`` of the same lake resumes at the right segment)."""
-        return [self.apply_epoch(e, paths, stats_extra={"wal_hwm": e})
-                for e, paths in list_segments(wal_dir)]
+        """One-shot replay: apply every segment above the WAL high-watermark,
+        in order. Safe to call repeatedly / after a crash (resume).
+
+        Segment skipping keys on the lake's recorded ``wal_hwm`` stat (the
+        highest WAL segment id already applied), NOT on ``committed_epoch``:
+        on a lake where synthesized epochs (upsert / delete_where / dedup)
+        advanced ``committed_epoch`` past unapplied WAL segment ids, the
+        identity mapping segment-id == engine-epoch would classify those
+        segments as already applied and silently drop their events. Such
+        segments are routed through the tail-style DECOUPLED mapping
+        (applied as ``committed_epoch + 1`` with their own id recorded in
+        ``wal_hwm``) instead. Lakes predating the ``wal_hwm`` stat fall
+        back to ``committed_epoch`` — identical to the old behavior, which
+        is correct whenever no synthesized epochs interleave."""
+        out: list[dict[str, Any]] = []
+        wal_hwm = int(self.manifest.stats.get(
+            "wal_hwm", self.manifest.committed_epoch))
+        for e, paths in list_segments(wal_dir):
+            if e <= wal_hwm:
+                out.append({"epoch": e, "skipped": True})
+                continue
+            if e <= self.manifest.committed_epoch:
+                # unapplied segment below committed_epoch: synthesized
+                # epochs consumed its identity slot — decoupled mapping
+                r = self.apply_epoch(self.manifest.committed_epoch + 1,
+                                     paths, stats_extra={"wal_hwm": e})
+            else:
+                r = self.apply_epoch(e, paths, stats_extra={"wal_hwm": e})
+            wal_hwm = e
+            out.append(r)
+        return out
 
     def _stage_epoch(self, t: pa.Table, op: str) -> dict[str, Any]:
         """Synthesize the next epoch from explicit rows and apply it through
@@ -658,8 +680,13 @@ class CDCEngine:
             write_shard, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True,
         ).take_all()  # tiny: one (path, rows) row per staged shard
-        paths = sorted({r["path"] for r in intents})
-        deleted = int(sum(r["rows"] for r in intents))
+        # count rows over DISTINCT staged paths: duplicate key blocks (or
+        # byte-identical blocks) content-address to ONE shard file, and the
+        # reported 'deleted' must match the tombstones actually staged —
+        # it feeds tail's rows_deduped and the dedup soak accounting
+        by_path = {r["path"]: int(r["rows"]) for r in intents}
+        paths = sorted(by_path)
+        deleted = sum(by_path.values())
         if not paths:
             return {"epoch": self.manifest.committed_epoch, "skipped": True,
                     "deleted": 0}

@@ -155,8 +155,14 @@ class DefaultPipeline:
         of the shard's encoded records, so a task retry (worker crash,
         lineage re-execution) rewrites the SAME file instead of adding a
         duplicate shard — a uuid-named shard would double the rows on any
-        retry-after-rename. (Two byte-identical blocks would collapse into
-        one shard; distinct blocks collide only at 2^-64.) One file per
+        retry-after-rename. (Distinct blocks collide only at 2^-64.)
+        GENUINELY duplicate blocks — byte-identical encodings, possible
+        for id-less exports like packed sequences over heavily duplicated
+        corpora — are disambiguated AFTER execution: the driver sees one
+        intent row per block, so a content hash appearing k times gets
+        k-1 deterministic ``-dupN`` suffixed copies of the (identical)
+        shard file, preserving every row without giving up retry
+        idempotency. One file per
         partition is the resumable-output layout; encode + CRC run
         vectorized inside the tasks, not on the driver.
         ``compression="gz"`` writes gzip shards (``part-*.tfrecord.gz``) —
@@ -200,17 +206,28 @@ class DefaultPipeline:
                 return _pa.table({"path": _pa.array([rel]),
                                   "rows": _pa.array([len(rows)], _pa.int64())})
 
+            import shutil as _shutil
+
             intents = ds.map_batches(
                 write_shard, batch_format="pandas", batch_size=None
-            ).take_all()  # tiny: one intent row per shard
-            # count DISTINCT paths: byte-identical blocks content-address to
-            # the same shard file (collapsing is what makes retries
-            # idempotent), so the returned count must reflect what is on
-            # disk, not how many writers raced to the same name
-            seen: dict[str, int] = {}
-            for i in intents:
-                seen[i["path"]] = int(i["rows"])
-            return sum(seen.values())
+            ).take_all()  # tiny: one intent row per BLOCK
+            # one intent row per block, one file per distinct content hash:
+            # a hash appearing k times is k genuinely duplicate blocks that
+            # collapsed to one shard — materialize k-1 deterministic copies
+            # so the export keeps every row (a retry of the same block
+            # yields ONE intent row, so retries never inflate the count)
+            total, seen = 0, {}
+            for i in sorted(intents, key=lambda r: r["path"]):
+                rel, rows = i["path"], int(i["rows"])
+                total += rows
+                k = seen.get(rel, 0)
+                seen[rel] = k + 1
+                if k:  # duplicate content: copy under a -dupN name
+                    dup = rel.replace(suffix, f"-dup{k}{suffix}")
+                    tmp = _os.path.join(out_dir, dup + f".tmp-{_os.getpid()}")
+                    _shutil.copyfile(_os.path.join(out_dir, rel), tmp)
+                    _os.rename(tmp, _os.path.join(out_dir, dup))
+            return total
 
         self._sink = _sink
         return self

@@ -110,10 +110,11 @@ def exchange_group_map(
     stage is already an all-blocks barrier per shard, so this adds no
     critical-path latency. Crossover: past ``max_exchange_blocks`` input
     blocks the (B+1)-objects-per-block ref fan-out becomes object-store
-    metadata pressure while the sort-shuffle's fixed cost (the reason
-    this exchange exists) is fully amortized — the call transparently
-    falls back to Ray's groupby there (the shuffle materializes its
-    input either way, and the object store spills)."""
+    metadata pressure, so the input is REPARTITIONED down to
+    ``max_exchange_blocks`` blocks first and the exchange proceeds on the
+    coalesced blocks — the routing stays on the exchange path (Ray's
+    groupby is used only for a fully EMPTY input, where there is nothing
+    to route and the sort-shuffle's fixed cost vanishes)."""
     B = num_shards
 
     @ray.remote

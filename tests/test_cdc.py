@@ -730,6 +730,68 @@ def test_upsert_and_delete_where(tmp_path):
     assert_tables_equal(eng.scan_table(), eng.scan_table())  # stable
 
 
+def test_apply_wal_routes_segments_overtaken_by_synthesized_epochs(tmp_path):
+    """Synthesized epochs (upsert) advance committed_epoch past unapplied
+    WAL segment ids; apply_wal must route those segments through the
+    decoupled mapping (keyed on the wal_hwm stat), NOT classify them as
+    already applied — pre-fix the events were silently dropped with every
+    segment reported skipped."""
+    import pandas as _pd
+    from go_tfdata_ray.sources.wal import list_segments
+
+    wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=300, num_epochs=4)
+    segs = list_segments(wal_dir)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    # apply segments 0-1 the way apply_wal does (records wal_hwm)
+    for e, paths in segs[:2]:
+        eng.apply_epoch(e, paths, stats_extra={"wal_hwm": e})
+    # two synthesized epochs push committed_epoch to 3 ≥ both remaining
+    # segment ids (2, 3) while wal_hwm stays 1
+    eng.upsert(_pd.DataFrame({"doc_id": ["doc-x-1"], "tokens": [[1]],
+                              "source": ["manual"]}))
+    eng.upsert(_pd.DataFrame({"doc_id": ["doc-x-2"], "tokens": [[2]],
+                              "source": ["manual"]}))
+    assert eng.manifest.committed_epoch >= segs[3][0]
+
+    stats = eng.apply_wal(wal_dir)
+    by_seg = dict(zip([e for e, _ in segs], stats))
+    assert by_seg[segs[0][0]]["skipped"] and by_seg[segs[1][0]]["skipped"]
+    assert not by_seg[segs[2][0]].get("skipped")
+    assert not by_seg[segs[3][0]].get("skipped")
+
+    # final state: full WAL replay + the two fresh upserted docs
+    actual = eng.scan_table()
+    want = oracle_final_state(files)
+    extra = {"doc-x-1": [1], "doc-x-2": [2]}
+    got = {r["doc_id"]: r["tokens"] for r in actual.to_pylist()}
+    for k, toks in extra.items():
+        assert got.pop(k) == toks
+    want_map = {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
+    assert got == want_map
+
+    # idempotent: a third apply_wal skips everything
+    assert all(s["skipped"] for s in eng.apply_wal(wal_dir))
+
+
+def test_delete_dataset_counts_distinct_staged_shards(tmp_path):
+    """Two byte-identical key blocks content-address to ONE staged shard;
+    the reported 'deleted' must equal the tombstones actually staged, not
+    double-count the collapsed block."""
+    import ray.data as rd
+
+    wal_dir, files = make_wal(tmp_path, n_events=500, n_keys=100, num_epochs=1)
+    eng, _ = run_and_check(tmp_path, wal_dir, files, num_partitions=4)
+    ids = sorted({r["doc_id"] for r in eng.scan_table().to_pylist()})[:10]
+    # identical blocks: same keys in two single-block datasets unioned
+    a = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string())}))
+    b = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string())}))
+    res = eng.delete_dataset(a.union(b))
+    assert res["deleted"] == len(ids)
+    remaining = set(eng.scan_table()["doc_id"].to_pylist())
+    assert not (remaining & set(ids))
+
+
 def test_training_batches_loader(tmp_path):
     """Consumer loop: epoch-reshuffled packed micro-batches off the lake —
     fixed shapes, token conservation, per-(seed, epoch) determinism, and a

@@ -167,6 +167,34 @@ def test_parallel_tfrecord_dir_roundtrip(tmp_path):
     assert parts2 == sorted(parts)
 
 
+def test_tfrecord_dir_duplicate_blocks_keep_all_rows(tmp_path):
+    """Byte-identical blocks (id-less exports over duplicated corpora)
+    content-address to one shard name; the sink must disambiguate TRUE
+    duplicates with deterministic -dupN copies so the export keeps every
+    row, while a retried task (one intent row) never inflates the count."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from go_tfdata_ray.pipelines.builder import DefaultPipeline
+
+    block = pd.DataFrame({"val": [7, 8, 9]})
+    # two byte-identical single-block datasets unioned → identical encodings
+    src = rd.from_pandas(block).union(rd.from_pandas(block))
+    out = str(tmp_path / "dup_shards")
+    n = DefaultPipeline().from_dataset(src).to_tfrecord_dir(out).do()
+    assert n == 6
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".tfrecord"))
+    assert len(parts) == 2 and any("-dup1" in p for p in parts)
+    back = DefaultPipeline().from_tfrecord(out).collect().do().to_pandas()
+    assert sorted(int(v[0]) for v in back["val"]) == [7, 7, 8, 8, 9, 9]
+    # deterministic: re-export reproduces the same layout and count
+    n2 = DefaultPipeline().from_dataset(src).to_tfrecord_dir(out).do()
+    assert n2 == 6
+    assert sorted(p for p in os.listdir(out) if p.endswith(".tfrecord")) == parts
+
+
 def test_tfrecord_sink_throughput(tmp_path):
     """The vectorized-CRC sink must beat the scalar-loop regime (~1 MB/s)
     by a wide margin even single-threaded — soft bound to dodge CI noise."""
