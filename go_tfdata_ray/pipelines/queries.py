@@ -140,20 +140,26 @@ def q_agg_pricing(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            qty=df["l_quantity"].round().astype("int64"),
-            base_c=(df["l_extendedprice"] * 100).round().astype("int64"),
-            disc_c4=(df["l_extendedprice"] * 100).round().astype("int64")
-            * ((1 - df["l_discount"]) * 100).round().astype("int64"),
-            n=np.int64(1),
-        )
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)[
-            ["qty", "base_c", "disc_c4", "n"]
-        ].sum()
-        return g
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native combiner: pc kernels + pa.TableGroupBy, zero pandas
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                         pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(
+            pc.subtract(1.0, t["l_discount"]), 100.0)), pa.int64())
+        tb = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "base_c": base_c,
+            "disc_c4": pc.multiply(base_c, dpct),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        return rel.sum_groupby_arrow(tb, ["l_returnflag", "l_linestatus"],
+                                     ["qty", "base_c", "disc_c4", "n"])
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536, zero_copy_batch=True)
     out = rel.combine_partials(
         partials, ["l_returnflag", "l_linestatus"], ["qty", "base_c", "disc_c4", "n"]
     )
@@ -308,11 +314,14 @@ def q_window_hourly(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native combiner (ts is µs since epoch → hour bucket)
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hour = us // 3_600_000_000
-        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False), "hour_bucket": hour})
-        g = df.groupby(["user_id", "hour_bucket"], sort=False, as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+        tb = pa.table({
+            "user_id": t["user_id"],
+            "hour_bucket": pa.array(us // 3_600_000_000),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        return rel.sum_groupby_arrow(tb, ["user_id", "hour_bucket"], ["n"])
 
     out = rel.combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"),

@@ -23,13 +23,50 @@ from ..cdc.collapse import hash_partition
 from .exchange import exchange_coalesce_map, exchange_group_map
 
 
+def sum_groupby_arrow(t: pa.Table, group_cols: list[str],
+                      sum_cols: list[str]) -> pa.Table:
+    """Arrow-native grouped sum (``pa.TableGroupBy``) — the hot combiner
+    kernel. No pandas round-trip: hash-groupby runs on the Arrow buffers
+    directly; output column order is ``group_cols + sum_cols`` with the
+    original names (Arrow's ``_sum`` suffixes stripped)."""
+    g = pa.TableGroupBy(t.select(list(group_cols) + list(sum_cols)),
+                        list(group_cols))
+    out = g.aggregate([(c, "sum") for c in sum_cols])
+    cols = {k: out[k] for k in group_cols}
+    for c in sum_cols:
+        cols[c] = out[f"{c}_sum"]
+    return pa.table(cols)
+
+
+def group_key_hash(t: pa.Table, group_cols: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash of the group-key tuple, vectorized per
+    column (splitmix-style mix for numerics, ``pd.util.hash_array`` for
+    strings) and FNV-combined across columns. Null-free keys assumed (the
+    combiner partials never emit null group keys)."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in group_cols:
+        col = t[c].combine_chunks()
+        if pa.types.is_integer(col.type):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hc = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            hc ^= hc >> np.uint64(29)
+            hc *= np.uint64(0xBF58476D1CE4E5B9)
+            hc ^= hc >> np.uint64(32)
+        else:
+            hc = pd.util.hash_array(
+                np.asarray(col.to_pylist(), dtype=object), categorize=False)
+        h = h * np.uint64(1099511628211) ^ hc
+    return h
+
+
 def combine_partials(
     partials: rd.Dataset,
     group_cols: list[str],
     sum_cols: list[str],
     fanout: int = 0,
 ) -> rd.Dataset:
-    """Final combine for pre-aggregated (combiner) partials.
+    """Final combine for pre-aggregated (combiner) partials — Arrow-native
+    end to end (``pa.TableGroupBy``; no pandas conversion in the combine).
 
     Partial aggregates are tiny — ≤ groups × blocks rows — so Ray's
     all-to-all Aggregate operator (sort shuffle, ~seconds of fixed cost even
@@ -41,26 +78,23 @@ def combine_partials(
     shard, so the per-shard combine is already the final (distributed)
     result, with no all-to-all and no single-task bottleneck."""
 
-    def comb(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_cols, sort=False, as_index=False)[sum_cols].sum()
+    def comb(t: pa.Table) -> pa.Table:
+        return sum_groupby_arrow(t, group_cols, sum_cols)
 
     if fanout:
-        def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_shard"] = (
-                pd.util.hash_pandas_object(df[group_cols], index=False).to_numpy()
-                % np.uint64(fanout)
-            ).astype(np.int64)
-            return df
+        def add_shard(t: pa.Table) -> pa.Table:
+            sh = (group_key_hash(t, group_cols) % np.uint64(fanout)).astype(np.int64)
+            return t.append_column("_shard", pa.array(sh))
 
-        def comb_shard(df: pd.DataFrame) -> pd.DataFrame:
-            return comb(df.drop(columns=["_shard"]))
+        def comb_shard(t: pa.Table) -> pa.Table:
+            return comb(t.drop_columns(["_shard"]))
 
         return exchange_group_map(
-            partials.map_batches(add_shard, batch_format="pandas"),
-            comb_shard, fanout,
+            partials.map_batches(add_shard, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            comb_shard, fanout, batch_format="pyarrow",
         )
-    return exchange_coalesce_map(partials, comb)
+    return exchange_coalesce_map(partials, comb, batch_format="pyarrow")
 
 
 def distinct(ds: rd.Dataset, cols: list[str] | None = None,
@@ -344,14 +378,18 @@ def topk_global(
     ``ds.sort().limit(k)`` moves every row through an all-to-all sort
     exchange to keep k of them; this moves k rows per block. Rows come
     back order-canonical (sorted by the rank key)."""
-    by = [order_col] + ([tie_col] if tie_col else [])
-    asc = [not descending] + ([True] if tie_col else [])
+    keys = [(order_col, "descending" if descending else "ascending")]
+    if tie_col:
+        keys.append((tie_col, "ascending"))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native partial top-k: select_k is a partial sort (heap
+        # select), returns the k rows already rank-ordered — no pandas
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=keys))
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return exchange_coalesce_map(partials, partial)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return exchange_coalesce_map(partials, partial, batch_format="pyarrow")
 
 
 def topk_per_group(
@@ -361,18 +399,22 @@ def topk_per_group(
     """Windowed rank: top-k rows per group (QUALIFY row_number() <= k).
     Per-batch partial top-k (the combiner — caps shuffle volume at
     k × groups × blocks) before the groupby finalize."""
-    by = [order_col] + ([tie_col] if tie_col else [])
-    asc = [not descending] + ([True] if tie_col else [])
+    keys = [(group_col, "ascending"),
+            (order_col, "descending" if descending else "ascending")]
+    if tie_col:
+        keys.append((tie_col, "ascending"))
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="mergesort").groupby(
-            group_col, sort=False
-        ).head(k)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(by, ascending=asc, kind="mergesort")
-        return df.groupby(group_col, sort=False).head(k)
+    def head_k(t: pa.Table) -> pa.Table:
+        # Arrow-native windowed head-k: one sort puts groups contiguous in
+        # rank order; the per-group rank is pure numpy over the sorted key
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        new = np.r_[True, g[1:] != g[:-1]]
+        first = np.flatnonzero(new)
+        rank = np.arange(len(g)) - first[np.cumsum(new) - 1]
+        return t.filter(pa.array(rank < k))
 
     # partials are ≤ k × groups × blocks rows — single-task final combine
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return exchange_coalesce_map(partials, final)
+    partials = ds.map_batches(head_k, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return exchange_coalesce_map(partials, head_k, batch_format="pyarrow")
