@@ -8,11 +8,13 @@ Scope:
 - encode: 8-bit gray or RGB, quality 1-100 (libjpeg-style quant scaling),
   4:4:4 or 4:2:0 chroma subsampling, standard Annex K quant + Huffman
   tables, interleaved single scan.
-- decode: baseline SOF0, 1 or 3 components, sampling factors up to 2x2
+- decode: baseline SOF0/SOF1 AND progressive SOF2 (spectral selection +
+  successive approximation, DC/AC first and refinement scans, EOB runs —
+  T.81 G.1.2/G.2), 1 or 3 components, sampling factors up to 2x2
   (4:4:4 / 4:2:2 / 4:2:0), Huffman tables from the stream (16-bit-peek
   lookup tables, cached by table bytes), restart intervals (DRI/RSTn),
-  byte unstuffing. Progressive (SOF2) raises — the seam a C codec would
-  plug into.
+  byte unstuffing. Validated against externally-produced progressive
+  JPEGs (tests/test_jpeg.py golden fixtures).
 
 Cost model: all pixel math (DCT/IDCT, quantization, color transform,
 up/downsampling) is vectorized over every block of the image at once;
@@ -430,8 +432,39 @@ def _huff_lut(bits_vals: bytes) -> tuple[np.ndarray, np.ndarray]:
     return sym, ln
 
 
+def _entropy_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Restart-delimited entropy segments starting at ``pos``; returns the
+    UNSTUFFED segment list and the offset of the terminating marker."""
+    segments = []
+    p = pos
+    seg_begin = p
+    while p < len(buf) - 1:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00:
+            m = buf[p + 1]
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(buf[seg_begin:p])
+                p += 2
+                seg_begin = p
+                continue
+            segments.append(buf[seg_begin:p])
+            return ([s.replace(b"\xff\x00", b"\xff") for s in segments], p)
+        p += 1
+    segments.append(buf[seg_begin:])
+    return ([s.replace(b"\xff\x00", b"\xff") for s in segments], len(buf))
+
+
+def _dec_sym(br: _BitReader, sym: np.ndarray, ln: np.ndarray) -> int:
+    peek = br.peek16()
+    ll = int(ln[peek])
+    if ll == 0:
+        raise ValueError("bad Huffman code")
+    br.skip(ll)
+    return int(sym[peek])
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (H,W) gray or (H,W,3) RGB."""
+    """JPEG bytes (baseline SOF0/SOF1 or progressive SOF2) -> uint8 (H,W)
+    gray or (H,W,3) RGB."""
     import struct
 
     if buf[:2] != b"\xff\xd8":
@@ -441,11 +474,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     comps = None  # list of dicts
     h = w = None
+    progressive = False
     restart_interval = 0
-    scan_start = None
-    scan_comps = None
+    scans = []  # one dict per SOS, in stream order
 
-    while pos < len(buf):
+    while pos < len(buf) - 1:
         if buf[pos] != 0xFF:
             pos += 1
             continue
@@ -467,7 +500,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 else:
                     qtabs[tq] = np.frombuffer(b[1:129], dtype=">u2").astype(np.int32)
                     b = b[129:]
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -475,9 +509,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, sf, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported "
-                                      "— baseline sequential only")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker 0x{marker:02x} (lossless/arithmetic/hierarchical)"
+                " not supported — baseline and progressive Huffman only")
         elif marker == 0xC4:  # DHT (possibly several tables)
             b = body
             while b:
@@ -493,11 +529,20 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for ci in range(ns):
                 cid, tabs = body[1 + ci * 2:3 + ci * 2]
                 scan_comps.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
-            scan_start = pos + 2 + ln
-            break
+            ss, se, a = body[1 + ns * 2:4 + ns * 2]
+            segments, nxt = _entropy_segments(buf, pos + 2 + ln)
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se,
+                "ah": a >> 4, "al": a & 0xF,
+                "segments": segments, "dri": restart_interval,
+                # huffman tables are mutable between scans: snapshot refs
+                "huff": dict(huff),
+            })
+            pos = nxt
+            continue
         pos += 2 + ln
 
-    if comps is None or scan_start is None:
+    if comps is None or not scans:
         raise ValueError("no SOF/SOS found")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -506,102 +551,20 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     mcus_y = -(-h // (8 * vmax))
     mcus_x = -(-w // (8 * hmax))
     by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["id"]] for s in scan_comps]
-    for c, s in zip(order, scan_comps):
-        c["dc_t"], c["ac_t"] = s["dc"], s["ac"]
+    for c in comps:
         c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
                              dtype=np.int32)
-
-    # split entropy data into restart segments, unstuff each
-    segments = []
-    p = scan_start
-    seg_begin = p
-    while p < len(buf) - 1:
-        if buf[p] == 0xFF and buf[p + 1] != 0x00:
-            m = buf[p + 1]
-            if 0xD0 <= m <= 0xD7:
-                segments.append(buf[seg_begin:p])
-                p += 2
-                seg_begin = p
-                continue
-            segments.append(buf[seg_begin:p])
-            seg_begin = None
-            break
-        p += 1
-    if seg_begin is not None:
-        segments.append(buf[seg_begin:])
-    readers = [_BitReader(s.replace(b"\xff\x00", b"\xff")) for s in segments]
-
-    interleaved = len(order) > 1
-    seg_i = 0
-    br = readers[0]
-    pred = {c["id"]: 0 for c in order}
-    mcu_count = 0
-
-    def read_block(c) -> np.ndarray:
-        nonlocal br
-        zz = np.zeros(64, dtype=np.int32)
-        dsym, dlen = huff[(0, c["dc_t"])]
-        s = int(dsym[br.peek16()])
-        ll = int(dlen[br.peek16()])
-        if ll == 0:
-            raise ValueError("bad Huffman code (DC)")
-        br.skip(ll)
-        diff = _extend(br.read(s), s)
-        pred[c["id"]] += diff
-        zz[0] = pred[c["id"]]
-        asym, alen = huff[(1, c["ac_t"])]
-        k = 1
-        while k < 64:
-            peek = br.peek16()
-            ll = int(alen[peek])
-            if ll == 0:
-                raise ValueError("bad Huffman code (AC)")
-            sym = int(asym[peek])
-            br.skip(ll)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise ValueError("AC run past end of block")
-            zz[k] = _extend(br.read(size), size)
-            k += 1
-        return zz
-
-    if interleaved:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and \
-                        mcu_count % restart_interval == 0:
-                    seg_i += 1
-                    br = readers[seg_i]
-                    for c in order:
-                        pred[c["id"]] = 0
-                for c in order:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            c["coef"][my * c["v"] + by, mx * c["h"] + bx] = \
-                                read_block(c)
-                mcu_count += 1
-    else:
-        c = order[0]
-        # non-interleaved scan: blocks cover the component's OWN ceil grid
+        # non-interleaved scans cover the component's OWN ceil grid
         comp_h = -(-h * c["v"] // vmax)
         comp_w = -(-w * c["h"] // hmax)
-        bys, bxs = -(-comp_h // 8), -(-comp_w // 8)
-        for by in range(bys):
-            for bx in range(bxs):
-                if restart_interval and mcu_count and \
-                        mcu_count % restart_interval == 0:
-                    seg_i += 1
-                    br = readers[seg_i]
-                    pred[c["id"]] = 0
-                c["coef"][by, bx] = read_block(c)
-                mcu_count += 1
+        c["bys"] = -(-comp_h // 8)
+        c["bxs"] = -(-comp_w // 8)
+
+    for scan in scans:
+        if progressive:
+            _decode_progressive_scan(scan, by_id, mcus_y, mcus_x)
+        else:
+            _decode_sequential_scan(scan, by_id, mcus_y, mcus_x)
 
     # dequantize + IDCT every block at once, per component
     planes = {}
@@ -624,3 +587,213 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         return np.clip(planes[comps[0]["id"]].round(), 0, 255).astype(np.uint8)
     y, cb, cr = (planes[c["id"]] for c in comps)
     return _ycbcr_to_rgb(y, cb, cr)
+
+
+def _decode_sequential_scan(scan, by_id, mcus_y, mcus_x) -> None:
+    """Baseline scan: full-spectrum Huffman blocks, interleaved MCU order
+    (or the component's own grid for single-component scans)."""
+    huff = scan["huff"]
+    order = [by_id[s["id"]] for s in scan["comps"]]
+    for c, s in zip(order, scan["comps"]):
+        c["dc_t"], c["ac_t"] = s["dc"], s["ac"]
+    readers = [_BitReader(s) for s in scan["segments"]]
+    restart_interval = scan["dri"]
+    seg_i = 0
+    br = readers[0]
+    pred = {c["id"]: 0 for c in order}
+    mcu_count = 0
+
+    def read_block(c, zz) -> None:
+        nonlocal br
+        dsym, dlen = huff[(0, c["dc_t"])]
+        s = _dec_sym(br, dsym, dlen)
+        diff = _extend(br.read(s), s)
+        pred[c["id"]] += diff
+        zz[0] = pred[c["id"]]
+        asym, alen = huff[(1, c["ac_t"])]
+        k = 1
+        while k < 64:
+            sym = _dec_sym(br, asym, alen)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(br.read(size), size)
+            k += 1
+
+    if len(order) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    seg_i += 1
+                    br = readers[seg_i]
+                    for c in order:
+                        pred[c["id"]] = 0
+                for c in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            read_block(c, c["coef"][my * c["v"] + by,
+                                                    mx * c["h"] + bx])
+                mcu_count += 1
+    else:
+        c = order[0]
+        for by in range(c["bys"]):
+            for bx in range(c["bxs"]):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    seg_i += 1
+                    br = readers[seg_i]
+                    pred[c["id"]] = 0
+                read_block(c, c["coef"][by, bx])
+                mcu_count += 1
+
+
+def _decode_progressive_scan(scan, by_id, mcus_y, mcus_x) -> None:
+    """One progressive scan (T.81 G.2): DC first / DC refinement
+    (interleaved or single-component) or AC first / AC refinement
+    (single-component only), with EOB-run bookkeeping and restart
+    resets."""
+    huff = scan["huff"]
+    order = [by_id[s["id"]] for s in scan["comps"]]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    readers = [_BitReader(s) for s in scan["segments"]]
+    restart_interval = scan["dri"]
+    bit = 1 << al
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+        pred = {c["id"]: 0 for c in order}
+        seg_i, br, mcu_count = 0, readers[0], 0
+        tabs = {c["id"]: huff[(0, s["dc"])]
+                for c, s in zip(order, scan["comps"])} if ah == 0 else {}
+
+        def dc_block(c, zz) -> None:
+            if ah == 0:  # first pass: diff-coded, scaled by 2^Al
+                dsym, dlen = tabs[c["id"]]
+                s = _dec_sym(br, dsym, dlen)
+                pred[c["id"]] += _extend(br.read(s), s)
+                zz[0] = pred[c["id"]] << al
+            else:  # refinement: one correction bit
+                if br.read(1):
+                    zz[0] |= bit
+
+        if len(order) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_count and \
+                            mcu_count % restart_interval == 0:
+                        seg_i += 1
+                        br = readers[seg_i]
+                        for c in order:
+                            pred[c["id"]] = 0
+                    for c in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(c, c["coef"][my * c["v"] + by,
+                                                      mx * c["h"] + bx])
+                    mcu_count += 1
+        else:
+            c = order[0]
+            for by in range(c["bys"]):
+                for bx in range(c["bxs"]):
+                    if restart_interval and mcu_count and \
+                            mcu_count % restart_interval == 0:
+                        seg_i += 1
+                        br = readers[seg_i]
+                        pred[c["id"]] = 0
+                    dc_block(c, c["coef"][by, bx])
+                    mcu_count += 1
+        return
+
+    # ---- AC scan: exactly one component ----
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = order[0]
+    asym, alen = huff[(1, scan["comps"][0]["ac"])]
+    seg_i, br = 0, readers[0]
+    eobrun = 0
+    blk_count = 0
+
+    def ac_first(zz) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _dec_sym(br, asym, alen)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+bits blocks ending here
+                    eobrun = (1 << r) - 1 + br.read(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past Se")
+            zz[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    def refine_nonzero(zz, k, last) -> int:
+        """Correction bits for already-nonzero coefs in [k, last]; returns
+        the first ZERO-history position > the refined span (== k of the
+        caller's next insertion point)."""
+        while k <= last:
+            if zz[k] != 0:
+                if br.read(1) and not (zz[k] & bit):
+                    zz[k] += bit if zz[k] > 0 else -bit
+            k += 1
+        return k
+
+    def ac_refine(zz) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _dec_sym(br, asym, alen)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0 and r < 15:
+                    eobrun = (1 << r) + br.read(r)  # incl. this block's tail
+                    break
+                newval = 0
+                if s:
+                    # s == 1 by the standard; value is ±2^Al
+                    newval = bit if br.read(1) else -bit
+                # advance past r zero-HISTORY coefs (ZRL: r=15 → 16 zeros),
+                # emitting correction bits for nonzero-history coefs passed
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read(1) and not (zz[k] & bit):
+                            zz[k] += bit if zz[k] > 0 else -bit
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            refine_nonzero(zz, k, se)
+            eobrun -= 1
+
+    for by in range(c["bys"]):
+        for bx in range(c["bxs"]):
+            if restart_interval and blk_count and \
+                    blk_count % restart_interval == 0:
+                seg_i += 1
+                br = readers[seg_i]
+                eobrun = 0
+            if ah == 0:
+                ac_first(c["coef"][by, bx])
+            else:
+                ac_refine(c["coef"][by, bx])
+            blk_count += 1

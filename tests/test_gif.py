@@ -131,3 +131,39 @@ def test_count_gif_frames_truncated_raises_valueerror():
     assert count_gif_frames(buf) == 5
     with pytest.raises(ValueError):
         count_gif_frames(buf[: len(buf) // 2])
+
+
+def test_gif_golden_externally_produced():
+    """Externally-produced GIFs (tcl/tk + libxslt doc images shipped in the
+    container): decode must succeed with dimensions matching the logical
+    screen descriptor parsed INLINE here (independent of the codec's
+    parser), yield a plausible palette-bounded image, and survive a
+    re-encode -> decode round trip pixel-identically (GIF is lossless, so
+    any LZW/palette/descriptor deviation in either direction shows up as
+    a pixel diff against bits we did not produce)."""
+    import os
+    import struct
+
+    import numpy as np
+    import pytest
+
+    fixtures = [
+        "/usr/share/tcltk/tk8.6/images/logo64.gif",
+        "/usr/share/tcltk/tk8.6/images/tai-ku.gif",
+        "/usr/share/doc/libxslt1-dev/html/redhat.gif",
+        "/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-180x168.gif",
+    ]
+    present = [p for p in fixtures if os.path.exists(p)]
+    if not present:
+        pytest.skip("golden fixtures not present in this container")
+    for p in present:
+        buf = open(p, "rb").read()
+        w, h = struct.unpack("<HH", buf[6:10])
+        frames, delays = decode_gif(buf)
+        assert frames.shape[1:] == (h, w, 3)
+        assert len(frames) >= 1 and len(delays) == len(frames)
+        uniq = np.unique(frames[0].reshape(-1, 3), axis=0)
+        assert 2 <= len(uniq) <= 256  # palette-bounded, non-degenerate
+        # lossless round trip through OUR encoder on external content
+        back, _ = decode_gif(encode_gif(frames[0]))
+        assert (back[0] == frames[0]).all()

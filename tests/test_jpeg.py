@@ -67,15 +67,67 @@ def test_jpeg_flat_image_exact_dims_and_near_lossless():
     assert _psnr(img, dec) > 45.0
 
 
-def test_jpeg_rejects_progressive_and_non_jpeg():
+def test_jpeg_rejects_non_jpeg_and_unsupported_sof():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # minimal SOI + SOF2 header → the documented progressive seam
+    # SOF2 (progressive) with no scans is a truncated stream, not a
+    # NotImplementedError — progressive is now decoded for real
     sof2 = b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big") \
         + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") \
         + bytes([1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="no SOF/SOS"):
         decode_jpeg(sof2)
+    # lossless (SOF3) stays an explicit unsupported seam
+    sof3 = b"\xff\xd8" + b"\xff\xc3" + (11).to_bytes(2, "big") \
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(sof3)
+
+
+_GOLDEN_DIR = "/usr/share/doc/nodejs"
+
+
+def test_progressive_golden_externally_produced():
+    """Externally-produced PROGRESSIVE JPEGs (SOF2, successive
+    approximation + spectral selection — shipped with the container's
+    nodejs docs, produced by a real-world encoder): decode must succeed
+    and recover the a-priori-known content — 'white stripe' images that
+    are overwhelmingly white. A symmetric spec deviation in our own
+    encoder/decoder pair (wrong zigzag, wrong refinement semantics, wrong
+    color transform) cannot pass this: the bitstream came from an
+    independent implementation. Dimensions are cross-checked against the
+    SOF2 header bytes parsed INLINE here, independent of the codec's
+    parser."""
+    import os
+    import struct
+
+    fixtures = {
+        # name -> (min mean, min fraction of pixels >= 250)
+        "full-white-stripe.jpg": (245.0, 0.9),
+        "thin-white-stripe.jpg": (225.0, 0.8),
+    }
+    for name, (min_mean, min_white) in fixtures.items():
+        path = os.path.join(_GOLDEN_DIR, name)
+        if not os.path.exists(path):  # container layout changed: skip, the
+            pytest.skip("golden fixture not present")  # synthetic tests stand
+        buf = open(path, "rb").read()
+        # independent SOF2 header walk (test-local, not the codec's parser)
+        p, dims = 2, None
+        while p < len(buf) - 1:
+            assert buf[p] == 0xFF
+            m = buf[p + 1]
+            (ln,) = struct.unpack(">H", buf[p + 2:p + 4])
+            if m == 0xC2:
+                _, hh, ww = struct.unpack(">BHH", buf[p + 4:p + 9])
+                dims = (hh, ww)
+                break
+            p += 2 + ln
+        assert dims is not None
+        img = decode_jpeg(buf)
+        assert img.shape == (dims[0], dims[1], 3)
+        assert img.mean() >= min_mean
+        assert (img >= 250).mean() >= min_white
 
 
 def test_codecs_sniffing_dispatch():
