@@ -46,6 +46,20 @@ Index layout: ``seg-{sha1(content)}-s{shard:04d}.parquet`` with columns
 (hash, doc) adds (the newest add of a redropped pair wins by max seq);
 readers resolve live entries per hash. Shard count is fixed at index
 creation (persisted in state.json).
+
+Bloom prefilter: each shard keeps a ``bloom-s{shard:04d}.bin`` side-file
+(16 KiB bit array over the shard's indexed h1 values). A run's resolve
+task tests its batch hashes against the Bloom BEFORE opening the shard's
+segment pile — in steady state most shards receive only brand-new
+content, so the whole pile read is skipped (at 4096-shard scale that is
+the difference between touching every shard and touching the few with
+real collisions). The Bloom is a SUPERSET filter: 'A' writes OR bits in,
+'D' drops never clear them (false positives only cost one pile read),
+and ``compact_index`` rebuilds it exactly from the live set. A missing
+side-file (pre-Bloom index) means "read the pile", after which the
+filter is self-healed from the live entries. Run results report
+``index_shards_probed`` / ``index_shards_read`` so the skip rate is
+observable (the dedup soak tracks it).
 """
 
 from __future__ import annotations
@@ -106,6 +120,50 @@ def _write_segment(idx_dir: str, shard: int, df: pd.DataFrame) -> str:
     return final
 
 
+_BLOOM_BITS = 1 << 17  # 16 KiB per shard; fp ≈ 2% at 16k entries/shard —
+_BLOOM_K = 4           # scale num_shards (not this) for bigger indexes
+
+
+def _bloom_path(idx_dir: str, shard: int) -> str:
+    return os.path.join(idx_dir, f"bloom-s{shard:04d}.bin")
+
+
+def _bloom_add(idx_dir: str, shard: int, h1_vals) -> None:
+    """OR ``h1_vals`` into the shard's Bloom side-file (read-modify-write +
+    atomic replace; single-maintainer discipline like the segment writes —
+    one resolve task per shard per run, phase-B writes on the driver)."""
+    from ..functions.sketch import _bloom_bits
+
+    p = _bloom_path(idx_dir, shard)
+    if os.path.exists(p):
+        bits = np.frombuffer(open(p, "rb").read(), dtype=np.uint8).copy()
+    else:
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    vals = np.asarray(h1_vals, dtype=np.int64)
+    if len(vals):
+        pos = _bloom_bits(vals, _BLOOM_BITS, _BLOOM_K)
+        np.bitwise_or.at(bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bits.tobytes())
+    os.replace(tmp, p)
+
+
+def _bloom_may_contain(idx_dir: str, shard: int, h1_vals) -> bool:
+    """False ⇒ NONE of ``h1_vals`` is indexed in this shard (no false
+    negatives, ever). Missing side-file ⇒ True (pre-Bloom index: read the
+    pile, then self-heal)."""
+    from ..functions.sketch import bloom_contains
+
+    p = _bloom_path(idx_dir, shard)
+    if not os.path.exists(p):
+        return True
+    bloom = open(p, "rb").read()
+    vals = np.asarray(h1_vals, dtype=np.int64)
+    return bool(bloom_contains(bloom, vals, _BLOOM_K).any())
+
+
 def _read_shard_index(idx_dir: str, shard: int) -> pd.DataFrame:
     """Live index entries of one shard: per (hash, doc) the max-seq row
     wins, op='D' winners are dropped — one row per live (h1, h2, doc_id)."""
@@ -155,6 +213,12 @@ def compact_index(lake_dir: str, min_segments: int = 2) -> dict[str, Any]:
         for p in paths:
             if p != keep:
                 os.remove(p)
+        # exact Bloom rebuild: compaction is the one moment the live set is
+        # known in full, so dropped hashes stop costing false positives
+        bp = _bloom_path(idx_dir, shard)
+        if os.path.exists(bp):
+            os.remove(bp)
+        _bloom_add(idx_dir, shard, live["h1"].to_numpy(dtype=np.int64))
         return len(paths) - (1 if keep else 0)
 
     removed = ray.get([fold.remote(s) for s in range(num_shards)])
@@ -230,7 +294,22 @@ def dedup_incremental(engine, content_col: str | None = None,
         the driver's liveness walk), and appends (new hashes — the winner
         goes into the index HERE, distributed)."""
         shard = int(g["shard"].iloc[0])
-        idx = _read_shard_index(idx_dir, shard)
+        # Bloom prefilter: if NO batch hash can be in this shard's index,
+        # skip the segment-pile read entirely (the steady-state common case
+        # — most shards only ever receive brand-new content per run)
+        had_bloom = os.path.exists(_bloom_path(idx_dir, shard))
+        read_idx = _bloom_may_contain(idx_dir, shard,
+                                      g["h1"].to_numpy(dtype=np.int64))
+        if read_idx:
+            idx = _read_shard_index(idx_dir, shard)
+            if not had_bloom and not dry_run:  # pre-Bloom index: self-heal
+                _bloom_add(idx_dir, shard,
+                           idx["h1"].to_numpy(dtype=np.int64))
+        else:
+            idx = pd.DataFrame({"h1": pd.Series([], dtype="int64"),
+                                "h2": pd.Series([], dtype="int64"),
+                                "doc_id": pd.Series([], dtype="string"),
+                                "seq": pd.Series([], dtype="int64")})
         incs = (idx.sort_values("doc_id")
                 .groupby(["h1", "h2"], sort=False)
                 .agg(_incs=("doc_id", list), _incseqs=("seq", list))
@@ -245,6 +324,8 @@ def dedup_incremental(engine, content_col: str | None = None,
             appends["op"] = "A"
             _write_segment(idx_dir, shard,
                            appends[["h1", "h2", "doc_id", "seq", "op"]])
+            _bloom_add(idx_dir, shard,
+                       appends["h1"].to_numpy(dtype=np.int64))
         # in-batch losers of a new-hash winner: winner is live by
         # construction → no verification needed
         win = g.groupby(["h1", "h2"], sort=False)["doc_id"].transform("min")
@@ -252,7 +333,7 @@ def dedup_incremental(engine, content_col: str | None = None,
         cand = has_inc
         empties = pd.Series([[]] * int(sure.sum()), dtype=object,
                             index=g.index[sure])
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": pd.concat([g.loc[sure, "doc_id"],
                                  g.loc[cand, "doc_id"]]).astype("string").values,
             "seq": pd.concat([g.loc[sure, "seq"],
@@ -268,6 +349,21 @@ def dedup_incremental(engine, content_col: str | None = None,
             "verified": np.r_[np.ones(int(sure.sum()), dtype=bool),
                               np.zeros(int(cand.sum()), dtype=bool)],
         })
+        # per-shard stats sentinel (doc_id=None, filtered out of both real
+        # streams): lets the driver report Bloom probe/read counts
+        stats = pd.DataFrame({
+            "doc_id": pd.array([None], dtype="string"),
+            "seq": np.zeros(1, dtype=np.int64),
+            "dup_of": pd.array([None], dtype="string"),
+            "h1": np.zeros(1, dtype=np.int64),
+            "h2": np.zeros(1, dtype=np.int64),
+            "incs": pd.Series([[]], dtype=object),
+            "incseqs": pd.Series([[]], dtype=object),
+            "verified": np.ones(1, dtype=bool),
+        })
+        out = pd.concat([out, stats], ignore_index=True)
+        out["_idx_read"] = np.int64(read_idx)
+        return out
 
     tagged = new.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     cand_ds = exchange_group_map(tagged, resolve, num_shards,
@@ -287,9 +383,20 @@ def dedup_incremental(engine, content_col: str | None = None,
     def split_sure(t: pa.Table) -> pa.Table:
         if "verified" not in t.column_names:
             return pa.table({"doc_id": pa.array([], pa.string())})
-        t = t.filter(pc.equal(t["verified"], pa.scalar(True)))
+        t = t.filter(pc.and_(pc.equal(t["verified"], pa.scalar(True)),
+                             pc.is_valid(t["doc_id"])))  # drop stats rows
         return t.select(["doc_id"])
 
+    def split_stats(t: pa.Table) -> pa.Table:
+        if "_idx_read" not in t.column_names:
+            return pa.table({"_idx_read": pa.array([], pa.int64())})
+        t = t.filter(pc.is_null(t["doc_id"]))
+        return t.select(["_idx_read"])
+
+    stats_df = cand_ds.map_batches(
+        split_stats, batch_format="pyarrow").to_pandas()
+    shards_probed = int(len(stats_df))
+    shards_read = int(stats_df["_idx_read"].sum()) if len(stats_df) else 0
     unverified = cand_ds.map_batches(
         split_unverified, batch_format="pyarrow").to_pandas()
     # materialize: count() and the delete staging must not re-filter every
@@ -372,13 +479,19 @@ def dedup_incremental(engine, content_col: str | None = None,
                 shard_rows.setdefault(shard, []).extend(rows)
         if not dry_run:
             for shard, rows in shard_rows.items():
-                _write_segment(idx_dir, shard, pd.DataFrame(rows))
+                df = pd.DataFrame(rows)
+                _write_segment(idx_dir, shard, df)
+                adds = df.loc[df["op"] == "A", "h1"]
+                if len(adds):
+                    _bloom_add(idx_dir, shard, adds.to_numpy(dtype=np.int64))
 
     # -- phase C: tombstone losers through the ordinary delete epoch -------
     if dry_run:
         return {"duplicates": n_sure + len(set(losers)), "dry_run": True,
                 "method": "incremental", "bootstrap": bootstrap,
-                "candidates": int(n_cand), "num_shards": num_shards}
+                "candidates": int(n_cand), "num_shards": num_shards,
+                "index_shards_probed": shards_probed,
+                "index_shards_read": shards_read}
     to_delete = sure_ds
     if losers:
         import ray.data as rd
@@ -392,6 +505,8 @@ def dedup_incremental(engine, content_col: str | None = None,
         "bootstrap": bootstrap,
         "candidates": int(n_cand),
         "num_shards": num_shards,
+        "index_shards_probed": shards_probed,
+        "index_shards_read": shards_read,
     })
     _save_state(lake, {"version": engine.manifest.version,
                        "num_shards": num_shards,

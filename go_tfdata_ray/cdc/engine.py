@@ -799,6 +799,8 @@ class CDCEngine:
         applied = 0
         events = 0
         deduped = 0
+        idx_probed = 0
+        idx_read = 0
         idle = 0
         t0 = _time.perf_counter()
         # WAL segment ids and ENGINE epochs are decoupled here: synthesized
@@ -837,6 +839,8 @@ class CDCEngine:
                     ):  # drain the change feed before compaction folds it
                         dres = self.dedup_incremental()
                         deduped += dres.get("deleted", 0)
+                        idx_probed += dres.get("index_shards_probed", 0)
+                        idx_read += dres.get("index_shards_read", 0)
                         if dres.get("deleted", 0) and on_commit is not None:
                             # the delete epoch is a commit like any other:
                             # live views must see dedup tombstones too
@@ -859,6 +863,8 @@ class CDCEngine:
             "epochs_applied": applied,
             "rows_applied": events,
             "rows_deduped": deduped,
+            "index_shards_probed": idx_probed,
+            "index_shards_read": idx_read,
             "wall_sec": round(wall, 3),
             "committed_epoch": self.manifest.committed_epoch,
             "manifest_version": self.manifest.version,

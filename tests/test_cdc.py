@@ -1412,3 +1412,48 @@ def test_tail_auto_dedup_keeps_live_view_current(tmp_path):
     fresh.full_refresh()
     assert view.state == fresh.state
     assert sum(v[0] for v in view.state.values()) == 4  # one doc per content
+
+
+def test_dedup_incremental_bloom_skips_untouched_shards(tmp_path):
+    """Bloom prefilter: a steady-state run whose new contents are all brand
+    new must SKIP most shard-index reads (index_shards_read <<
+    index_shards_probed), while a run carrying a true duplicate still reads
+    the colliding shard and deletes the loser (no false negatives)."""
+    import glob as _glob
+
+    import numpy as np
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    rng = np.random.default_rng(5)
+    mk = lambda n: [rng.integers(0, 9999, 40).tolist() for _ in range(n)]
+
+    base = mk(64)
+    eng.upsert(_tok_table([f"d{i:03d}" for i in range(64)], base))
+    out = eng.dedup_incremental(num_shards=16)
+    assert out["bootstrap"] and out["deleted"] == 0
+    # bootstrap creates a Bloom side-file per touched shard
+    assert _glob.glob(os.path.join(lake, "_dedup_index", "bloom-s*.bin"))
+
+    # steady state, all-new content: Bloom must skip most pile reads
+    eng.upsert(_tok_table([f"n{i:03d}" for i in range(64)], mk(64)))
+    out = eng.dedup_incremental()
+    assert out["deleted"] == 0
+    assert out["index_shards_probed"] > 0
+    # with 128 distinct contents over 16 shards every shard is probed;
+    # a pile read only happens on a Bloom false positive (~2%)
+    assert out["index_shards_read"] <= out["index_shards_probed"] // 2
+
+    # true duplicate: its shard is read and the loser is deleted
+    eng.upsert(_tok_table(["dup00"], [base[0]]))
+    out = eng.dedup_incremental()
+    assert out["deleted"] == 1 and out["index_shards_read"] >= 1
+    alive = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert "dup00" not in alive and "d000" in alive
+
+    # index compaction rebuilds the Bloom exactly; dedup still correct
+    from go_tfdata_ray.cdc.dedupidx import compact_index
+    compact_index(lake, min_segments=1)
+    eng.upsert(_tok_table(["dup01"], [base[1]]))
+    out = eng.dedup_incremental()
+    assert out["deleted"] == 1

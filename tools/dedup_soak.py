@@ -87,9 +87,45 @@ def main() -> int:
         # the pre-compaction trigger
         final = eng.dedup_incremental()
         m["rows_deduped"] += final.get("deleted", 0)
+        m["index_shards_probed"] += final.get("index_shards_probed", 0)
+        m["index_shards_read"] += final.get("index_shards_read", 0)
         wall = time.perf_counter() - t0
+        skip = (1 - m["index_shards_read"] / m["index_shards_probed"]
+                if m["index_shards_probed"] else 0.0)
         print(f"tail: {json.dumps(m)} ({n_events / wall:,.0f} events/s "
-              f"incl. dedup)", flush=True)
+              f"incl. dedup; bloom skipped {skip:.0%} of "
+              f"{m['index_shards_probed']} shard-index probes)", flush=True)
+
+        # steady-state leg: one more epoch of ALL-NEW contents — the Bloom
+        # prefilter should skip (almost) every shard-index read here, since
+        # no new hash collides with the indexed corpus
+        fresh_lens = rng.integers(16, 256, per_epoch // 10)
+        fresh_flat = rng.integers(40000, 70000, int(fresh_lens.sum()),
+                                  dtype=np.int32)  # disjoint token range
+        foffs = np.concatenate(([0], np.cumsum(fresh_lens)))
+        fe = epochs
+        d = walmod.open_segment(wal, fe)
+        ftoks = pa.ListArray.from_arrays(
+            pa.array(foffs.astype(np.int32)), pa.array(fresh_flat))
+        pq.write_table(pa.table({
+            "seq": pa.array(np.arange(seq, seq + len(fresh_lens), dtype=np.int64)),
+            "epoch": pa.array(np.full(len(fresh_lens), fe, dtype=np.int32)),
+            "op": pa.array(["I"] * len(fresh_lens)),
+            "doc_id": pa.array([f"f{fe:03d}-{i:07d}" for i in range(len(fresh_lens))]),
+            "tokens": ftoks,
+            "n_tok": pa.array(fresh_lens.astype(np.int32)),
+            "source": pa.array(["s"] * len(fresh_lens)),
+        }), os.path.join(d, "shard-000000.parquet"))
+        walmod.seal_segment(d)
+        m2 = eng.tail(wal, idle_limit=1, poll_secs=0.01, auto_dedup=1)
+        skip2 = (1 - m2["index_shards_read"] / m2["index_shards_probed"]
+                 if m2["index_shards_probed"] else 0.0)
+        print(f"steady-state (all-new) leg: bloom skipped {skip2:.0%} of "
+              f"{m2['index_shards_probed']} shard-index probes, "
+              f"{m2['rows_deduped']} dups", flush=True)
+        assert m2["rows_deduped"] == 0
+        assert m2["index_shards_read"] <= m2["index_shards_probed"] // 2, (
+            "bloom prefilter failed to skip untouched shards")
 
         # verify vs DuckDB over the raw WAL
         import duckdb
