@@ -66,15 +66,20 @@ def canon(df):
 
 checks = {{}}
 for name in ("join_bucketed", "sessionize", "dedup_clusters_planted"):
-    t0 = time.perf_counter()
-    res = Q.QUERIES[name](sf_dir)
-    got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(2):  # first run absorbs worker warmup on every raylet
+        t0 = time.perf_counter()
+        res = Q.QUERIES[name](sf_dir)
+        got = (res.to_pandas() if hasattr(res, "to_pandas")
+               else pd.DataFrame(res))
+        walls.append(time.perf_counter() - t0)
     want = con.execute(Q.ORACLE_SQL[name]).df()
     a, b = canon(got), canon(want)
     ok = a.shape == b.shape and bool(
         (a.values == b.values).all()) if a.shape == b.shape else False
-    checks[name] = {{"sec": round(wall, 3), "rows": len(got), "match": bool(ok)}}
+    checks[name] = {{"cold_sec": round(walls[0], 3),
+                     "warm_sec": round(walls[1], 3),
+                     "rows": len(got), "match": bool(ok)}}
 
 # headline replay across the cluster (fresh lake, sf-linked WAL)
 from go_tfdata_ray.cdc.engine import CDCEngine
