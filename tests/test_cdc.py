@@ -1206,8 +1206,13 @@ def test_dedup_incremental_dry_run(tmp_path):
     eng.upsert(_tok_table(["a1", "a2", "a3"], [A, A, A]))
     v0 = eng.manifest.version
     out = eng.dedup_incremental(num_shards=4, dry_run=True)
+    shard_io = {k: out.pop(k) for k in
+                ("index_shards_probed", "index_shards_read")}
     assert out == {"duplicates": 2, "dry_run": True, "method": "incremental",
                    "bootstrap": True, "candidates": 2, "num_shards": 4}
+    # all three docs share one content hash → exactly one shard touched,
+    # and the Bloom prefilter never skips a shard that holds a candidate
+    assert shard_io == {"index_shards_probed": 1, "index_shards_read": 1}
     assert eng.manifest.version == v0
     idx = os.path.join(lake, "_dedup_index")
     assert not _glob.glob(os.path.join(idx, "seg-*.parquet"))
