@@ -10,8 +10,9 @@ Scope:
   composed per the disposal method (none/keep, restore-background,
   restore-previous), transparency via GCE, per-frame delays.
 - encode: one or more full-frame RGB images; palette built from the exact
-  unique colors (lossless; >256 unique colors raises — the color
-  quantization seam), LZW with dictionary reset at 4096 entries.
+  unique colors when ≤256 (lossless round trip), else deterministic
+  median-cut quantization (count-weighted, standard lossy palette path);
+  LZW with dictionary reset at 4096 entries.
 
 Cost model: palette mapping, interlace reordering and frame composition
 are vectorized numpy; the LZW symbol walk is a Python loop (inherently
@@ -258,24 +259,67 @@ def decode_gif_first(buf: bytes) -> np.ndarray:
 
 # -- encode -----------------------------------------------------------------
 
+def quantize_median_cut(flat: np.ndarray,
+                        max_colors: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Median-cut color quantization: uint8 (N,3) RGB → (palette (K,3) uint8,
+    indices (N,) intp with K ≤ max_colors). Deterministic: boxes split
+    largest-pixel-count-first along the channel with the widest value range,
+    at the count-weighted median unique color; ties break on box id. Runs on
+    the UNIQUE colors weighted by their pixel counts, so the iterative part
+    costs O(unique · log unique), independent of frame count/size."""
+    uniq, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True)
+    if len(uniq) <= max_colors:
+        return uniq, inverse
+    u16 = uniq.astype(np.int16)
+    boxes = [np.arange(len(uniq))]  # index arrays into uniq, sorted
+    while len(boxes) < max_colors:
+        # largest box by pixel count that still has >1 unique color
+        order = sorted(range(len(boxes)),
+                       key=lambda i: (-int(counts[boxes[i]].sum()), i))
+        for bi in order:
+            idx = boxes[bi]
+            if len(idx) > 1:
+                break
+        else:
+            break  # every box is a single color: nothing left to split
+        colors = u16[idx]
+        ch = int(np.argmax(colors.max(axis=0) - colors.min(axis=0)))
+        sort = idx[np.argsort(colors[:, ch], kind="stable")]
+        csum = np.cumsum(counts[sort])
+        # smallest prefix holding >= half the pixel weight
+        cut = int(np.searchsorted(csum, csum[-1] / 2, side="left")) + 1
+        cut = min(max(cut, 1), len(sort) - 1)  # both halves non-empty
+        boxes[bi] = sort[:cut]
+        boxes.append(sort[cut:])
+    palette = np.empty((len(boxes), 3), dtype=np.uint8)
+    box_of = np.empty(len(uniq), dtype=np.intp)
+    for bi, idx in enumerate(boxes):
+        w = counts[idx].astype(np.float64)
+        palette[bi] = np.round(
+            (u16[idx] * w[:, None]).sum(axis=0) / w.sum()).astype(np.uint8)
+        box_of[idx] = bi
+    return palette, box_of[inverse]
+
+
 def encode_gif(frames: np.ndarray | list[np.ndarray],
-               delays: int | list[int] = 4) -> bytes:
-    """uint8 (H,W,3) / (N,H,W,3) RGB -> GIF89a bytes. The palette is the
-    exact set of unique colors across all frames (lossless round trip);
-    more than 256 unique colors raises — color quantization is the seam a
-    production encoder fills."""
+               delays: int | list[int] = 4,
+               max_colors: int = 256) -> bytes:
+    """uint8 (H,W,3) / (N,H,W,3) RGB -> GIF89a bytes. Up to ``max_colors``
+    unique colors across all frames the palette is the exact color set
+    (lossless round trip); past that the frames are median-cut quantized to
+    ``max_colors`` (deterministic, count-weighted — the standard lossy
+    palette path every production GIF encoder takes)."""
     arr = np.asarray(frames, dtype=np.uint8)
     if arr.ndim == 3:
         arr = arr[np.newaxis]
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise ValueError(f"unsupported frame shape {np.asarray(frames).shape}")
+    if not 2 <= max_colors <= 256:
+        raise ValueError("max_colors must be in [2, 256]")
     n, h, w = arr.shape[:3]
     flat = arr.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise NotImplementedError(
-            f"{len(palette)} unique colors — palette quantization (median "
-            "cut / octree) is a seam; pre-quantize to <=256 colors")
+    palette, inverse = quantize_median_cut(flat, max_colors)
     depth = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
     table_size = 1 << depth
     pal = np.zeros((table_size, 3), dtype=np.uint8)

@@ -6,12 +6,13 @@ stdlib `image/jpeg`; its tar fixtures are .jpg).
 
 Scope:
 - encode: 8-bit gray or RGB, quality 1-100 (libjpeg-style quant scaling),
-  4:4:4 or 4:2:0 chroma subsampling, standard Annex K quant + Huffman
-  tables, interleaved single scan.
+  4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 / 4:1:1 chroma subsampling, standard
+  Annex K quant + Huffman tables, interleaved single scan.
 - decode: baseline SOF0/SOF1 AND progressive SOF2 (spectral selection +
   successive approximation, DC/AC first and refinement scans, EOB runs —
-  T.81 G.1.2/G.2), 1 or 3 components, sampling factors up to 2x2
-  (4:4:4 / 4:2:2 / 4:2:0), Huffman tables from the stream (16-bit-peek
+  T.81 G.1.2/G.2), 1 or 3 components, any divisible sampling factors up
+  to the spec's 4x4 (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / ...; fractional
+  ratios raise), Huffman tables from the stream (16-bit-peek
   lookup tables, cached by table bytes), restart intervals (DRI/RSTn),
   byte unstuffing. Validated against externally-produced progressive
   JPEGs (tests/test_jpeg.py golden fixtures).
@@ -266,6 +267,18 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
+# Y sampling factors per named chroma-subsampling mode (chroma is always
+# (1,1)): "422"/"440" halve one chroma axis, "420" both, "411" quarters
+# the horizontal axis (the DV-camera layout — exercises factor 4)
+_SUBSAMP = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444") -> bytes:
     """uint8 (H,W) gray or (H,W,3) RGB -> baseline JFIF JPEG bytes."""
@@ -278,8 +291,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         gray = False
     else:
         raise ValueError(f"unsupported image shape {img.shape}")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in _SUBSAMP:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMP)}")
     h, w = img.shape[:2]
     ql = _scaled_qtab(_QL, quality)
     qc = _scaled_qtab(_QC, quality)
@@ -290,18 +303,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         qmap = [0]
     else:
         ycc = _rgb_to_ycbcr(img)
-        if subsampling == "420":
-            samp = [(2, 2), (1, 1), (1, 1)]
-            ypad = _pad_to(ycc[..., 0], 16, 16)
-            # 2x2 box-mean chroma downsample over the padded grid
-            cpad = _pad_to(ycc[..., 1], 16, 16), _pad_to(ycc[..., 2], 16, 16)
+        samp = list(_SUBSAMP[subsampling])
+        yh, yv = samp[0]
+        if (yh, yv) == (1, 1):
+            planes = [ycc[..., i] for i in range(3)]
+        else:
+            # yv x yh box-mean chroma downsample over the MCU-padded grid
+            ypad = _pad_to(ycc[..., 0], 8 * yv, 8 * yh)
+            cpad = (_pad_to(ycc[..., 1], 8 * yv, 8 * yh),
+                    _pad_to(ycc[..., 2], 8 * yv, 8 * yh))
             planes = [ypad] + [
-                c.reshape(c.shape[0] // 2, 2, c.shape[1] // 2, 2).mean(axis=(1, 3))
+                c.reshape(c.shape[0] // yv, yv,
+                          c.shape[1] // yh, yh).mean(axis=(1, 3))
                 for c in cpad
             ]
-        else:
-            samp = [(1, 1)] * 3
-            planes = [ycc[..., i] for i in range(3)]
         qmap = [0, 1, 1]
 
     hmax = max(s[0] for s in samp)
@@ -546,8 +561,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("no SOF/SOS found")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors > 2 not supported")
+    if hmax > 4 or vmax > 4:
+        raise ValueError("sampling factors > 4 are invalid JPEG")
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        # integer-ratio upsampling only; fractional ratios (e.g. 3-vs-2)
+        # essentially never occur in real corpora
+        raise NotImplementedError("non-divisible sampling ratios not supported")
     mcus_y = -(-h // (8 * vmax))
     mcus_x = -(-w // (8 * hmax))
     by_id = {c["id"]: c for c in comps}

@@ -40,12 +40,39 @@ def test_gif_lzw_dict_reset_large_frame():
     assert (decode_gif_first(encode_gif(big)) == big).all()
 
 
-def test_gif_palette_seam():
+def test_gif_truecolor_quantized_roundtrip():
+    # >256 unique colors: encode quantizes via median cut instead of raising
     rng = np.random.default_rng(4)
     truecolor = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     assert len(np.unique(truecolor.reshape(-1, 3), axis=0)) > 256
-    with pytest.raises(NotImplementedError, match="quantization"):
-        encode_gif(truecolor)
+    buf = encode_gif(truecolor)
+    got = decode_gif_first(buf)
+    assert got.shape == truecolor.shape
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) <= 256
+    # 1024 uniform-random pixels over 256 boxes → small per-channel error
+    mae = np.abs(got.astype(np.int16) - truecolor.astype(np.int16)).mean()
+    assert mae < 24, mae
+    assert encode_gif(truecolor) == buf  # deterministic
+
+
+def test_median_cut_separates_planted_clusters():
+    from go_tfdata_ray.functions.gif import quantize_median_cut
+
+    rng = np.random.default_rng(7)
+    lo = rng.integers(5, 16, (400, 3))
+    hi = rng.integers(195, 206, (400, 3))
+    flat = np.concatenate([lo, hi]).astype(np.uint8)
+    pal, idx = quantize_median_cut(flat, max_colors=2)
+    assert pal.shape == (2, 3) and idx.shape == (800,)
+    # each cluster maps to ONE palette entry sitting near its mean
+    assert len(set(idx[:400])) == 1 and len(set(idx[400:])) == 1
+    assert idx[0] != idx[400]
+    assert np.abs(pal[idx[0]].astype(int) - lo.mean(axis=0)).max() < 4
+    assert np.abs(pal[idx[400]].astype(int) - hi.mean(axis=0)).max() < 4
+    # ≤ max_colors unique input is returned exactly (lossless path)
+    small = np.array([[1, 2, 3], [4, 5, 6], [1, 2, 3]], dtype=np.uint8)
+    pal2, idx2 = quantize_median_cut(small, max_colors=256)
+    assert (pal2[idx2] == small).all()
 
 
 def test_gif_disposal_and_transparency():

@@ -32,6 +32,9 @@ def _smooth_rgb(h, w, seed=0):
 @pytest.mark.parametrize("h,w,subs", [
     (16, 16, "444"), (17, 23, "420"), (64, 48, "420"), (8, 8, "444"),
     (33, 31, "444"),
+    # one-axis and factor-4 chroma layouts: 4:2:2, 4:4:0 and the DV-camera
+    # 4:1:1 (Y h-factor 4 — exercises the generalized >2 upsample path)
+    (48, 64, "422"), (41, 53, "440"), (48, 64, "411"), (41, 53, "411"),
 ])
 def test_jpeg_rgb_roundtrip(h, w, subs):
     img = _smooth_rgb(h, w, seed=h * 100 + w)
