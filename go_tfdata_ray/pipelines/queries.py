@@ -343,9 +343,8 @@ def q_window_sliding(sf_dir: str):
         s = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[s]").astype(np.int64)
         base = (s // 900) * 900
         ws = np.concatenate([base - k * 900 for k in range(4)])
-        df = pd.DataFrame({"window_start": ws})
-        g = df.groupby("window_start", sort=False, as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "n"}), preserve_index=False)
+        ws_u, cnt = np.unique(ws, return_counts=True)
+        return pa.table({"window_start": ws_u, "n": cnt.astype(np.int64)})
 
     out = rel.combine_partials(
         ds.map_batches(partial, batch_format="pyarrow"), ["window_start"], ["n"]
