@@ -23,13 +23,21 @@ Usage:  python tools/multinode_sim.py [sf_dir] [n_workers] [cpus_per_node]
 (defaults: /root/testdata/sf0.1, 2 workers + head, 8 cpus each).
 
 `--scaling [n_events]` (default 12,000,000) instead runs the north-rule
-two-cluster-size criterion on REAL raylet boundaries: the identical
-replay job on a 1-node cluster (8 cpus) and a 4-node cluster (4 × 8
-cpus, separate object stores), fresh cluster + fresh driver process per
-leg, best-of-2; reports both throughputs and (T_1node/T_4node)/4. This
-is the closest a single box gets to the rule's N→4N NODES configuration
-— inter-node object transfer included, only the shared memory bus is
-unavoidably common.
+two-parallelism criterion on the REAL cluster runtime: the identical
+replay job on fresh single-raylet `ray start` clusters at 2 and 8 CPUs
+(fresh driver process per leg, in-driver lake teardown + settle between
+legs, best-of-2, legs alternating); reports both throughputs and
+(T_2/T_8)/4. Single-raylet on purpose: co-located raylets share ONE
+kernel/memory bus and measurably collapse on tmpfs-heavy jobs (the
+artifact is quantified by the optional `--artifact` leg and documented
+in BASELINE.md) — a real 4N-node cluster multiplies those resources.
+
+`--chaos` kills a WORKER raylet mid-replay on a 3-raylet cluster, then
+asserts (a) the replay's final lake still matches the DuckDB/vectorized
+WAL oracle exactly, and (b) exchange-heavy queries (sessionize,
+join_bucketed) still oracle-match on the degraded 2-raylet cluster —
+the task-retry / lineage-reconstruction story for the exchange
+primitives, which no single-raylet run can exercise.
 
 Runs `ray stop --force` on exit — do not run concurrently with another Ray
 session on this box.
@@ -151,6 +159,173 @@ print("REPLAY_RESULT " + json.dumps(
 """
 
 
+CHAOS_DRIVER = r"""
+import json, os, shutil, sys, time
+import ray
+
+ray.init(address="127.0.0.1:6379", log_to_driver=False)
+import ray.data as rd
+rd.DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, {repo!r})
+
+import duckdb
+import pandas as pd
+from go_tfdata_ray.cdc.engine import CDCEngine
+from go_tfdata_ray.cdc.oracle import assert_tables_equal, oracle_final_state
+from go_tfdata_ray.pipelines import queries as Q
+from go_tfdata_ray.sources import wal as walmod
+
+def _warm(b):
+    import pandas  # noqa: F401
+    import go_tfdata_ray.cdc.engine  # noqa: F401
+    return b
+
+ncpu = int(ray.cluster_resources().get("CPU", 0))
+rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
+    _warm, batch_size=None).count()
+
+out = {{"nodes_before": len([n for n in ray.nodes() if n["Alive"]])}}
+
+# signal the parent: the kill lands ~1.5 s from now, mid-apply
+open({marker!r}, "w").write("go")
+wal_files = [p for _e, paths in walmod.list_segments({wal_dir!r})
+             for p in paths]
+lake = "/dev/shm/graft_chaos_lake"
+shutil.rmtree(lake, ignore_errors=True)
+eng = CDCEngine(lake, num_partitions=24)
+t0 = time.perf_counter()
+eng.apply_wal({wal_dir!r})
+out["replay_sec_with_kill"] = round(time.perf_counter() - t0, 2)
+
+# exactly-once + retry correctness: merged lake == WAL oracle, exactly
+assert_tables_equal(eng.scan_table(), oracle_final_state(wal_files))
+out["replay_matches_oracle"] = True
+# GCS death detection can lag the SIGKILL; wait for it rather than sample
+deadline = time.time() + 60
+while time.time() < deadline:
+    alive = len([n for n in ray.nodes() if n["Alive"]])
+    if alive == 2:
+        break
+    time.sleep(1)
+out["nodes_after"] = alive
+
+# degraded-cluster queries still oracle-match
+sf_dir = {sf_dir!r}
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = os.path.join(sf_dir, f"{{t}}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{p}}')")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+checks = {{}}
+for name in ("sessionize", "join_bucketed"):
+    res = Q.QUERIES[name](sf_dir)
+    got = (res.to_pandas() if hasattr(res, "to_pandas")
+           else pd.DataFrame(res))
+    want = con.execute(Q.ORACLE_SQL[name]).df()
+    a, b = canon(got), canon(want)
+    checks[name] = bool(a.shape == b.shape and (a.values == b.values).all())
+out["degraded_checks"] = checks
+shutil.rmtree(lake, ignore_errors=True)
+ray.shutdown()
+print("CHAOS_RESULT " + json.dumps(out))
+"""
+
+
+def run_chaos(n_events: int, sf_dir: str) -> int:
+    """SIGKILL a worker raylet mid-replay; everything must stay correct."""
+    import signal
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    env["PYTHONPATH"] = REPO
+
+    def run(cmd, **kw):
+        return subprocess.run(cmd, shell=True, env=env, check=True, **kw)
+
+    def raylet_pids() -> set[int]:
+        # bracket trick so the invoking shell's own cmdline never matches
+        r = subprocess.run("pgrep -f 'raylet/rayle[t] '", shell=True,
+                           capture_output=True, text=True)
+        return {int(p) for p in r.stdout.split()}
+
+    wal_dir = f"/dev/shm/graft_chaos_wal/{n_events}"
+    gen = (
+        "import ray, sys; sys.path.insert(0, {repo!r}); "
+        "ray.init(address='local', num_cpus=16, include_dashboard=False, "
+        "logging_level='ERROR'); "
+        "from go_tfdata_ray.sources import wal as walmod; "
+        "p = walmod.WalParams(n_events={ne}, n_keys={ne}//4, num_epochs=2, "
+        "max_len=256, op_mode='hash', shard_rows=16384); "
+        "walmod.generate_wal_parallel({wal!r}, p); ray.shutdown()"
+    ).format(repo=REPO, ne=n_events, wal=wal_dir)
+    subprocess.run([sys.executable, "-c", gen], env=env, check=True)
+
+    marker = f"/tmp/graft_chaos_marker.{os.getpid()}"
+    if os.path.exists(marker):
+        os.unlink(marker)
+    try:
+        run("ray stop --force >/dev/null 2>&1 || true")
+        time.sleep(5)
+        run(f"ray start --head --port=6379 --num-cpus=8 "
+            f"--object-store-memory={4 * 10**9} --disable-usage-stats "
+            ">/dev/null")
+        deadline = time.time() + 30  # raylet spawn is async after ray start
+        while not raylet_pids() and time.time() < deadline:
+            time.sleep(0.3)
+        head_pids = raylet_pids()
+        assert len(head_pids) == 1, head_pids
+        for _ in range(2):
+            run(f"ray start --address=127.0.0.1:6379 --num-cpus=8 "
+                f"--object-store-memory={4 * 10**9} --disable-usage-stats "
+                ">/dev/null")
+        deadline = time.time() + 30
+        while len(raylet_pids() - head_pids) < 2 and time.time() < deadline:
+            time.sleep(0.3)
+        worker_pids = sorted(raylet_pids() - head_pids)
+        assert len(worker_pids) == 2, worker_pids
+        time.sleep(3)
+        script = CHAOS_DRIVER.format(repo=REPO, wal_dir=wal_dir,
+                                     sf_dir=sf_dir, marker=marker)
+        proc = subprocess.Popen([sys.executable, "-c", script], env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        deadline = time.time() + 120
+        while not os.path.exists(marker) and time.time() < deadline:
+            time.sleep(0.1)
+        if not os.path.exists(marker):
+            proc.kill()
+            sys.stderr.write("driver never reached the marker\n")
+            return 1
+        time.sleep(1.5)  # let the apply get airborne
+        os.kill(worker_pids[-1], signal.SIGKILL)
+        kill_t = time.time()
+        stdout, stderr = proc.communicate(timeout=600)
+        for line in stdout.splitlines():
+            if line.startswith("CHAOS_RESULT "):
+                data = json.loads(line.split(" ", 1)[1])
+                data["killed_raylet_pid"] = worker_pids[-1]
+                print("CHAOS_RESULT " + json.dumps(data))
+                ok = (data.get("replay_matches_oracle")
+                      and data.get("nodes_after") == 2
+                      and all(data.get("degraded_checks", {}).values()))
+                return 0 if ok else 1
+        sys.stderr.write(stdout[-3000:] + "\n" + stderr[-3000:] + "\n")
+        return 1
+    finally:
+        run("ray stop --force >/dev/null 2>&1 || true")
+        if os.path.exists(marker):
+            os.unlink(marker)
+        import shutil as _sh
+        _sh.rmtree(wal_dir, ignore_errors=True)
+        _sh.rmtree("/dev/shm/graft_chaos_lake", ignore_errors=True)
+
+
 def run_scaling(n_events: int) -> int:
     """The identical replay job at N and 4N CPUs on the REAL cluster
     runtime (``ray start`` raylets, fresh cluster + fresh driver process
@@ -265,6 +440,11 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         nums = [a for a in sys.argv[2:] if a.isdigit()]
         return run_scaling(int(nums[0]) if nums else 12_000_000)
+    if len(sys.argv) > 1 and sys.argv[1] == "--chaos":
+        nums = [a for a in sys.argv[2:] if a.isdigit()]
+        sfs = [a for a in sys.argv[2:] if os.path.isdir(a)]
+        return run_chaos(int(nums[0]) if nums else 3_000_000,
+                         sfs[0] if sfs else "/root/testdata/sf0.1")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_workers = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
