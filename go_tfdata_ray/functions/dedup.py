@@ -800,7 +800,11 @@ def cluster_duplicates_distributed(
     numeric keys required."""
     from ..cdc.collapse import hash_partition
 
-    B = num_buckets
+    # B >= 2: every fan-out below relies on ray's num_returns=B returning a
+    # LIST of refs, but num_returns=1 returns a bare ref (and a 1-tuple
+    # would be stored as one object) — a single-bucket run is just the
+    # 2-shard exchange with one mostly-empty shard, so clamp instead
+    B = max(num_buckets, 2)
 
     def to_edges(t: pa.Table) -> pa.Table:
         a, b = t[key_col].combine_chunks(), t[dup_col].combine_chunks()

@@ -498,6 +498,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = buf[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes — any number of
+            pos += 1        # 0xFFs may pad before a marker code
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

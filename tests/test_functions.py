@@ -582,6 +582,12 @@ def test_cluster_duplicates_distributed_matches_union_find():
         rd.from_pandas(chain), num_buckets=4).to_pandas()
     assert set(got_c["cluster"]) == {0} and len(got_c) == 9
 
+    # num_buckets=1 must work (clamped to 2 internally: ray's
+    # num_returns=1 returns a bare ref, which broke the fan-out)
+    got_1 = dedup.cluster_duplicates_distributed(
+        rd.from_pandas(pairs), num_buckets=1).to_pandas()
+    assert dict(zip(got_1["doc_id"], got_1["cluster"])) == w
+
 
 def test_cluster_duplicates_distributed_large_pair_set_stays_off_driver():
     """Web-crawl-shaped planted pair set (many blocks, 200k edges, mixed

@@ -43,6 +43,21 @@ def test_jpeg_rgb_roundtrip(h, w, subs):
     assert _psnr(img, dec) > 27.0
 
 
+def test_jpeg_fill_bytes_between_markers():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+    # code; the multi-scan marker walk must skip them instead of parsing
+    # the real marker byte as a segment length (which skips ~64KB)
+    img = _smooth_rgb(48, 64, seed=5)
+    buf = encode_jpeg(img, quality=90)
+    base = decode_jpeg(buf)
+    i = buf.find(b"\xff\xc4")  # before the first DHT
+    j = buf.find(b"\xff\xda")  # before SOS
+    padded = buf[:i] + b"\xff\xff" + buf[i:]
+    assert (decode_jpeg(padded) == base).all()
+    padded = buf[:j] + b"\xff" + buf[j:]
+    assert (decode_jpeg(padded) == base).all()
+
+
 def test_jpeg_gray_roundtrip_odd_size():
     rng = np.random.default_rng(3)
     g = np.clip(np.linspace(0, 255, 31 * 29).reshape(31, 29)

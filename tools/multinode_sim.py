@@ -114,6 +114,7 @@ n_events = sum(s.get("delta_rows", 0) for s in stats)
 out["replay"] = {{"sec": round(wall, 3), "events": int(n_events),
                   "events_per_sec": round(n_events / wall, 1)}}
 out["checks"] = checks
+shutil.rmtree(lake, ignore_errors=True)  # don't leave the lake pinned
 ray.shutdown()
 print("MULTINODE_RESULT " + json.dumps(out))
 """
