@@ -20,9 +20,20 @@ import sys
 import time
 
 
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(total, sys, steal) jiffies from /proc/stat — cheap host telemetry."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    total = sum(vals)
+    return total, vals[2], vals[7] if len(vals) > 7 else 0
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    t_total0, t_sys0, t_steal0 = _cpu_ticks()
+    load1m_start = os.getloadavg()[0]
 
     import ray
 
@@ -125,6 +136,17 @@ def run_bench() -> dict:
         timings[name] = best
 
     ray.shutdown()
+    # host-interference telemetry: two runs this round measured uniformly
+    # 2-8x slower with the box idle beforehand — hypervisor-side steal /
+    # kernel churn, not the engine (BASELINE.md). Report it so a noisy
+    # BENCH sample is distinguishable from a regression.
+    t_total1, t_sys1, t_steal1 = _cpu_ticks()
+    dt = max(t_total1 - t_total0, 1)
+    host = {
+        "steal_pct": round(100.0 * (t_steal1 - t_steal0) / dt, 2),
+        "sys_pct": round(100.0 * (t_sys1 - t_sys0) / dt, 2),
+        "load1m_start": round(load1m_start, 2),
+    }
     return {
         "metric": "cdc_replay_wall_sec",
         "value": round(replay_sec, 3),
@@ -135,6 +157,7 @@ def run_bench() -> dict:
         "events": n_events,
         "events_per_sec": round(n_events / replay_sec, 1),
         "lake_rows": n_rows,
+        "host": host,
     }
 
 
