@@ -350,3 +350,96 @@ def approx_ndv_per_group(
     return exchange_group_map(
         ds.map_batches(partial, batch_format="pandas"), fold, num_shards
     )
+
+
+def _cm_hash(values: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-``row`` count-min bucket per value (independent fixed-key hash
+    families via distinct 16-byte hash keys — deterministic across
+    processes, matching the repo's siphash convention)."""
+    obj = np.asarray(values, dtype=object)
+    key = f"cmsketch-row-{row:03d}".ljust(16, "0")[:16]
+    return (pd.util.hash_array(obj, categorize=False, hash_key=key)
+            % np.uint64(width)).astype(np.int64)
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
+                  width: int = 8192, depth: int = 4,
+                  candidates_per_block: int = 128) -> rd.Dataset:
+    """Exact top-k most frequent values of ``col`` in two passes — the
+    heavy-hitters shape for corpora whose distinct-value set is far too
+    large to groupby (token/word/URL frequencies at crawl scale):
+
+    - pass 1 partial (per batch): exact local value counts (np.unique),
+      folded into a depth x width COUNT-MIN matrix (a linear sketch — the
+      merge is element-wise SUM, associative/commutative like the HLL
+      max-fold) plus the batch's top ``candidates_per_block`` values by
+      local count. One (depth*width int64 + C values) row ships per
+      batch, independent of batch cardinality.
+    - fold (one coalesce task): sum the CM matrices, union the candidate
+      sets, upper-bound each candidate's global count by the classic CM
+      min-over-rows bound (overestimate-only), keep the top ``4k`` by
+      bound.
+    - pass 2: exact recount of ONLY the surviving candidates (worker-
+      broadcast set, per-batch filtered np.unique, tiny sum fold) → the
+      returned (value, n) rows carry EXACT counts, ordered by
+      (n desc, value asc) — deterministic and SQL-reproducible.
+
+    Candidate-generation guarantee: a value is missed only if it ranked
+    below the local top-C in EVERY batch that saw it; with C >> k the
+    candidate union is generous for any realistically skewed (Zipfian)
+    frequency law, and the pytest plants an adversarial uniform tail to
+    check the bound in practice. Everything RETURNED is exactly counted
+    regardless."""
+    C = candidates_per_block
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        cm = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(cm[d], _cm_hash(uniq, d, width), cnt)
+        top = np.argsort(-cnt, kind="stable")[:C]
+        return pa.table({
+            "_cm": pa.array([cm.ravel().tobytes()], pa.binary()),
+            "_cands": pa.array([[str(v) for v in uniq[top]]],
+                               pa.list_(pa.string())),
+        })
+
+    def fold(t: pa.Table) -> pa.Table:
+        cm = np.zeros(depth * width, dtype=np.int64)
+        cands: set[str] = set()
+        for i in range(t.num_rows):
+            cm += np.frombuffer(t["_cm"][i].as_py(), dtype=np.int64)
+            cands.update(t["_cands"][i].as_py())
+        cm = cm.reshape(depth, width)
+        arr = np.array(sorted(cands), dtype=object)
+        bound = np.full(len(arr), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            np.minimum(bound, cm[d][_cm_hash(arr, d, width)], out=bound)
+        keep = np.argsort(-bound, kind="stable")[: 4 * k]
+        return pa.table({"value": pa.array([str(v) for v in arr[keep]])})
+
+    survivors = exchange_coalesce_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold, batch_format="pyarrow",
+    )
+    cand_set = frozenset(r["value"] for r in survivors.take_all())
+
+    def recount(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        mask = np.array([str(v) in cand_set for v in uniq], dtype=bool)
+        return pa.table({"value": pa.array([str(v) for v in uniq[mask]]),
+                         "n": pa.array(cnt[mask].astype(np.int64))})
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("value", sort=False, as_index=False)["n"].sum()
+        df = df.sort_values(["n", "value"], ascending=[False, True],
+                            kind="stable").head(k)
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return exchange_coalesce_map(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        final, batch_format="pyarrow",
+    )

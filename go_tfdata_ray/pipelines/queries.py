@@ -503,12 +503,17 @@ def q_explode_embeddings(sf_dir: str):
 
 
 def q_inverted_index(sf_dir: str):
-    """Inverted text index: per-doc distinct terms → explode to (token,
-    doc_id) postings → order-canonical posting list per token. The posting
-    build is the group-collect combiner (partial collect per batch, ONE
-    sharded groupby); at scale the token key is the natural partition key
-    for serving."""
+    """Kind-tagged composite over the same exploded (token, doc_id)
+    postings: 'postings' = inverted text index (per-doc distinct terms →
+    order-canonical posting list per token; the group-collect combiner —
+    at scale the token key is the natural partition key for serving);
+    'hh' = top-20 tokens by document frequency via the count-min
+    heavy-hitters sketch (candidate generation + exact recount,
+    ``functions/sketch.py:heavy_hitters``) — counts are exact, so the leg
+    is SQL-closed-form."""
     import re as _re
+
+    from ..functions import sketch
 
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     pat = _re.compile(r"[a-z]+")
@@ -522,7 +527,21 @@ def q_inverted_index(sf_dir: str):
         return pd.DataFrame({"token": toks, "doc_id": np.array(docs, dtype=np.int64)})
 
     exploded = ds.map_batches(postings, batch_format="pandas")
-    return rel.collect_group_csv(exploded, "token", "doc_id", out_col="doc_ids_csv")
+    idx = rel.collect_group_csv(exploded, "token", "doc_id", out_col="payload")
+    idx = idx.map_batches(
+        lambda t: t.append_column("kind", pa.array(["postings"] * len(t))),
+        batch_format="pyarrow",
+    )
+    hh = sketch.heavy_hitters(exploded, "token", k=20)
+    hh = hh.map_batches(
+        lambda t: pa.table({
+            "token": t["value"],
+            "payload": pc.cast(t["n"], pa.string()),
+            "kind": pa.array(["hh"] * len(t)),
+        }),
+        batch_format="pyarrow",
+    )
+    return idx.union(hh)
 
 
 def _big_order_custkeys(sf_dir: str):
@@ -1456,8 +1475,12 @@ ORACLE_SQL = {
     "inverted_index": (
         "WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), "
         "'[a-z]+')) AS token FROM documents) "
-        "SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
-        "AS doc_ids_csv FROM t GROUP BY token"
+        "SELECT 'postings' AS kind, token, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS payload "
+        "FROM t GROUP BY token "
+        "UNION ALL "
+        "(SELECT 'hh' AS kind, token, CAST(COUNT(*) AS VARCHAR) AS payload "
+        " FROM t GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 20)"
     ),
     "topk_orders": (
         "(SELECT 'global' AS kind, o_orderkey, o_orderpriority, o_totalprice "

@@ -524,6 +524,33 @@ def test_hll_approx_ndv_error_bound_and_determinism():
     assert abs(est_small - 150) / 150 < 0.03
 
 
+def test_heavy_hitters_exact_topk_on_zipf_with_uniform_tail():
+    from go_tfdata_ray.functions import sketch
+
+    rng = np.random.default_rng(23)
+    # Zipf head: item h-i appears 2000//(i+1) times; adversarial tail of
+    # 30k near-uniform items to pollute the count-min rows and the
+    # per-block candidate lists
+    head = [f"h-{i:02d}" for i in range(40) for _ in range(2000 // (i + 1))]
+    tail = [f"t-{v}" for v in rng.integers(0, 10_000, 30_000)]
+    vals = np.array(head + tail, dtype=object)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"w": vals})
+
+    want = (df["w"].value_counts().rename_axis("value").reset_index(name="n")
+            .sort_values(["n", "value"], ascending=[False, True], kind="stable")
+            .head(15).reset_index(drop=True))
+    got = sketch.heavy_hitters(
+        rd.from_pandas(df).repartition(8), "w", k=15).to_pandas()
+    assert list(got["value"]) == list(want["value"])
+    assert list(got["n"]) == list(want["n"])  # pass-2 counts are EXACT
+
+    # determinism across runs (fixed-key hash families)
+    got2 = sketch.heavy_hitters(
+        rd.from_pandas(df).repartition(8), "w", k=15).to_pandas()
+    assert got.equals(got2)
+
+
 def test_bloom_no_false_negatives_and_fp_bound():
     from go_tfdata_ray.functions import sketch
 
