@@ -1,4 +1,6 @@
-"""Distributed sketches: HyperLogLog approx-distinct + Bloom membership.
+"""Distributed sketches: HyperLogLog approx-distinct (global + per-group),
+Bloom membership, two-pass histogram approx-quantiles, and count-min
+heavy hitters (candidates + exact recount).
 
 The reference has no sketches (its only wide op is group-by-key collect,
 /root/reference/tfdata/archive/manager.go:6-9); at 100 TB an exact
