@@ -377,10 +377,12 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
       max-fold) plus the batch's top ``candidates_per_block`` values by
       local count. One (depth*width int64 + C values) row ships per
       batch, independent of batch cardinality.
-    - fold (one coalesce task): sum the CM matrices, union the candidate
-      sets, upper-bound each candidate's global count by the classic CM
-      min-over-rows bound (overestimate-only), keep the top ``4k`` by
-      bound.
+    - fold: sum the CM matrices, union the candidate sets, upper-bound
+      each candidate's global count by the classic CM min-over-rows bound
+      (overestimate-only), keep the top ``4k`` by bound. Past 256 partial
+      rows the fold is TWO-LEVEL (hash-sharded per-shard sums, then a
+      coalesce of ≤512 shard rows) so no single task is ever fed
+      #blocks × depth×width bytes at crawl-scale block counts.
     - pass 2: exact recount of ONLY the surviving candidates (worker-
       broadcast set, per-batch filtered np.unique, tiny sum fold) → the
       returned (value, n) rows carry EXACT counts, ordered by
@@ -421,10 +423,53 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
         keep = np.argsort(-bound, kind="stable")[: 4 * k]
         return pa.table({"value": pa.array([str(v) for v in arr[keep]])})
 
-    survivors = exchange_coalesce_map(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        fold, batch_format="pyarrow",
-    )
+    def prefold(t: pa.Table) -> pa.Table:
+        # shard-level partial fold: sum the shard's CM rows, keep the
+        # shard's top-4k candidates by the SHARD CM's min-over-rows bound
+        # (sound: the shard CM covers every block routed to it, so its
+        # bound dominates each member block's counts)
+        cm = np.zeros(depth * width, dtype=np.int64)
+        cands: set[str] = set()
+        for i in range(t.num_rows):
+            cm += np.frombuffer(t["_cm"][i].as_py(), dtype=np.int64)
+            cands.update(t["_cands"][i].as_py())
+        cmv = cm.reshape(depth, width)
+        arr = np.array(sorted(cands), dtype=object)
+        bound = np.full(len(arr), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            np.minimum(bound, cmv[d][_cm_hash(arr, d, width)], out=bound)
+        keep = np.argsort(-bound, kind="stable")[: 4 * k]
+        return pa.table({
+            "_cm": pa.array([cm.tobytes()], pa.binary()),
+            "_cands": pa.array([[str(v) for v in arr[keep]]],
+                               pa.list_(pa.string())),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_rows = partials.count()
+    if n_rows > 256:
+        # two-level fold: one task summing EVERY block's (depth*width)
+        # CM row would be fed #blocks * 8*depth*width bytes — hundreds of
+        # GB at crawl-scale block counts. Hash-shard the partial rows
+        # (any uniform deterministic key works; the CM bytes are one),
+        # sum per shard, then coalesce the <=512 shard rows.
+        from ..stages.exchange import exchange_group_map
+
+        n_shards = min(-(-n_rows // 256), 512)
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            keys = np.asarray(
+                [b[:64] for b in t["_cm"].to_pylist()], dtype=object)
+            sh = (pd.util.hash_array(keys, categorize=False)
+                  % np.uint64(n_shards)).astype(np.int64)
+            return t.append_column("_shard", pa.array(sh))
+
+        partials = exchange_group_map(
+            partials.map_batches(add_shard, batch_format="pyarrow"),
+            lambda t: prefold(t.drop_columns(["_shard"])),
+            n_shards, batch_format="pyarrow",
+        )
+    survivors = exchange_coalesce_map(partials, fold, batch_format="pyarrow")
     cand_set = frozenset(r["value"] for r in survivors.take_all())
 
     def recount(t: pa.Table) -> pa.Table:

@@ -550,6 +550,13 @@ def test_heavy_hitters_exact_topk_on_zipf_with_uniform_tail():
         rd.from_pandas(df).repartition(8), "w", k=15).to_pandas()
     assert got.equals(got2)
 
+    # >256 blocks routes through the two-level (sharded prefold) path;
+    # the answer must be identical
+    got3 = sketch.heavy_hitters(
+        rd.from_pandas(df).repartition(300), "w", k=15).to_pandas()
+    assert list(got3["value"]) == list(want["value"])
+    assert list(got3["n"]) == list(want["n"])
+
 
 def test_bloom_no_false_negatives_and_fp_bound():
     from go_tfdata_ray.functions import sketch
