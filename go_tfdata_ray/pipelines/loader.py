@@ -23,9 +23,40 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 
 from ..cdc.engine import CDCEngine
 from ..functions import pack
+
+
+def _weighted_mix(source_weights: dict[str, float], epoch_seed: int):
+    """Per-batch deterministic source mixing: a doc from source s with
+    weight w contributes floor(w) copies plus one more with probability
+    frac(w), decided by a fixed-key hash of its doc_id salted with the
+    (seed, epoch) derivation — so the mix is exactly reproducible per
+    (seed, epoch), re-rolls across epochs (fresh subsample of the
+    downweighted sources each epoch, the standard mixing recipe), and
+    needs NO shuffle: it's a pure per-batch filter/repeat."""
+    salt = np.uint64((epoch_seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03)
+                     % (1 << 64))
+
+    def mix(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        w = np.array([source_weights.get(s, 1.0) for s in src])
+        if (w < 0).any():
+            raise ValueError("source weights must be >= 0")
+        base = np.floor(w).astype(np.int64)
+        frac = w - base
+        h = pd.util.hash_array(
+            np.asarray(t["doc_id"].to_pylist(), dtype=object),
+            categorize=False)
+        h = (h ^ salt) * np.uint64(0x2545F4914F6CDD1D)  # epoch-salted remix
+        extra = (h.astype(np.float64) / float(1 << 64)) < frac
+        n = base + extra.astype(np.int64)
+        return t.take(pa.array(np.repeat(np.arange(len(t)), n)))
+
+    return mix
 
 
 def training_batches(
@@ -37,13 +68,27 @@ def training_batches(
     min_tokens: int = 1,
     eod_token: int = 0,
     at_version: int | None = None,
+    source_weights: dict[str, float] | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield (micro_batch, context_len) int32 arrays of packed training
     tokens from the lake's current (or time-traveled) snapshot. The tail
-    micro-batch may be short; callers drop or pad it per their recipe."""
+    micro-batch may be short; callers drop or pad it per their recipe.
+
+    ``source_weights``: per-``source`` mixing weights (missing sources
+    default to 1.0). w<1 subsamples deterministically, w>1 repeats docs
+    (floor(w) copies + one more with probability frac(w)); the draw is a
+    per-(seed, epoch) fixed-key hash of doc_id, so the stream stays
+    exactly replayable for resume."""
     eng = lake if isinstance(lake, CDCEngine) else CDCEngine(lake)
-    ds = eng.scan(columns=["doc_id", "tokens", "n_tok"], at_version=at_version,
+    cols = ["doc_id", "tokens", "n_tok"]
+    if source_weights:
+        cols.append("source")
+    ds = eng.scan(columns=cols, at_version=at_version,
                   where=[("n_tok", ">=", min_tokens)])
+    epoch_seed_mix = seed * 1_000_003 + epoch
+    if source_weights:
+        ds = ds.map_batches(_weighted_mix(source_weights, epoch_seed_mix),
+                            batch_format="pyarrow", zero_copy_batch=True)
     packed = pack.pack_sequences(ds, context_len=context_len, eod_token=eod_token)
     epoch_seed = seed * 1_000_003 + epoch
     packed = packed.randomize_block_order(seed=epoch_seed)
