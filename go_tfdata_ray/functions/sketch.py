@@ -397,7 +397,8 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     C = candidates_per_block
 
     def partial(t: pa.Table) -> pa.Table:
-        vals = t[col].to_numpy(zero_copy_only=False)
+        # nulls are not values: drop them (np.unique can't order None)
+        vals = t[col].drop_null().to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(vals, return_counts=True)
         cm = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
@@ -423,11 +424,21 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
         keep = np.argsort(-bound, kind="stable")[: 4 * k]
         return pa.table({"value": pa.array([str(v) for v in arr[keep]])})
 
+    # Per-shard candidate retention on the two-level path. Generous on
+    # purpose: unlike the single-level fold, pruning HERE can in principle
+    # drop a globally-heavy value that is spread thinly across shards while
+    # >retention shard-locally-bursty values out-bound it in EVERY shard —
+    # a documented two-level miss mode (everything returned is still
+    # exactly counted). 4096 per shard keeps the final fold's candidate
+    # union <= 512 * 4096 strings while making that adversarial shape need
+    # thousands of colluding bursty values per shard.
+    shard_retention = max(4 * k, 4096)
+
     def prefold(t: pa.Table) -> pa.Table:
         # shard-level partial fold: sum the shard's CM rows, keep the
-        # shard's top-4k candidates by the SHARD CM's min-over-rows bound
-        # (sound: the shard CM covers every block routed to it, so its
-        # bound dominates each member block's counts)
+        # shard's top candidates by the SHARD CM's min-over-rows bound
+        # (the shard CM covers every block routed to it, so its bound
+        # dominates each member block's counts)
         cm = np.zeros(depth * width, dtype=np.int64)
         cands: set[str] = set()
         for i in range(t.num_rows):
@@ -438,7 +449,7 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
         bound = np.full(len(arr), np.iinfo(np.int64).max, dtype=np.int64)
         for d in range(depth):
             np.minimum(bound, cmv[d][_cm_hash(arr, d, width)], out=bound)
-        keep = np.argsort(-bound, kind="stable")[: 4 * k]
+        keep = np.argsort(-bound, kind="stable")[:shard_retention]
         return pa.table({
             "_cm": pa.array([cm.tobytes()], pa.binary()),
             "_cands": pa.array([[str(v) for v in arr[keep]]],
@@ -458,8 +469,10 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
         n_shards = min(-(-n_rows // 256), 512)
 
         def add_shard(t: pa.Table) -> pa.Table:
-            keys = np.asarray(
-                [b[:64] for b in t["_cm"].to_pylist()], dtype=object)
+            # hash the FULL CM bytes: a short prefix is all-zero for most
+            # blocks (row 0, buckets 0-7 miss every value with prob
+            # exp(-8U/width)) and would collapse the fold onto one shard
+            keys = np.asarray(t["_cm"].to_pylist(), dtype=object)
             sh = (pd.util.hash_array(keys, categorize=False)
                   % np.uint64(n_shards)).astype(np.int64)
             return t.append_column("_shard", pa.array(sh))
@@ -473,7 +486,7 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     cand_set = frozenset(r["value"] for r in survivors.take_all())
 
     def recount(t: pa.Table) -> pa.Table:
-        vals = t[col].to_numpy(zero_copy_only=False)
+        vals = t[col].drop_null().to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(vals, return_counts=True)
         mask = np.array([str(v) in cand_set for v in uniq], dtype=bool)
         return pa.table({"value": pa.array([str(v) for v in uniq[mask]]),

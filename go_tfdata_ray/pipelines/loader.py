@@ -54,7 +54,16 @@ def _weighted_mix(source_weights: dict[str, float], epoch_seed: int):
         h = (h ^ salt) * np.uint64(0x2545F4914F6CDD1D)  # epoch-salted remix
         extra = (h.astype(np.float64) / float(1 << 64)) < frac
         n = base + extra.astype(np.int64)
-        return t.take(pa.array(np.repeat(np.arange(len(t)), n)))
+        # copy-number-major order: np.repeat would emit a doc's copies
+        # ADJACENTLY, and packing is arrival-ordered, so both copies of a
+        # short doc would land inside the same context window. Emitting
+        # all first copies, then all second copies, ... separates a doc's
+        # copies by the whole batch's worth of other docs.
+        max_copies = int(n.max()) if len(n) else 0
+        order = np.concatenate(
+            [np.flatnonzero(n > c) for c in range(max_copies)]
+        ) if max_copies else np.empty(0, dtype=np.int64)
+        return t.take(pa.array(order))
 
     return mix
 
@@ -85,12 +94,11 @@ def training_batches(
         cols.append("source")
     ds = eng.scan(columns=cols, at_version=at_version,
                   where=[("n_tok", ">=", min_tokens)])
-    epoch_seed_mix = seed * 1_000_003 + epoch
+    epoch_seed = seed * 1_000_003 + epoch
     if source_weights:
-        ds = ds.map_batches(_weighted_mix(source_weights, epoch_seed_mix),
+        ds = ds.map_batches(_weighted_mix(source_weights, epoch_seed),
                             batch_format="pyarrow", zero_copy_batch=True)
     packed = pack.pack_sequences(ds, context_len=context_len, eod_token=eod_token)
-    epoch_seed = seed * 1_000_003 + epoch
     packed = packed.randomize_block_order(seed=epoch_seed)
     for batch in packed.iter_batches(batch_size=micro_batch, batch_format="pyarrow",
                                      local_shuffle_buffer_size=max(micro_batch * 64, 256),

@@ -526,7 +526,11 @@ def q_inverted_index(sf_dir: str):
             docs.extend([did] * len(terms))
         return pd.DataFrame({"token": toks, "doc_id": np.array(docs, dtype=np.int64)})
 
-    exploded = ds.map_batches(postings, batch_format="pandas")
+    # three consumers (posting collect + heavy-hitters pass 1 + exact
+    # recount pass 2) would each re-run the regex explode on a lazy
+    # Dataset — materialize once (postings rows are (token, doc_id) only,
+    # object-store-resident/spillable)
+    exploded = ds.map_batches(postings, batch_format="pandas").materialize()
     idx = rel.collect_group_csv(exploded, "token", "doc_id", out_col="payload")
     idx = idx.map_batches(
         lambda t: t.append_column("kind", pa.array(["postings"] * len(t))),

@@ -863,9 +863,7 @@ def test_training_batches_source_weighted_mix(tmp_path):
     assert n_kept_possible >= 10  # enough docs for the loose band below
     assert abs(frac_part / tok_by_src[srcs[2]] - 0.5) < 0.45
     assert content_tokens(0, 0) == got       # deterministic per (seed, epoch)
-    assert content_tokens(0, 1) != got or True  # next epoch re-rolls (shape
-    # of the subsample changes with overwhelming probability; equality of
-    # token TOTALS alone is possible, so assert on the kept doc draw too:
+    # epoch re-roll: token totals can tie, so assert on the kept DOC DRAW
     from go_tfdata_ray.pipelines.loader import _weighted_mix
     import pyarrow as pa
     docs = [k for k, v in state.items() if v["source"] == srcs[2]]
@@ -873,6 +871,14 @@ def test_training_batches_source_weighted_mix(tmp_path):
     kept0 = set(_weighted_mix({srcs[2]: 0.5}, 0)(t)["doc_id"].to_pylist())
     kept1 = set(_weighted_mix({srcs[2]: 0.5}, 1)(t)["doc_id"].to_pylist())
     assert kept0 != kept1
+
+    # w>1 copies must NOT be adjacent (adjacent copies pack into the same
+    # context window): the batch emits all first copies then all seconds
+    t2 = pa.table({"doc_id": docs, "source": [srcs[2]] * len(docs)})
+    out2 = _weighted_mix({srcs[2]: 2.0}, 0)(t2)["doc_id"].to_pylist()
+    n = len(docs)
+    assert len(out2) == 2 * n
+    assert out2[:n] == out2[n:] == docs  # copy-number-major order
 
 
 def test_source_rollup_checkpoint_resume(tmp_path):
