@@ -165,7 +165,11 @@ def normalize_and_write_fragments(
             g = t.slice(lo, hi - lo)
             writer.write_table(g, row_group_size=len(g))  # one row group per partition
             n_up = int(pc.sum(pc.not_equal(g["op"], pa.scalar("D")).cast(pa.int64())).as_py())
-            rows.append((part, rel, len(g), int(g["seq"][len(g) - 1].as_py()), n_up, rg))
+            # watermark = the partition's TRUE max seq (the slice is sorted by
+            # (part_id, doc_id, seq), so the last row holds the largest
+            # doc_id's seq, not the partition max — using it undershot the
+            # replay filter and let re-offered segments re-apply rows)
+            rows.append((part, rel, len(g), int(pc.max(g["seq"]).as_py()), n_up, rg))
     finally:
         writer.close()
     os.rename(tmp, final)
@@ -534,12 +538,16 @@ class CDCEngine:
         segments as already applied and silently drop their events. Such
         segments are routed through the tail-style DECOUPLED mapping
         (applied as ``committed_epoch + 1`` with their own id recorded in
-        ``wal_hwm``) instead. Lakes predating the ``wal_hwm`` stat fall
-        back to ``committed_epoch`` — identical to the old behavior, which
-        is correct whenever no synthesized epochs interleave."""
+        ``wal_hwm``) instead. An absent ``wal_hwm`` stat falls back to
+        ``-1`` (same as ``tail()``): on a lake whose first epochs were
+        synthesized (upserts before the first replay) a
+        ``committed_epoch`` fallback would classify unapplied segments
+        with ids <= committed_epoch as already applied and silently drop
+        their events, whereas re-offering a genuinely already-applied
+        segment is harmless — its rows replay-filter to a zero-row
+        epoch."""
         out: list[dict[str, Any]] = []
-        wal_hwm = int(self.manifest.stats.get(
-            "wal_hwm", self.manifest.committed_epoch))
+        wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
         for e, paths in list_segments(wal_dir):
             if e <= wal_hwm:
                 out.append({"epoch": e, "skipped": True})

@@ -774,6 +774,39 @@ def test_apply_wal_routes_segments_overtaken_by_synthesized_epochs(tmp_path):
     assert all(s["skipped"] for s in eng.apply_wal(wal_dir))
 
 
+def test_apply_wal_on_upsert_first_lake_applies_all_segments(tmp_path):
+    """Upsert-FIRST ordering: the lake's first epochs are synthesized, so
+    no wal_hwm stat exists yet when apply_wal first runs. A fallback to
+    committed_epoch would classify every WAL segment with id <=
+    committed_epoch as already applied and silently drop its events;
+    the -1 fallback (same as tail()) must apply them all."""
+    import pandas as _pd
+
+    wal_dir, files = make_wal(tmp_path, n_events=2000, n_keys=300, num_epochs=4)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    # synthesized epochs BEFORE any replay: committed_epoch advances past
+    # several WAL segment ids while wal_hwm is never recorded
+    for i in range(3):
+        eng.upsert(_pd.DataFrame({"doc_id": [f"doc-pre-{i}"], "tokens": [[i]],
+                                  "source": ["manual"]}))
+    assert eng.manifest.committed_epoch >= 2
+    assert "wal_hwm" not in eng.manifest.stats
+
+    stats = eng.apply_wal(wal_dir)
+    assert not any(s.get("skipped") for s in stats)  # every segment applied
+
+    actual = eng.scan_table()
+    want = oracle_final_state(files)
+    got = {r["doc_id"]: r["tokens"] for r in actual.to_pylist()}
+    for i in range(3):
+        assert got.pop(f"doc-pre-{i}") == [i]
+    assert got == {r["doc_id"]: r["tokens"] for r in want.to_pylist()}
+
+    # idempotent: a second apply_wal skips everything
+    assert all(s["skipped"] for s in eng.apply_wal(wal_dir))
+
+
 def test_delete_dataset_counts_distinct_staged_shards(tmp_path):
     """Two byte-identical key blocks content-address to ONE staged shard;
     the reported 'deleted' must equal the tombstones actually staged, not
