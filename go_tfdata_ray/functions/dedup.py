@@ -624,6 +624,7 @@ def ngram_verified_dedup(
     threshold: float = 0.7,
     candidate_margin: float = 0.7,
     num_shards: int = 64,
+    max_broadcast_members: int = 1_000_000,
     **lsh_kw,
 ) -> rd.Dataset:
     """n-gram Jaccard dedup: MinHash-LSH generates candidates (with a looser
@@ -632,15 +633,23 @@ def ngram_verified_dedup(
 
     Fully distributed — nothing corpus-sized ever touches the driver:
     candidate pairs explode into (pair, member) rows; candidate TEXTS are
-    narrowed with a broadcast id-set filter (ids only on the driver — the
-    semi-join pattern) and routed to their pairs by ONE object-exchange
-    hash join (no sort-shuffle fixed cost);
-    verification then runs per PAIR-SHARD (groupby) with batch-vectorized
-    shingle hashing and sorted-array intersections — no ``.to_pandas()`` of
-    pairs-with-texts, no per-pair driver loop. At planetary candidate
-    counts swap the id broadcast for ``storage_hash_join`` (same shape).
+    narrowed to pair members and routed to their pairs by ONE
+    object-exchange hash join (no sort-shuffle fixed cost); verification
+    then runs per PAIR-SHARD (groupby) with batch-vectorized shingle
+    hashing and sorted-array intersections — no ``.to_pandas()`` of
+    pairs-with-texts, no per-pair driver loop.
+
+    The text narrow auto-switches on candidate count: at or below
+    ``max_broadcast_members`` member rows it drains the ids into an exact
+    driver set (broadcast semi-join — cheapest at typical counts); above
+    it NOTHING candidate-proportional touches the driver — a Bloom filter
+    over the member ids is built distributively (OR-fold of fixed-size bit
+    arrays, ``sketch.build_bloom``) and broadcast instead. Bloom false
+    positives only add stragglers to the hash join's probe side; the join
+    is inner on exact ids, so the result is identical to the exact path.
     Returns (key_col, dup_of, jaccard) for verified duplicates."""
-    from ..stages.joins import object_exchange_hash_join, semi_join_filter
+    from ..stages.joins import (_cached_get, object_exchange_hash_join,
+                                semi_join_filter)
 
     cand = minhash_lsh_dedup(
         ds, text_col=text_col, key_col=key_col, k=k,
@@ -666,11 +675,8 @@ def ngram_verified_dedup(
     # id-set drain and the join), and without a materialize the whole
     # LSH candidate pipeline re-executes for each consumer (~2 s at sf0.1)
     pair_rows = cand.map_batches(explode, batch_format="pandas").materialize()
-    # ids-only driver set for the broadcast semi-join narrow (≈16 B/candidate)
-    member_ids = set()
-    for b in pair_rows.select_columns(["member"]).iter_batches(batch_format="pyarrow"):
-        member_ids.update(b["member"].to_pylist())
-    if not member_ids:
+    n_members = pair_rows.count()  # 2 rows per candidate pair
+    if n_members == 0:
         try:
             ktype = ds.schema().base_schema.field(key_col).type
         except Exception:
@@ -679,10 +685,34 @@ def ngram_verified_dedup(
                           "dup_of": pa.array([], ktype),
                           "jaccard": pa.array([], pa.float64())})
         return rd.from_arrow(empty)
-    texts_cand = semi_join_filter(
-        ds.map_batches(lambda t: t.select([key_col, text_col]), batch_format="pyarrow"),
-        member_ids, on=key_col,
-    ).map_batches(
+    texts = ds.map_batches(lambda t: t.select([key_col, text_col]),
+                           batch_format="pyarrow")
+    if n_members <= max_broadcast_members:
+        # small path: exact ids-only driver set (≈16 B/candidate)
+        member_ids = set()
+        for b in pair_rows.select_columns(["member"]).iter_batches(
+                batch_format="pyarrow"):
+            member_ids.update(b["member"].to_pylist())
+        texts_cand = semi_join_filter(texts, member_ids, on=key_col)
+    else:
+        # large path: distributed Bloom narrow — the driver holds one
+        # fixed-size bit array, never a candidate-proportional set. Sized
+        # ~16 bits/member (<1% FP), capped at 1 GiB; overflow past the cap
+        # only raises the FP rate (extra probe-side rows into the exact
+        # inner join), never correctness.
+        from .sketch import bloom_contains, build_bloom
+
+        n_bits = 1 << min(33, max(20, int(np.ceil(np.log2(16 * n_members)))))
+        bloom_ref = ray.put(build_bloom(pair_rows, "member", n_bits=n_bits))
+
+        def bloom_narrow(t: pa.Table) -> pa.Table:
+            mask = bloom_contains(
+                _cached_get(bloom_ref),
+                t[key_col].to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(mask))
+
+        texts_cand = texts.map_batches(bloom_narrow, batch_format="pyarrow")
+    texts_cand = texts_cand.map_batches(
         lambda df: df.rename(columns={key_col: "member", text_col: "_text"}),
         batch_format="pandas",
     )

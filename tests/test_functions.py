@@ -144,6 +144,22 @@ def test_ngram_verified_dedup():
     assert 300 not in flagged
 
 
+def test_ngram_verified_dedup_bloom_path_matches_exact_path():
+    """max_broadcast_members=0 forces the distributed Bloom narrow (the
+    100 TB path — no candidate-proportional driver set); the result must be
+    identical to the default exact-set path (Bloom false positives are
+    dropped by the inner hash join)."""
+    ds = rd.from_pandas(docs_with_dups())
+    small = dedup.ngram_verified_dedup(ds, threshold=0.4).to_pandas()
+    large = dedup.ngram_verified_dedup(
+        ds, threshold=0.4, max_broadcast_members=0).to_pandas()
+    key = ["doc_id", "dup_of"]
+    s = small.sort_values(key).reset_index(drop=True)
+    l = large.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, l, check_like=True)
+    assert len(s) >= 4  # the planted dups actually survived both paths
+
+
 def test_ivf_topk_high_recall_vs_brute_force():
     df = synth_embeddings(n=400, dim=16)
     ds = rd.from_pandas(df)
