@@ -1,0 +1,284 @@
+"""Persisted IVF ANN index: build inverted lists ONCE, serve queries by
+reading only the probed lists.
+
+``functions/ann.py``'s ``ivf_topk`` routes during a FULL corpus scan —
+right for one-shot dedup-ish sweeps, wrong for the platform shape where
+similarity queries run repeatedly against a slowly-changing lake. This
+module persists the routing: a trained coarse quantizer plus per-list
+Parquet fragments, so a query at ``n_probe`` touches only the probed
+fraction of the corpus bytes (fragments-read < corpus-fragments is
+asserted in tests/test_functions.py).
+
+Layout (the ``cdc/dedupidx.py`` persisted-index pattern):
+
+    index_dir/
+      state.json            # meta: dim, n_centroids, cols, n_rows, version
+      centroids.npy         # (n_centroids, dim) float64 unit rows — tiny
+      runs/run-<uuid>.parquet  # one sorted run per build/append task; ROW
+                            # GROUPS aligned to list boundaries (the CDC
+                            # engine's run-file pattern: files = #tasks,
+                            # not #tasks × #lists)
+      intents-*.parquet     # fragment manifest: (list_id, path, rg, rows)
+
+Commit order mirrors the engine's 2-phase shape: run files land first
+(tmp+rename), then the intents segment (tmp+rename — the commit point
+readers key on), then state.json. A crash before the intents rename
+leaves orphan run files invisible to readers; re-running the append is
+idempotent-by-rebuild (the index is derived data).
+
+Incremental append: new lake rows are assigned with the PERSISTED
+quantizer (no retrain — recall for new rows matches the train-time
+distribution; retrain by rebuilding) and land as new run files + a new
+intents segment, LSM-style. Lists accumulate fragments across appends;
+``fragment_count`` exposes the pile size so callers can rebuild when it
+grows past taste.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .ann import _finalize_topk, _to_matrix, _train_centroids, _unit
+
+_STATE = "state.json"
+_CENTROIDS = "centroids.npy"
+
+
+def _intents(rows: list[tuple[int, str, int, int]]) -> pa.Table:
+    return pa.table({
+        "list_id": pa.array([r[0] for r in rows], pa.int32()),
+        "path": pa.array([r[1] for r in rows], pa.string()),
+        "rg": pa.array([r[2] for r in rows], pa.int32()),
+        "rows": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _write_list_run(t: pa.Table, index_dir: str, cent_ref,
+                    emb_col: str, key_col: str) -> pa.Table:
+    """Per-task build/append kernel: assign each row to its nearest
+    centroid, sort by list id, write ONE run file whose row groups align
+    with list boundaries, return the (list_id, path, rg, rows) intents."""
+    if len(t) == 0:
+        return _intents([])
+    cent = ray.get(cent_ref)
+    unit = _unit(_to_matrix(t[emb_col]))
+    assign = np.argmax(unit @ cent.T, axis=1).astype(np.int32)
+    order = np.argsort(assign, kind="stable")
+    t = t.select([key_col, emb_col]).take(pa.array(order))
+    assign = assign[order]
+    bounds = np.flatnonzero(np.r_[True, assign[1:] != assign[:-1], True])
+    rel = os.path.join("runs", f"run-{uuid.uuid4().hex[:12]}.parquet")
+    final = os.path.join(index_dir, rel)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    rows: list[tuple[int, str, int, int]] = []
+    writer = pq.ParquetWriter(tmp, t.schema, compression="lz4")
+    try:
+        for rg in range(len(bounds) - 1):
+            lo, hi = int(bounds[rg]), int(bounds[rg + 1])
+            writer.write_table(t.slice(lo, hi - lo), row_group_size=hi - lo)
+            rows.append((int(assign[lo]), rel, rg, hi - lo))
+    finally:
+        writer.close()
+    os.rename(tmp, final)
+    return _intents(rows)
+
+
+def _commit_intents(index_dir: str, intents: list[dict], state: dict) -> None:
+    """Phase 2: intents segment (the readers' commit point), then state."""
+    if intents:
+        seg = os.path.join(
+            index_dir, f"intents-v{state['version']:06d}-{uuid.uuid4().hex[:8]}.parquet")
+        tbl = _intents([(int(i["list_id"]), i["path"], int(i["rg"]), int(i["rows"]))
+                        for i in intents])
+        pq.write_table(tbl, seg + ".tmp")
+        os.rename(seg + ".tmp", seg)
+    tmp = os.path.join(index_dir, _STATE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.rename(tmp, os.path.join(index_dir, _STATE))
+
+
+def _load_state(index_dir: str) -> tuple[dict, np.ndarray]:
+    with open(os.path.join(index_dir, _STATE)) as f:
+        state = json.load(f)
+    cent = np.load(os.path.join(index_dir, _CENTROIDS))
+    return state, cent
+
+
+def load_intents(index_dir: str) -> pa.Table:
+    """The fragment manifest: every committed (list_id, path, rg, rows)."""
+    segs = sorted(glob.glob(os.path.join(index_dir, "intents-*.parquet")))
+    if not segs:
+        return _intents([])
+    return pa.concat_tables([pq.read_table(s) for s in segs])
+
+
+def fragment_count(index_dir: str) -> int:
+    return load_intents(index_dir).num_rows
+
+
+def build_ann_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    n_centroids: int = 64,
+    emb_col: str = "embedding",
+    key_col: str = "vec_id",
+    sample_size: int = 4096,
+    seed: int = 29,
+) -> dict[str, Any]:
+    """Train the coarse quantizer on a bounded sample, route the whole
+    corpus to inverted lists in one distributed pass, persist. Raises if
+    ``index_dir`` already holds an index (the index is derived — rebuild
+    by removing the directory)."""
+    if os.path.exists(os.path.join(index_dir, _STATE)):
+        raise FileExistsError(f"ANN index already exists at {index_dir}")
+    os.makedirs(index_dir, exist_ok=True)
+    sample = _to_matrix(
+        pa.concat_tables(
+            [b for b in ds.limit(sample_size).iter_batches(
+                batch_size=sample_size, batch_format="pyarrow")]
+        )[emb_col]
+    )
+    cent = _train_centroids(sample, n_centroids, seed=seed)
+    np.save(os.path.join(index_dir, _CENTROIDS + ".tmp.npy"), cent)
+    os.rename(os.path.join(index_dir, _CENTROIDS + ".tmp.npy"),
+              os.path.join(index_dir, _CENTROIDS))
+    import functools
+
+    cent_ref = ray.put(cent)
+    intents = ds.map_batches(
+        functools.partial(_write_list_run, index_dir=index_dir,
+                          cent_ref=cent_ref, emb_col=emb_col, key_col=key_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).take_all()  # small intent rows only
+    n_rows = sum(int(i["rows"]) for i in intents)
+    state = {"version": 1, "dim": int(cent.shape[1]),
+             "n_centroids": int(cent.shape[0]), "emb_col": emb_col,
+             "key_col": key_col, "n_rows": n_rows, "seed": seed}
+    _commit_intents(index_dir, intents, state)
+    return {"n_rows": n_rows, "fragments": len(intents),
+            "n_centroids": int(cent.shape[0]), "version": 1}
+
+
+def append_ann_index(ds: rd.Dataset, index_dir: str) -> dict[str, Any]:
+    """Incremental append: assign new rows with the persisted quantizer
+    (no retrain), land new run files + one new intents segment."""
+    state, cent = _load_state(index_dir)
+    import functools
+
+    cent_ref = ray.put(cent)
+    intents = ds.map_batches(
+        functools.partial(_write_list_run, index_dir=index_dir,
+                          cent_ref=cent_ref, emb_col=state["emb_col"],
+                          key_col=state["key_col"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).take_all()
+    n_new = sum(int(i["rows"]) for i in intents)
+    state = dict(state)
+    state["version"] = int(state["version"]) + 1
+    state["n_rows"] = int(state["n_rows"]) + n_new
+    _commit_intents(index_dir, intents, state)
+    return {"n_rows_appended": n_new, "fragments_appended": len(intents),
+            "version": state["version"]}
+
+
+def plan_probe(index_dir: str, queries: pd.DataFrame, n_probe: int = 8,
+               key_col: str | None = None) -> tuple[pa.Table, dict[int, np.ndarray]]:
+    """Query planning, exposed for tests/metrics: the fragment rows a
+    query set would READ (subset of the manifest — the partial-probe
+    I/O bound) and the list_id → probing-query-indices map."""
+    state, cent = _load_state(index_dir)
+    kc = key_col or state["key_col"]
+    q_unit = _unit(np.stack(queries[state["emb_col"]].to_numpy()).astype(np.float64))
+    n_probe = min(n_probe, len(cent))
+    q_probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]
+    probing = {int(c): np.flatnonzero((q_probes == c).any(axis=1))
+               for c in np.unique(q_probes)}
+    frags = load_intents(index_dir)
+    keep = np.isin(frags["list_id"].to_numpy(zero_copy_only=False),
+                   np.fromiter(probing, dtype=np.int32, count=len(probing)))
+    return frags.filter(pa.array(keep)), probing
+
+
+def query_ann_index(
+    index_dir: str,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Cosine top-k over the persisted index: reads ONLY the probed lists'
+    fragments (one read task per fragment batch — no full-corpus scan).
+    n_probe = n_centroids ⇒ exact (shares the brute-force oracle).
+    Returns (query_id, key_col, score, rank)."""
+    state, _ = _load_state(index_dir)
+    emb_col, key_col = state["emb_col"], state["key_col"]
+    q_ids = queries[key_col].to_numpy()
+    q_unit = _unit(np.stack(queries[emb_col].to_numpy()).astype(np.float64))
+    frags, probing = plan_probe(index_dir, queries, n_probe)
+    if frags.num_rows == 0:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          key_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+    ref = ray.put({"q_ids": q_ids, "q_unit": q_unit, "probing": probing})
+
+    def score_fragments(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        out_q, out_id, out_s = [], [], []
+        for row in range(t.num_rows):
+            list_id = int(t["list_id"][row].as_py())
+            q_rows = s["probing"].get(list_id)
+            if q_rows is None or not len(q_rows):
+                continue
+            frag = pq.ParquetFile(
+                os.path.join(index_dir, t["path"][row].as_py())
+            ).read_row_group(int(t["rg"][row].as_py()))
+            ids = frag[key_col].to_numpy(zero_copy_only=False)
+            unit = _unit(_to_matrix(frag[emb_col]))
+            sims = unit @ s["q_unit"][q_rows].T  # |list| × |probing queries|
+            for j, qi in enumerate(q_rows):
+                qid = s["q_ids"][qi]
+                col = sims[:, j]
+                if exclude_self:
+                    col = np.where(ids == qid, -np.inf, col)
+                kk = min(k, len(col))
+                top = np.argpartition(-col, kk - 1)[:kk] if kk else np.array([], np.int64)
+                top = top[np.isfinite(col[top])]  # drop the masked self row
+                out_q.append(np.full(len(top), qid))
+                out_id.append(ids[top])
+                out_s.append(col[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            key_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    # one block per few fragments (sliced driver-side — the plan table is
+    # tiny, and rd.from_arrow(list) makes one block per slice with no
+    # repartition shuffle): fragment READS parallelize across the pool
+    n_blocks = max(1, min(frags.num_rows, 64))
+    step = -(-frags.num_rows // n_blocks)
+    slices = [frags.slice(i, step) for i in range(0, frags.num_rows, step)]
+    cand = rd.from_arrow(slices).map_batches(
+        score_fragments, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _finalize_topk(cand, key_col, k, len(q_ids))

@@ -1229,18 +1229,44 @@ def q_ngram_dedup(sf_dir: str):
 
 
 def q_ann_ivf_full(sf_dir: str):
-    """IVF at FULL probe (n_probe = n_centroids): exercises the trained
-    coarse quantizer + bucket-probe machinery while being provably exact —
-    so it shares the brute-force DuckDB oracle. The partial-probe approx
-    path stays covered by the recall pytest."""
+    """IVF at FULL probe (n_probe = n_centroids), kind-tagged composite:
+    'scan' = in-scan IVF (``ann.ivf_topk`` — routing during a corpus
+    scan); 'persisted' = the persisted inverted-list index
+    (``functions/annidx.py``) built into a scratch dir, then queried by
+    reading only probed fragments. Full probe makes BOTH provably exact,
+    so they share one brute-force DuckDB oracle emitted under both tags.
+    Partial-probe approximation + the fragments-read bound stay covered
+    by pytest."""
+    import shutil
+    import tempfile
+
+    from ..functions import annidx
+
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     queries = queries[queries["vec_id"] < 4]
-    out = ann.ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=16)
-    return out.map_batches(
-        lambda t: _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id"),
-        batch_format="pyarrow",
-    )
+
+    def keyed(out, kind: str) -> pa.Table:
+        t = pa.concat_tables(
+            b for b in out.map_batches(
+                lambda t: _i64(t.select(["query_id", "vec_id"]),
+                               "query_id", "vec_id"),
+                batch_format="pyarrow",
+            ).iter_batches(batch_format="pyarrow")
+        )
+        return t.add_column(0, "kind", pa.array([kind] * len(t)))
+
+    scan = keyed(ann.ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=16),
+                 "scan")
+    idx_dir = tempfile.mkdtemp(prefix="graft_annidx_")
+    try:
+        shutil.rmtree(idx_dir)  # build requires a fresh dir
+        annidx.build_ann_index(ds, idx_dir, n_centroids=16)
+        pers = keyed(annidx.query_ann_index(idx_dir, queries, k=10, n_probe=16),
+                     "persisted")
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return pa.concat_tables([scan, pers])
 
 
 def q_media_decode(sf_dir: str):
@@ -1706,10 +1732,16 @@ ORACLE_SQL = {
         "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
     ),
     "ann_ivf_full": (
-        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4) "
-        "SELECT qid AS query_id, e.vec_id FROM q, embeddings e WHERE e.vec_id <> q.qid "
+        # full probe is exact for BOTH execution paths (in-scan IVF and the
+        # persisted inverted-list index), so one brute-force top-10 serves
+        # both kind tags
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4), "
+        "top AS (SELECT qid AS query_id, e.vec_id FROM q, embeddings e "
+        "WHERE e.vec_id <> q.qid "
         "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
-        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10"
+        "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10) "
+        "SELECT 'scan' AS kind, query_id, vec_id FROM top "
+        "UNION ALL SELECT 'persisted' AS kind, query_id, vec_id FROM top"
     ),
     "ann_lsh": (
         # planted exact copies: each probe query's top-1 is provably its copy

@@ -176,6 +176,57 @@ def test_ivf_topk_high_recall_vs_brute_force():
     assert top0["vec_id"] == 10
 
 
+def test_persisted_ann_index_build_query_append(tmp_path):
+    from go_tfdata_ray.functions import annidx
+
+    df = synth_embeddings(n=400, dim=16)
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "annidx")
+    res = annidx.build_ann_index(ds, idx, n_centroids=16)
+    assert res["n_rows"] == 400 and res["fragments"] > 1
+
+    queries = df.head(3)
+    total = annidx.fragment_count(idx)
+    # partial probe reads STRICTLY fewer fragments than the corpus holds —
+    # the whole point of persisting the inverted lists
+    partial, _ = annidx.plan_probe(idx, queries, n_probe=2)
+    assert 0 < partial.num_rows < total
+    full, _ = annidx.plan_probe(idx, queries, n_probe=16)
+    assert full.num_rows == total
+
+    # full probe is exact: same neighbor sets as brute force
+    exact = ann.brute_force_topk(ds, queries, k=5).to_pandas()
+    got = annidx.query_ann_index(idx, queries, k=5, n_probe=16).to_pandas()
+    for qid in queries["vec_id"]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(got[got["query_id"] == qid]["vec_id"])
+        assert e == a
+    # planted near-dup (vec 10 ≈ vec 0) must top query 0 even at n_probe=2
+    approx = annidx.query_ann_index(idx, queries, k=5, n_probe=2).to_pandas()
+    top0 = approx[approx["query_id"] == 0].sort_values("rank").iloc[0]
+    assert top0["vec_id"] == 10
+
+    # rebuild guard
+    import pytest as _pytest
+    with _pytest.raises(FileExistsError):
+        annidx.build_ann_index(ds, idx)
+
+    # incremental append: new rows join the lists WITHOUT retraining and
+    # become queryable; full probe stays exact over the grown corpus
+    extra = synth_embeddings(n=500, dim=16).tail(100).copy()
+    extra["vec_id"] = extra["vec_id"] + 10_000
+    r2 = annidx.append_ann_index(rd.from_pandas(extra), idx)
+    assert r2["n_rows_appended"] == 100 and r2["version"] == 2
+    assert annidx.fragment_count(idx) > total
+    grown = pd.concat([df, extra], ignore_index=True)
+    exact2 = ann.brute_force_topk(rd.from_pandas(grown), queries, k=5).to_pandas()
+    got2 = annidx.query_ann_index(idx, queries, k=5, n_probe=16).to_pandas()
+    for qid in queries["vec_id"]:
+        e = set(exact2[exact2["query_id"] == qid]["vec_id"])
+        a = set(got2[got2["query_id"] == qid]["vec_id"])
+        assert e == a
+
+
 def test_doc_stats_and_token_count():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b,  c! d", "xyz"]})
     ds = rd.from_pandas(df)
