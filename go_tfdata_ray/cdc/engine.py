@@ -249,6 +249,133 @@ def write_delta(g: pa.Table, lake_dir: str, epoch: int, salt: int = 1) -> pa.Tab
     return _intent_table([(part, rel, len(g), int(pc.max(g["seq"]).as_py()), n_up, -1)])
 
 
+def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Pad/reorder ``t`` to ``schema`` (add-column evolution: absent
+    columns read back as null) so a streaming writer sees one schema."""
+    cols = []
+    for f in schema:
+        if f.name in t.column_names:
+            col = t[f.name]
+            cols.append(col.cast(f.type) if col.type != f.type else col)
+        else:
+            cols.append(pa.nulls(len(t), f.type))
+    return pa.table(dict(zip(schema.names, cols)))
+
+
+def _streaming_compact_write(
+    lake_dir: str,
+    bases: list[tuple[str, int, int]],
+    deltas: list[tuple[str, int, int]],
+    tmp_path: str,
+    row_group_size: int = 32768,
+) -> tuple[int, int]:
+    """One partition's compaction fold as a bounded-memory streaming merge.
+
+    Bases (previous compaction output) are doc_id-sorted with UNIQUE keys
+    and bounded row groups; deltas (epoch fragments since that compact)
+    are small — the LSM level-0 pile. Instead of concat+sort of the whole
+    partition (~25 GB single-task at 100 TB / 4096 partitions), collapse
+    the deltas once (O(deltas)), then walk the base ROW GROUP BY ROW GROUP:
+    each base chunk merges with its key-range slice of the sorted delta
+    (no key spans two base row groups — keys are unique), collapses,
+    drops tombstones, and is written immediately. Peak memory is
+    O(row group + deltas), never O(partition).
+
+    ``bases``/``deltas``: (path, rank, rg) triples. Returns
+    (rows_written, max_chunk_rows) — the latter is the memory-bound
+    witness asserted in tests."""
+    ranked = []
+    for p, r, g in deltas:
+        t = _read_fragment(os.path.join(lake_dir, p), g)
+        if len(t):
+            ranked.append(t.append_column(
+                "_rank", pa.array(np.full(len(t), r, dtype=np.int64))))
+    delta = None
+    if ranked:
+        delta = pa.concat_tables(ranked, promote_options="permissive")
+        # KEEP tombstones here — they must mask base rows below
+        delta = collapse_latest(delta, order_cols=("_rank", "seq"))
+        delta = delta.sort_by("doc_id")
+
+    # >1 base never happens (compact replaces the file list with one base);
+    # treat extras as deltas for robustness rather than guessing an order
+    base = bases[0] if len(bases) == 1 else None
+    if base is None and bases:
+        more = []
+        for p, r, g in bases:
+            t = _read_fragment(os.path.join(lake_dir, p), g)
+            if len(t):
+                more.append(t.append_column(
+                    "_rank", pa.array(np.full(len(t), r, dtype=np.int64))))
+        if more:
+            both = more + ([delta] if delta is not None else [])
+            delta = collapse_latest(
+                pa.concat_tables(both, promote_options="permissive"),
+                order_cols=("_rank", "seq")).sort_by("doc_id")
+
+    # target schema: union of base + delta columns (minus the rank tag)
+    schemas = []
+    if base is not None:
+        schemas.append(pq.ParquetFile(os.path.join(lake_dir, base[0])).schema_arrow)
+    if delta is not None:
+        schemas.append(delta.schema)
+    if not schemas:
+        # every fragment was empty: keep the old contract (an empty base
+        # with the fragments' schema) so the manifest entry stays readable
+        first = (bases + deltas)[0][0]
+        schemas.append(pq.ParquetFile(os.path.join(lake_dir, first)).schema_arrow)
+    target = pa.unify_schemas(schemas, promote_options="permissive")
+    target = pa.schema([f for f in target if f.name != "_rank"])
+
+    total = 0
+    max_chunk = 0
+    writer = pq.ParquetWriter(tmp_path, target, use_dictionary=False,
+                              compression="lz4")
+    try:
+        def emit(chunk: pa.Table) -> None:
+            nonlocal total, max_chunk
+            max_chunk = max(max_chunk, len(chunk))
+            chunk = collapse_latest(chunk, order_cols=("_rank", "seq"))
+            if "op" in chunk.column_names:
+                chunk = chunk.filter(pc.not_equal(chunk["op"], pa.scalar("D")))
+            # collapse_latest emits winners in key-sorted order — the chunk
+            # is already doc_id-clustered for the row-group write
+            chunk = _conform(chunk, target)
+            if len(chunk):
+                writer.write_table(chunk, row_group_size=row_group_size)
+                total += len(chunk)
+
+        if base is None:
+            if delta is not None and len(delta):
+                emit(delta)
+        else:
+            bpath, brank, brg = base
+            pf = pq.ParquetFile(os.path.join(lake_dir, bpath))
+            rg_list = (list(range(pf.metadata.num_row_groups))
+                       if brg < 0 else [brg])
+            dk = (delta["doc_id"].to_numpy(zero_copy_only=False)
+                  if delta is not None else None)
+            pos = 0
+            for j, rgi in enumerate(rg_list):
+                bt = pf.read_row_group(rgi)
+                parts = [bt.append_column(
+                    "_rank", pa.array(np.full(len(bt), brank, dtype=np.int64)))]
+                if dk is not None:
+                    if j == len(rg_list) - 1:
+                        hi = len(dk)  # the tail: delta keys past the base
+                    else:
+                        last = bt["doc_id"][len(bt) - 1].as_py()
+                        hi = int(np.searchsorted(dk, last, side="right"))
+                    if hi > pos:
+                        parts.append(delta.slice(pos, hi - pos))
+                        pos = hi
+                emit(pa.concat_tables(parts, promote_options="permissive")
+                     if len(parts) > 1 else parts[0])
+    finally:
+        writer.close()
+    return total, max_chunk
+
+
 class PartitionMergeReader:
     """Scan-side merge-on-read: one descriptor row per partition, each task
     reads that partition's base+delta files locally and emits the merged
@@ -911,6 +1038,9 @@ class CDCEngine:
                     "ranks": [x[1] for x in ordered],
                     # row-group index inside the run file (-1 = whole file)
                     "rgs": [x[3] for x in ordered],
+                    # base = doc_id-clustered compaction output (streamable
+                    # row group by row group); delta = epoch fragment
+                    "kinds": ["base" if x[0] == 0 else "delta" for x in ordered],
                 }
             )
         return desc
@@ -1155,10 +1285,19 @@ class CDCEngine:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self) -> dict[str, Any]:
+    def compact(self, row_group_size: int = 32768) -> dict[str, Any]:
         """Fold each partition's base+deltas into a single new base file
         (shuffle-free; one task per partition), then commit a new manifest
-        version. Physically drops tombstoned rows."""
+        version. Physically drops tombstoned rows.
+
+        STREAMING k-way merge (``_streaming_compact_write``): the previous
+        base is already doc_id-sorted with bounded row groups and the
+        deltas are the small level-0 pile, so each task's peak memory is
+        O(row group + deltas), never O(partition) — at 100 TB / 4096
+        partitions a concat+sort of the whole partition would be a ~25 GB
+        single-task sort. The new base stays CLUSTERED by key with bounded
+        row groups, so parquet min/max stats keep point lookups reading
+        only matching row groups."""
         desc = self._descriptors()
         if not desc:
             return {"compacted": 0}
@@ -1170,30 +1309,26 @@ class CDCEngine:
             rows = []
             for i in range(len(batch)):
                 part = int(batch["part_id"][i].as_py())
-                paths = batch["paths"][i].as_py()
-                ranks = batch["ranks"][i].as_py()
-                rgs = batch["rgs"][i].as_py()
-                tabs = [_read_fragment(os.path.join(lake, p), rg) for p, rg in zip(paths, rgs)]
-                merged = merge_on_read(tabs, ranks=ranks)  # keeps seq/op/part_id, drops 'D'
-                # CLUSTER the base by key with bounded row groups: parquet
-                # min/max stats then let point lookups read only the row
-                # groups whose key range matches, instead of the whole
-                # partition (collapse_latest leaves no duplicate keys, so
-                # sorting is free of semantics)
-                merged = merged.sort_by("doc_id")
+                frags = list(zip(batch["paths"][i].as_py(),
+                                 batch["ranks"][i].as_py(),
+                                 batch["rgs"][i].as_py(),
+                                 batch["kinds"][i].as_py()))
+                bases = [(p, r, g) for p, r, g, kd in frags if kd == "base"]
+                deltas = [(p, r, g) for p, r, g, kd in frags if kd == "delta"]
                 rel = os.path.join(f"part={part:04d}", f"base-{epoch:06d}.parquet")
                 final = os.path.join(lake, rel)
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 tmp = final + f".tmp-{uuid.uuid4().hex}"
-                pq.write_table(merged, tmp, use_dictionary=False,
-                               compression="lz4", row_group_size=32768)
+                n, max_chunk = _streaming_compact_write(
+                    lake, bases, deltas, tmp, row_group_size=row_group_size)
                 os.rename(tmp, final)
-                rows.append((part, rel, len(merged)))
+                rows.append((part, rel, n, max_chunk))
             return pa.table(
                 {
                     "part_id": pa.array([r[0] for r in rows], pa.int32()),
                     "path": pa.array([r[1] for r in rows]),
                     "rows": pa.array([r[2] for r in rows], pa.int64()),
+                    "max_chunk": pa.array([r[3] for r in rows], pa.int64()),
                 }
             )
 
@@ -1220,7 +1355,11 @@ class CDCEngine:
             ]
         mf.commit(self.lake_dir, new)
         self.manifest = new
-        return {"compacted": len(intents), "version": new.version}
+        return {"compacted": len(intents), "version": new.version,
+                # memory-bound witness: the largest single merge chunk any
+                # task materialized (≤ row_group_size + delta rows)
+                "max_chunk_rows": max((int(i["max_chunk"]) for i in intents),
+                                      default=0)}
 
     def would_compact(self, max_fragments: int = 8) -> bool:
         """The compaction-policy predicate, exposed so pre-compaction work

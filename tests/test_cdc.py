@@ -157,6 +157,39 @@ def test_compact_and_vacuum(tmp_path):
     assert all(s["skipped"] for s in eng.apply_wal(wal_dir))
 
 
+def test_compact_streaming_bounded_memory(tmp_path):
+    """The second compact's k-way merge must stream the (already sorted)
+    base row group by row group: the largest chunk any task materializes
+    is bounded by row_group_size + the delta pile, strictly below the
+    whole partition — the 100 TB memory bound. Output equality vs the
+    WAL oracle is the digest check."""
+    from go_tfdata_ray.sources.wal import list_segments
+
+    wal_dir, files = make_wal(tmp_path, n_events=12000, n_keys=4000,
+                              num_epochs=3)
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=1)  # oversized single partition
+    segs = list_segments(wal_dir)
+    eng.apply_epoch(segs[0][0], segs[0][1], stats_extra={"wal_hwm": segs[0][0]})
+    eng.compact(row_group_size=256)  # base now spans many row groups
+    base_rows = eng.scan_table().num_rows
+    assert base_rows > 2000
+
+    for e, paths in segs[1:]:
+        eng.apply_epoch(e, paths, stats_extra={"wal_hwm": e})
+    delta_rows = sum(int(ep["rows"]) for ep in eng.manifest.epochs)
+    r2 = eng.compact(row_group_size=256)
+    # bounded by one row group + the level-0 pile, never the partition
+    assert 0 < r2["max_chunk_rows"] <= 256 + delta_rows
+    assert r2["max_chunk_rows"] < base_rows
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+    # idempotent follow-up fold (no deltas): still streams, still equal
+    r3 = eng.compact(row_group_size=256)
+    assert r3["max_chunk_rows"] <= 256
+    assert_tables_equal(eng.scan_table(), oracle_final_state(files))
+
+
 def test_schema_evolution_add_and_widen_and_rename(tmp_path):
     lake = str(tmp_path / "lake")
     target = DEFAULT_TARGET
