@@ -29,9 +29,33 @@ def _cpu_ticks() -> tuple[int, int, int]:
     return total, vals[2], vals[7] if len(vals) > 7 else 0
 
 
+def _prev_round_queries() -> tuple[str, dict] | None:
+    """Latest BENCH_r*.json's per-query timings — the machine-written
+    baseline for the delta table (prose can't drift from data)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            j = json.load(f)
+        q = j.get("parsed", j).get("queries")
+        return (os.path.basename(best[1]), q) if q else None
+    except Exception:
+        return None
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    shutil.rmtree("/tmp/graft_join_spill", ignore_errors=True)  # stale spill
     t_total0, t_sys0, t_steal0 = _cpu_ticks()
     load1m_start = os.getloadavg()[0]
 
@@ -136,6 +160,12 @@ def run_bench() -> dict:
         timings[name] = best
 
     ray.shutdown()
+    # the timed join_storage runs sweep their own spill dirs; this catches
+    # anything a crashed attempt left (leftover tmpfs pages poison the
+    # NEXT run's numbers — see BASELINE.md noise notes)
+    from go_tfdata_ray.stages.joins import cleanup_join_spill
+
+    cleanup_join_spill(root="/tmp/graft_join_spill")
     # host-interference telemetry: two runs this round measured uniformly
     # 2-8x slower with the box idle beforehand — hypervisor-side steal /
     # kernel churn, not the engine (BASELINE.md). Report it so a noisy
@@ -147,7 +177,7 @@ def run_bench() -> dict:
         "sys_pct": round(100.0 * (t_sys1 - t_sys0) / dt, 2),
         "load1m_start": round(load1m_start, 2),
     }
-    return {
+    out = {
         "metric": "cdc_replay_wall_sec",
         "value": round(replay_sec, 3),
         "unit": "sec",
@@ -159,6 +189,17 @@ def run_bench() -> dict:
         "lake_rows": n_rows,
         "host": host,
     }
+    # machine-written per-query delta table vs the previous round's
+    # recorded BENCH (negative pct = faster this round)
+    prev = None if scaling else _prev_round_queries()
+    if prev is not None:
+        src, pq_ = prev
+        out["deltas_vs_prev"] = {
+            "source": src,
+            "pct": {k: round(100.0 * (v - pq_[k]) / pq_[k], 1)
+                    for k, v in out["queries"].items() if pq_.get(k)},
+        }
+    return out
 
 
 def run_scaling() -> dict:

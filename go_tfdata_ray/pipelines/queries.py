@@ -218,12 +218,18 @@ def q_join_broadcast(sf_dir: str):
     )
     joined = joins.broadcast_join(orders, cust, on="o_custkey")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(price_c=(df["o_totalprice"] * 100).round().astype("int64"), n=np.int64(1))
-        return df.groupby("c_nationkey", sort=False, as_index=False)[["n", "price_c"]].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "price_c": pc.round(pc.multiply(
+                t["o_totalprice"].cast(pa.float64()),
+                pa.scalar(100.0))).cast(pa.int64()),
+        })
+        return rel.sum_groupby_arrow(tb, ["c_nationkey"], ["n", "price_c"])
 
     out = rel.combine_partials(
-        joined.map_batches(partial, batch_format="pandas"), ["c_nationkey"], ["n", "price_c"]
+        joined.map_batches(partial, batch_format="pyarrow"), ["c_nationkey"], ["n", "price_c"]
     )
     return out.map_batches(
         lambda t: _i64(t.rename_columns(["c_nationkey", "n_orders", "sum_price_cents"]),
@@ -246,12 +252,16 @@ def q_join_bucketed(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
     joined = joins.object_exchange_hash_join(li, orders, on="o_orderkey", num_buckets=32)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))
-        return df.groupby("o_orderpriority", sort=False, as_index=False)[["n", "qty"]].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "qty": pc.round(t["l_quantity"].cast(pa.float64())).cast(pa.int64()),
+        })
+        return rel.sum_groupby_arrow(tb, ["o_orderpriority"], ["n", "qty"])
 
     out = rel.combine_partials(
-        joined.map_batches(partial, batch_format="pandas"), ["o_orderpriority"], ["n", "qty"]
+        joined.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"], ["n", "qty"]
     )
     return out.map_batches(
         lambda t: _i64(t.rename_columns(["o_orderpriority", "n_items", "sum_qty"]),
@@ -270,18 +280,25 @@ def q_join_storage(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
     joined = joins.storage_hash_join(li, orders, on="o_orderkey", num_buckets=64)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(qty=df["l_quantity"].round().astype("int64"), n=np.int64(1))
-        return df.groupby("o_orderpriority", sort=False, as_index=False)[["n", "qty"]].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "qty": pc.round(t["l_quantity"].cast(pa.float64())).cast(pa.int64()),
+        })
+        return rel.sum_groupby_arrow(tb, ["o_orderpriority"], ["n", "qty"])
 
     out = rel.combine_partials(
-        joined.map_batches(partial, batch_format="pandas"), ["o_orderpriority"], ["n", "qty"]
-    )
-    return out.map_batches(
+        joined.map_batches(partial, batch_format="pyarrow"), ["o_orderpriority"], ["n", "qty"]
+    ).map_batches(
         lambda t: _i64(t.rename_columns(["o_orderpriority", "n_items", "sum_qty"]),
                        "n_items", "sum_qty"),
         batch_format="pyarrow",
     )
+    # drain the tiny final BEFORE sweeping the join's spilled run files
+    res = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    joins.cleanup_join_spill()
+    return res
 
 
 def q_rollup_pricing(sf_dir: str):
@@ -383,12 +400,15 @@ def q_join_range(sf_dir: str):
     joined = joins.object_exchange_range_join(
         ev, windows, on="ts", lo="lo", hi="hi", by="user_id")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n=np.int64(1))
-        return df.groupby("purchase_id", sort=False, as_index=False)[["n"]].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "purchase_id": t["purchase_id"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        return rel.sum_groupby_arrow(tb, ["purchase_id"], ["n"])
 
     out = rel.combine_partials(
-        joined.map_batches(partial, batch_format="pandas"), ["purchase_id"], ["n"]
+        joined.map_batches(partial, batch_format="pyarrow"), ["purchase_id"], ["n"]
     )
     return out.map_batches(
         lambda t: _i64(t.rename_columns(["purchase_id", "n_events"]),
@@ -790,12 +810,16 @@ def q_cdc_rollups(sf_dir: str):
     eng = replayed_engine(sf_dir)
     ds = eng.scan(columns=["source", "n_tok"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(n=np.int64(1), tok=df["n_tok"].astype("int64"))
-        return df.groupby("source", sort=False, as_index=False)[["n", "tok"]].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "source": t["source"],
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            "tok": t["n_tok"].cast(pa.int64()),
+        })
+        return rel.sum_groupby_arrow(tb, ["source"], ["n", "tok"])
 
     out = rel.combine_partials(
-        ds.map_batches(partial, batch_format="pandas"), ["source"], ["n", "tok"]
+        ds.map_batches(partial, batch_format="pyarrow"), ["source"], ["n", "tok"]
     )
     scan_df = out.map_batches(
         lambda t: _i64(t.rename_columns(["source", "n_docs", "total_tokens"]),

@@ -184,6 +184,33 @@ def asof_join(
     return exchange_group_map(both, merge, num_buckets, shard_col="_b")
 
 
+# storage_hash_join run dirs created by THIS process, pending cleanup
+_SPILL_DIRS: list[str] = []
+
+
+def cleanup_join_spill(root: str | None = None) -> int:
+    """Remove storage_hash_join spill dirs. With no ``root``, removes the
+    dirs this process created (call AFTER the join's consumer has drained
+    the returned Dataset — phase-2 tasks read the run files lazily). With
+    ``root``, sweeps every run dir under it, including orphans left by
+    crashed runs. Returns the number of dirs removed."""
+    import shutil
+
+    if root is not None:
+        targets = [os.path.join(root, d) for d in
+                   (os.listdir(root) if os.path.isdir(root) else [])]
+    else:
+        targets = list(_SPILL_DIRS)
+    n = 0
+    for d in targets:
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            n += 1
+        if d in _SPILL_DIRS:
+            _SPILL_DIRS.remove(d)
+    return n
+
+
 def storage_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -201,9 +228,10 @@ def storage_hash_join(
     groups align with bucket boundaries; it returns tiny intent rows.
     Phase 2: one task per bucket reads exactly its row groups from both
     sides' run files and does a group-local pandas merge. Data crosses the
-    wire once (to storage), never through a sort. On a cluster the spill
-    dir is the shared store; files are left for the streamed reader and can
-    be vacuumed afterwards.
+    wire once (to storage), never through a sort. The spill dir must
+    outlive the returned (lazy) Dataset's consumption; call
+    ``cleanup_join_spill()`` once the consumer has drained it (leftover
+    multi-GB tmpfs dirs poison the NEXT run's memory behavior).
     """
     import uuid as _uuid
 
@@ -211,6 +239,7 @@ def storage_hash_join(
 
     spill = os.path.join(spill_root, _uuid.uuid4().hex)
     os.makedirs(spill, exist_ok=True)
+    _SPILL_DIRS.append(spill)
 
     def writer(side: int):
         def fn(t: pa.Table) -> pa.Table:

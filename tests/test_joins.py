@@ -70,6 +70,11 @@ def test_storage_hash_join_matches_pandas(tmp_path):
     a = out.sort_values(["k", "v"]).reset_index(drop=True)
     b = expect.sort_values(["k", "v"]).reset_index(drop=True)
     assert (a[["k", "v", "name"]] == b[["k", "v", "name"]]).all().all()
+    # spill GC: the drained join's run dirs sweep clean
+    import os
+    assert os.listdir(tmp_path)  # the run dir exists while consumable
+    assert joins.cleanup_join_spill() >= 1
+    assert not os.listdir(tmp_path)  # nothing orphaned
 
 
 def test_storage_hash_join_left(tmp_path):
