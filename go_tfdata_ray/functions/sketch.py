@@ -396,18 +396,28 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     regardless."""
     C = candidates_per_block
 
+    def str_values(t: pa.Table) -> np.ndarray:
+        # ONE stringification point shared by pass-1 partial and pass-2
+        # recount: every hash site (CM update here, min-over-rows bound in
+        # fold/prefold, recount membership) keys on the SAME string form.
+        # Hashing raw native values in partial but stringified candidates
+        # in fold would make the two hash families disagree for any
+        # non-string column, silently garbling the candidate bounds.
+        arr = t[col].drop_null()
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            arr = pc.cast(arr, pa.string())
+        return arr.to_numpy(zero_copy_only=False)
+
     def partial(t: pa.Table) -> pa.Table:
         # nulls are not values: drop them (np.unique can't order None)
-        vals = t[col].drop_null().to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(vals, return_counts=True)
+        uniq, cnt = np.unique(str_values(t), return_counts=True)
         cm = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
             np.add.at(cm[d], _cm_hash(uniq, d, width), cnt)
         top = np.argsort(-cnt, kind="stable")[:C]
         return pa.table({
             "_cm": pa.array([cm.ravel().tobytes()], pa.binary()),
-            "_cands": pa.array([[str(v) for v in uniq[top]]],
-                               pa.list_(pa.string())),
+            "_cands": pa.array([list(uniq[top])], pa.list_(pa.string())),
         })
 
     def fold(t: pa.Table) -> pa.Table:
@@ -486,10 +496,9 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 20,
     cand_set = frozenset(r["value"] for r in survivors.take_all())
 
     def recount(t: pa.Table) -> pa.Table:
-        vals = t[col].drop_null().to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(vals, return_counts=True)
-        mask = np.array([str(v) in cand_set for v in uniq], dtype=bool)
-        return pa.table({"value": pa.array([str(v) for v in uniq[mask]]),
+        uniq, cnt = np.unique(str_values(t), return_counts=True)
+        mask = np.array([v in cand_set for v in uniq], dtype=bool)
+        return pa.table({"value": pa.array(list(uniq[mask]), pa.string()),
                          "n": pa.array(cnt[mask].astype(np.int64))})
 
     def final(t: pa.Table) -> pa.Table:

@@ -178,6 +178,14 @@ class DefaultPipeline:
             import pyarrow as _pa
 
             _os.makedirs(out_dir, exist_ok=True)
+            # sweep stale half-written shards from crashed prior runs —
+            # invisible to readers (the glob skips *.tmp-*) but litter
+            for stale in _os.listdir(out_dir):
+                if ".tmp-" in stale:
+                    try:
+                        _os.remove(_os.path.join(out_dir, stale))
+                    except OSError:
+                        pass
 
             def write_shard(df) -> "_pa.Table":
                 from ..sources.tfrecord import (TFRecordWriter, encode_example,

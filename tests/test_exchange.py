@@ -6,6 +6,7 @@ quantiles / dedup finals)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 import ray.data as rd
 
@@ -133,9 +134,10 @@ def test_combine_partials_fanout_is_final():
     assert out["g"].is_unique and len(out) == 37 and out["n"].sum() == 400
 
 
-def test_group_map_block_count_crossover_falls_back():
-    # past max_exchange_blocks the call transparently takes Ray's groupby
-    # path — results must be identical
+def test_group_map_block_count_crossover_coalesces_and_stays_on_exchange():
+    # past max_exchange_blocks the input is REPARTITIONED down and the
+    # routing stays on the exchange path (NOT Ray's groupby sort-shuffle) —
+    # results must be identical
     df = pd.DataFrame({"k": np.arange(60) % 6, "v": np.ones(60, dtype=np.int64)})
     df["_shard"] = (df["k"] % 4).astype(np.int64)
     ds = rd.from_pandas(df).repartition(5)
@@ -145,3 +147,35 @@ def test_group_map_block_count_crossover_falls_back():
     got = out.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "v"]],
                                   want.sort_values("k").reset_index(drop=True))
+
+    # exchange-path-only behavior survives the crossover: out-of-range
+    # shard values raise the route task's loud contract error (Ray's
+    # groupby would have silently grouped them)
+    bad = df.copy()
+    bad.loc[0, "_shard"] = 9
+    with pytest.raises(Exception, match=r"outside \[0, 4\)"):
+        exchange_group_map(rd.from_pandas(bad).repartition(5), _mk_agg(),
+                           num_shards=4, max_exchange_blocks=2).to_pandas()
+
+
+def test_group_map_crosses_real_block_threshold():
+    """Exercise the crossover at the REAL default threshold (>4096 input
+    blocks → coalesce to 2048 and exchange), oracle-checked. ~20 s: the
+    cost IS the 4200-block metadata pressure the crossover exists for."""
+    n_blocks, rows = 4200, 40
+    ds = rd.range(n_blocks * rows, override_num_blocks=n_blocks)
+
+    def add(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        return pa.table({"k": ids % 37,
+                         "v": np.ones(len(ids), dtype=np.int64),
+                         "_shard": (ids % 8).astype(np.int64)})
+
+    out = exchange_group_map(
+        ds.map_batches(add, batch_format="pyarrow"), _mk_agg(), num_shards=8
+    ).to_pandas()
+    got = (out.groupby("k", as_index=False)["v"].sum()
+           .sort_values("k").reset_index(drop=True))
+    want_counts = np.bincount(np.arange(n_blocks * rows) % 37).astype(np.int64)
+    assert list(got["k"]) == list(range(37))
+    assert list(got["v"]) == list(want_counts)

@@ -625,6 +625,30 @@ def test_heavy_hitters_exact_topk_on_zipf_with_uniform_tail():
     assert list(got3["n"]) == list(want["n"])
 
 
+def test_heavy_hitters_non_string_column():
+    """Non-string columns must hash the SAME stringified key in the CM
+    partial, the fold bound, and the recount — hashing raw ints in partial
+    but str() candidates in fold makes the min-over-rows bounds garbage and
+    can silently prune true heavy hitters."""
+    from go_tfdata_ray.functions import sketch
+
+    rng = np.random.default_rng(7)
+    head = [i for i in range(20) for _ in range(1000 // (i + 1))]
+    tail = list(rng.integers(10_000, 60_000, 20_000))
+    vals = np.array(head + tail, dtype=np.int64)
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+
+    want = (df["v"].astype(str).value_counts().rename_axis("value")
+            .reset_index(name="n")
+            .sort_values(["n", "value"], ascending=[False, True], kind="stable")
+            .head(10).reset_index(drop=True))
+    got = sketch.heavy_hitters(
+        rd.from_pandas(df).repartition(8), "v", k=10).to_pandas()
+    assert list(got["value"]) == list(want["value"])
+    assert list(got["n"]) == list(want["n"])
+
+
 def test_bloom_no_false_negatives_and_fp_bound():
     from go_tfdata_ray.functions import sketch
 
