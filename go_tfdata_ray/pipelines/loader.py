@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..cdc.engine import CDCEngine
 from ..functions import pack
@@ -42,14 +43,19 @@ def _weighted_mix(source_weights: dict[str, float], epoch_seed: int):
                      % (1 << 64))
 
     def mix(t: pa.Table) -> pa.Table:
-        src = t["source"].to_pylist()
-        w = np.array([source_weights.get(s, 1.0) for s in src])
-        if (w < 0).any():
+        # dictionary-encode: the weight lookup runs once per DISTINCT
+        # source (a handful), then fancy-indexes per row — no Python loop
+        enc = pc.dictionary_encode(t["source"].combine_chunks())
+        wd = np.array([source_weights.get(s, 1.0)
+                       for s in enc.dictionary.to_pylist()] + [1.0])
+        if (wd < 0).any():
             raise ValueError("source weights must be >= 0")
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        w = wd[idx.astype(np.int64)]  # -1 (null source) → default 1.0
         base = np.floor(w).astype(np.int64)
         frac = w - base
         h = pd.util.hash_array(
-            np.asarray(t["doc_id"].to_pylist(), dtype=object),
+            t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False),
             categorize=False)
         h = (h ^ salt) * np.uint64(0x2545F4914F6CDD1D)  # epoch-salted remix
         extra = (h.astype(np.float64) / float(1 << 64)) < frac
