@@ -242,19 +242,23 @@ _GIF_SIG = b"GIF8"
 
 
 def sniff_image_format(buf: bytes) -> str:
-    """'png' | 'jpeg' | 'gif' from magic bytes; raises on anything else —
-    the same three formats the reference decodes via Go stdlib
-    (/root/reference/tfdata/core/example.go:131-146). Video containers
-    plug in at this seam."""
+    """'png' | 'jpeg' | 'gif' | 'avi' from magic bytes; raises on anything
+    else. The image trio matches what the reference decodes via Go stdlib
+    (/root/reference/tfdata/core/example.go:131-146); 'avi' is the RIFF
+    video container (``functions/avi.py``, MJPEG payloads decode from-spec;
+    other vids handlers plug in at that seam)."""
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if buf[: len(_JPEG_SIG)] == _JPEG_SIG:
         return "jpeg"
     if buf[: len(_GIF_SIG)] == _GIF_SIG:
         return "gif"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
     raise NotImplementedError(
-        "unrecognized image payload (PNG, baseline JPEG and GIF have "
-        "from-spec codecs in this container; video plugs in at this seam)")
+        "unrecognized image payload (PNG, baseline JPEG, GIF and MJPEG-AVI "
+        "have from-spec codecs in this container; other media plugs in at "
+        "this seam)")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -265,6 +269,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     if fmt == "jpeg":
         return decode_jpeg(buf)
+    if fmt == "avi":  # first frame of an MJPEG-in-AVI clip
+        from .avi import extract_avi_frames
+
+        return decode_jpeg(extract_avi_frames(buf, [0])[0])
     return decode_gif_first(buf)
 
 

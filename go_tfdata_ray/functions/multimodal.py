@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from . import codecs
+from .avi import count_avi_frames, encode_avi_mjpeg
 from .gif import count_gif_frames
 from .text import _worker_cached
 
@@ -76,13 +77,13 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
-    / ``"wav"`` = REAL encoded payloads for the real decode kernels
-    (``"gif"`` / ``"mjpeg"`` are n_frames-frame clips at 16×16, so the
-    width/height columns report 16)."""
+    / ``"avi"`` / ``"wav"`` = REAL encoded payloads for the real decode
+    kernels (``"gif"`` / ``"mjpeg"`` / ``"avi"`` are n_frames-frame clips
+    at 16×16, so the width/height columns report 16)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload in ("gif", "mjpeg"):
+    if payload in ("gif", "mjpeg", "avi"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -96,6 +97,11 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
     elif payload == "mjpeg":
         payloads = [codecs.encode_mjpeg(synth_gif_frames(i + seed, nf[i]))
                     for i in range(n)]
+    elif payload == "avi":
+        payloads = [encode_avi_mjpeg(
+            [codecs.encode_jpeg(np.asarray(f)) for f in
+             synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16)
+            for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
     else:
@@ -170,14 +176,17 @@ class FrameSampler:
     """Frame sampling: emits one row per sampled frame index (flat-map
     shape: output rows ≠ input rows).
 
-    real: REAL frame counting from the container structure in both legs —
-    animated GIF via the descriptor/sub-block walk
-    (``gif.count_gif_frames``) and MJPEG via the marker-segment walk
-    (``codecs.split_mjpeg``) — neither touches pixels, the right cost
-    model for sampling: only the SAMPLED frames would ever be pixel-
-    decoded downstream (``gif.decode_gif`` / ``jpeg.decode_jpeg``). The
-    frame count comes from the container, not metadata. Other video
-    containers raise at this seam (ffmpeg would plug in).
+    real: REAL frame counting from the container structure in all three
+    legs — animated GIF via the descriptor/sub-block walk
+    (``gif.count_gif_frames``), MJPEG via the marker-segment walk
+    (``codecs.split_mjpeg``), and AVI via the RIFF idx1-index / movi walk
+    (``avi.count_avi_frames`` — the idx1 path is O(index), the seek-shape
+    for sampling) — none touches pixels, the right cost model for
+    sampling: only the SAMPLED frames would ever be pixel-decoded
+    downstream (``gif.decode_gif`` / ``jpeg.decode_jpeg`` /
+    ``avi.extract_avi_frames``). The frame count comes from the
+    container, not metadata. Other video containers raise at this seam
+    (ffmpeg would plug in).
     fake: frame indices derived from the n_frames metadata column."""
 
     def __init__(self, every_n: int = 10, mode: str = "fake"):
@@ -193,10 +202,12 @@ class FrameSampler:
                     n_frames = count_gif_frames(buf)
                 elif fmt == "jpeg":  # MJPEG: a still JPEG is a 1-frame clip
                     n_frames = len(codecs.split_mjpeg(buf))
+                elif fmt == "avi":  # RIFF walk / idx1 index, O(index)
+                    n_frames = count_avi_frames(buf)
                 else:
                     raise NotImplementedError(
-                        "frame extraction beyond GIF/MJPEG requires ffmpeg "
-                        "— seam")
+                        "frame extraction beyond GIF/MJPEG/AVI requires "
+                        "ffmpeg — seam")
                 for f in range(0, n_frames, self.every_n):
                     ids.append(mid)
                     frames.append(f)

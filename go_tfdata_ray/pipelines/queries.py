@@ -1330,15 +1330,18 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over two video containers (flat-map shape: one
-    row per sampled frame index), stage-tagged union: 'gif' = each clip is
-    a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW +
-    disposal composition, ``functions/gif.py``); 'mjpeg' = the same clips
-    as Motion-JPEG streams (concatenated baseline JPEGs), frame boundaries
-    recovered by the exact marker-segment walk in ``codecs.split_mjpeg``.
-    Sampled indices come from the DECODED container in both legs, so the
-    oracle's closed-form reconstruction hash-checks both round trips.
-    Pixel-content equality of decoded frames stays in the codec pytests."""
+    """REAL frame sampling over three video containers (flat-map shape:
+    one row per sampled frame index), stage-tagged union: 'gif' = each
+    clip is a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW
+    + disposal composition, ``functions/gif.py``); 'mjpeg' = the same
+    clips as Motion-JPEG streams (concatenated baseline JPEGs), frame
+    boundaries recovered by the exact marker-segment walk in
+    ``codecs.split_mjpeg``; 'avi' = the same clips as MJPEG-in-AVI (RIFF
+    container, ``functions/avi.py``), frames counted via the idx1 seek
+    index / movi chunk walk. Sampled indices come from the DECODED
+    container in all legs, so the oracle's closed-form reconstruction
+    hash-checks every round trip. Pixel-content equality of decoded
+    frames stays in the codec pytests."""
     from ..functions import multimodal
 
     def tag(stage):
@@ -1356,7 +1359,11 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="mjpeg"))
     mjp_out = multimodal.sample_frames(mjp, every_n=10, mode="real").map_batches(
         tag("mjpeg"), batch_format="pyarrow")
-    return gif_out.union(mjp_out)
+    av = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="avi"))
+    avi_out = multimodal.sample_frames(av, every_n=10, mode="real").map_batches(
+        tag("avi"), batch_format="pyarrow")
+    return gif_out.union(mjp_out).union(avi_out)
 
 
 def q_audio_features(sf_dir: str):
@@ -1794,7 +1801,8 @@ ORACLE_SQL = {
         "s AS (SELECT printf('m-%06d', i) AS media_id, "
         "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m) "
         "SELECT 'gif' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip

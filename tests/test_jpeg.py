@@ -159,7 +159,7 @@ def test_codecs_sniffing_dispatch():
     buf = codecs.encode_image(pal_img, "gif")
     assert codecs.sniff_image_format(buf) == "gif"
     assert (codecs.decode_image(buf) == pal_img).all()
-    with pytest.raises(NotImplementedError, match="video plugs in"):
+    with pytest.raises(NotImplementedError, match="media plugs in"):
         codecs.sniff_image_format(b"\x00\x00\x00\x18ftypmp42....")
 
 
