@@ -187,8 +187,18 @@ rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
 
 out = {{"nodes_before": len([n for n in ray.nodes() if n["Alive"]])}}
 
+# Tell the parent which raylet is OURS so it never SIGKILLs the driver's
+# local raylet: with several same-IP raylets on one box, ray.init attaches
+# the driver to an arbitrary (in practice the most recently registered)
+# node — which is exactly the worker the parent would otherwise pick.
+_me = ray.get_runtime_context().get_node_id()
+_port = next(n["NodeManagerPort"] for n in ray.nodes()
+             if n["NodeID"] == _me)
 # signal the parent: the kill lands ~1.5 s from now, mid-apply
-open({marker!r}, "w").write("go")
+# (write-then-rename so the parent never reads a half-written marker)
+open({marker!r} + ".tmp", "w").write(
+    json.dumps({{"driver_node_manager_port": _port}}))
+os.rename({marker!r} + ".tmp", {marker!r})
 wal_files = [p for _e, paths in walmod.list_segments({wal_dir!r})
              for p in paths]
 lake = "/dev/shm/graft_chaos_lake"
@@ -290,6 +300,17 @@ def run_chaos(n_events: int, sf_dir: str) -> int:
             time.sleep(0.3)
         worker_pids = sorted(raylet_pids() - head_pids)
         assert len(worker_pids) == 2, worker_pids
+
+        def raylet_port(pid: int) -> int:
+            # raylets are exec'd with --node_manager_port=<port>
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                args = f.read().split(b"\0")
+            for a in args:
+                if a.startswith(b"--node_manager_port="):
+                    return int(a.split(b"=", 1)[1])
+            return -1
+
+        worker_ports = {raylet_port(p): p for p in worker_pids}
         time.sleep(3)
         script = CHAOS_DRIVER.format(repo=REPO, wal_dir=wal_dir,
                                      sf_dir=sf_dir, marker=marker)
@@ -303,14 +324,21 @@ def run_chaos(n_events: int, sf_dir: str) -> int:
             proc.kill()
             sys.stderr.write("driver never reached the marker\n")
             return 1
+        # pick a WORKER raylet that is NOT the driver's local raylet (the
+        # driver attaches to an arbitrary same-IP raylet — killing its own
+        # raylet would test driver death, which tools/soak.py already covers)
+        driver_port = json.load(open(marker)).get("driver_node_manager_port")
+        victims = [p for port, p in sorted(worker_ports.items())
+                   if port != driver_port]
+        assert victims, (worker_ports, driver_port)
         time.sleep(1.5)  # let the apply get airborne
-        os.kill(worker_pids[-1], signal.SIGKILL)
+        os.kill(victims[-1], signal.SIGKILL)
         kill_t = time.time()
         stdout, stderr = proc.communicate(timeout=600)
         for line in stdout.splitlines():
             if line.startswith("CHAOS_RESULT "):
                 data = json.loads(line.split(" ", 1)[1])
-                data["killed_raylet_pid"] = worker_pids[-1]
+                data["killed_raylet_pid"] = victims[-1]
                 print("CHAOS_RESULT " + json.dumps(data))
                 ok = (data.get("replay_matches_oracle")
                       and data.get("nodes_after") == 2
