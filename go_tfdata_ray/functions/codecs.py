@@ -242,11 +242,12 @@ _GIF_SIG = b"GIF8"
 
 
 def sniff_image_format(buf: bytes) -> str:
-    """'png' | 'jpeg' | 'gif' | 'avi' from magic bytes; raises on anything
-    else. The image trio matches what the reference decodes via Go stdlib
-    (/root/reference/tfdata/core/example.go:131-146); 'avi' is the RIFF
-    video container (``functions/avi.py``, MJPEG payloads decode from-spec;
-    other vids handlers plug in at that seam)."""
+    """'png' | 'jpeg' | 'gif' | 'avi' | 'mp4' from magic bytes; raises on
+    anything else. The image trio matches what the reference decodes via Go
+    stdlib (/root/reference/tfdata/core/example.go:131-146); 'avi' is the
+    RIFF video container (``functions/avi.py``) and 'mp4' the ISO-BMFF one
+    (``functions/mp4.py``) — MJPEG payloads decode from-spec; other video
+    codecs plug in at that seam."""
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if buf[: len(_JPEG_SIG)] == _JPEG_SIG:
@@ -255,10 +256,12 @@ def sniff_image_format(buf: bytes) -> str:
         return "gif"
     if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
         return "avi"
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "mp4"
     raise NotImplementedError(
-        "unrecognized image payload (PNG, baseline JPEG, GIF and MJPEG-AVI "
-        "have from-spec codecs in this container; other media plugs in at "
-        "this seam)")
+        "unrecognized image payload (PNG, baseline JPEG, GIF, MJPEG-AVI and "
+        "MJPEG-MP4 have from-spec codecs in this container; other media "
+        "plugs in at this seam)")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -273,6 +276,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from .avi import extract_avi_frames
 
         return decode_jpeg(extract_avi_frames(buf, [0])[0])
+    if fmt == "mp4":  # first sample of an MJPEG-in-MP4 clip
+        from .mp4 import extract_mp4_frames
+
+        return decode_jpeg(extract_mp4_frames(buf, [0])[0])
     return decode_gif_first(buf)
 
 

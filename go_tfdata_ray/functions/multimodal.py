@@ -6,9 +6,11 @@ Image and audio kernels are REAL — PNG, baseline JPEG, GIF and WAV via
 mirroring the reference's use of Go stdlib codecs at
 /root/reference/tfdata/core/example.go:131-146): ``mode="real"`` sniffs
 the payload magic and decodes actual pixels/samples/frames. Frame
-sampling is real over animated GIF and MJPEG (container walks, no pixel
-decode); other video containers raise ``NotImplementedError`` at the
-same seam (they need ffmpeg, absent in this container); ``mode="fake"``
+sampling is real over animated GIF, MJPEG, MJPEG-in-AVI and MJPEG-in-MP4
+(container walks — GIF descriptor/sub-block, JPEG marker, RIFF idx1,
+ISO-BMFF sample tables — no pixel decode); other video codecs raise
+``NotImplementedError`` at the same seam (they need ffmpeg, absent in
+this container); ``mode="fake"``
 keeps the deterministic bytes-derived path for plumbing tests and for
 payloads without a codec.
 
@@ -27,6 +29,7 @@ import ray.data as rd
 
 from . import codecs
 from .avi import count_avi_frames, encode_avi_mjpeg
+from .mp4 import count_mp4_frames, encode_mp4_mjpeg
 from .gif import count_gif_frames
 from .text import _worker_cached
 
@@ -77,13 +80,13 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
-    / ``"avi"`` / ``"wav"`` = REAL encoded payloads for the real decode
-    kernels (``"gif"`` / ``"mjpeg"`` / ``"avi"`` are n_frames-frame clips
-    at 16×16, so the width/height columns report 16)."""
+    / ``"avi"`` / ``"mp4"`` / ``"wav"`` = REAL encoded payloads for the real
+    decode kernels (``"gif"`` / ``"mjpeg"`` / ``"avi"`` / ``"mp4"`` are
+    n_frames-frame clips at 16×16, so the width/height columns report 16)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload in ("gif", "mjpeg", "avi"):
+    if payload in ("gif", "mjpeg", "avi", "mp4"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -99,6 +102,11 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                     for i in range(n)]
     elif payload == "avi":
         payloads = [encode_avi_mjpeg(
+            [codecs.encode_jpeg(np.asarray(f)) for f in
+             synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16)
+            for i in range(n)]
+    elif payload == "mp4":
+        payloads = [encode_mp4_mjpeg(
             [codecs.encode_jpeg(np.asarray(f)) for f in
              synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16)
             for i in range(n)]
@@ -176,15 +184,18 @@ class FrameSampler:
     """Frame sampling: emits one row per sampled frame index (flat-map
     shape: output rows ≠ input rows).
 
-    real: REAL frame counting from the container structure in all three
+    real: REAL frame counting from the container structure in all four
     legs — animated GIF via the descriptor/sub-block walk
     (``gif.count_gif_frames``), MJPEG via the marker-segment walk
-    (``codecs.split_mjpeg``), and AVI via the RIFF idx1-index / movi walk
+    (``codecs.split_mjpeg``), AVI via the RIFF idx1-index / movi walk
     (``avi.count_avi_frames`` — the idx1 path is O(index), the seek-shape
-    for sampling) — none touches pixels, the right cost model for
-    sampling: only the SAMPLED frames would ever be pixel-decoded
-    downstream (``gif.decode_gif`` / ``jpeg.decode_jpeg`` /
-    ``avi.extract_avi_frames``). The frame count comes from the
+    for sampling) and MP4 via the mandatory stsz/stsc/stco sample tables
+    (``mp4.count_mp4_frames`` — always O(tables), mdat never walked) —
+    none touches pixels, the right cost model for sampling: only the
+    SAMPLED frames would ever be pixel-decoded downstream
+    (``gif.decode_gif`` / ``jpeg.decode_jpeg`` /
+    ``avi.extract_avi_frames`` / ``mp4.extract_mp4_frames``). The frame
+    count comes from the
     container, not metadata. Other video containers raise at this seam
     (ffmpeg would plug in).
     fake: frame indices derived from the n_frames metadata column."""
@@ -204,9 +215,11 @@ class FrameSampler:
                     n_frames = len(codecs.split_mjpeg(buf))
                 elif fmt == "avi":  # RIFF walk / idx1 index, O(index)
                     n_frames = count_avi_frames(buf)
+                elif fmt == "mp4":  # stsz/stsc/stco walk, O(sample tables)
+                    n_frames = count_mp4_frames(buf)
                 else:
                     raise NotImplementedError(
-                        "frame extraction beyond GIF/MJPEG/AVI requires "
+                        "frame extraction beyond GIF/MJPEG/AVI/MP4 requires "
                         "ffmpeg — seam")
                 for f in range(0, n_frames, self.every_n):
                     ids.append(mid)

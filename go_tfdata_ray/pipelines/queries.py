@@ -1330,7 +1330,7 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over three video containers (flat-map shape:
+    """REAL frame sampling over four video containers (flat-map shape:
     one row per sampled frame index), stage-tagged union: 'gif' = each
     clip is a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW
     + disposal composition, ``functions/gif.py``); 'mjpeg' = the same
@@ -1338,10 +1338,13 @@ def q_media_frames(sf_dir: str):
     boundaries recovered by the exact marker-segment walk in
     ``codecs.split_mjpeg``; 'avi' = the same clips as MJPEG-in-AVI (RIFF
     container, ``functions/avi.py``), frames counted via the idx1 seek
-    index / movi chunk walk. Sampled indices come from the DECODED
-    container in all legs, so the oracle's closed-form reconstruction
-    hash-checks every round trip. Pixel-content equality of decoded
-    frames stays in the codec pytests."""
+    index / movi chunk walk; 'mp4' = the same clips as MJPEG-in-MP4
+    (ISO-BMFF, ``functions/mp4.py``), frames counted from the mandatory
+    stsz/stsc/stco sample tables without touching mdat. Sampled indices
+    come from the DECODED container in all legs, so the oracle's
+    closed-form reconstruction hash-checks every round trip.
+    Pixel-content equality of decoded frames stays in the codec
+    pytests."""
     from ..functions import multimodal
 
     def tag(stage):
@@ -1363,7 +1366,11 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="avi"))
     avi_out = multimodal.sample_frames(av, every_n=10, mode="real").map_batches(
         tag("avi"), batch_format="pyarrow")
-    return gif_out.union(mjp_out).union(avi_out)
+    mp = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mp4"))
+    mp4_out = multimodal.sample_frames(mp, every_n=10, mode="real").map_batches(
+        tag("mp4"), batch_format="pyarrow")
+    return gif_out.union(mjp_out).union(avi_out).union(mp4_out)
 
 
 def q_audio_features(sf_dir: str):
@@ -1802,7 +1809,8 @@ ORACLE_SQL = {
         "CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx FROM m) "
         "SELECT 'gif' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mp4' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip
