@@ -22,18 +22,27 @@ Boxes parsed::
             stsc                  #   sample→chunk run-length map
             stsz                  #   per-sample sizes (or uniform)
             stco / co64           #   32/64-bit absolute chunk offsets
+      mvex / trex                 # fMP4: per-track sample defaults
     mdat                          # raw sample bytes (never walked)
+    moof                          # fMP4/DASH fragments:
+      mfhd                        #   sequence number
+      traf / tfhd                 #   per-fragment defaults + base offset
+             trun                 #   per-sample size/duration runs
+    mdat                          #   fragment payload (never walked)
 
 Scale shape: unlike AVI — where an index-less file forces an O(file)
 ``movi`` walk — MP4 sample tables are MANDATORY, so ``mp4_frame_index``
-is always O(sample tables): every frame's (absolute_offset, size) is
-computed from stsz x stsc x stco without touching ``mdat``. Sampling N
-of F frames therefore slices exactly N byte ranges out of the payload,
-the same cost model as ``FrameSampler``'s other legs.
+is always O(sample tables + fragment headers): every frame's
+(absolute_offset, size) is computed from stsz x stsc x stco (plus
+moof/tfhd/trun runs for fragmented files) without touching ``mdat``.
+Sampling N of F frames therefore slices exactly N byte ranges out of
+the payload, the same cost model as ``FrameSampler``'s other legs.
 
-Writer ``encode_mp4_mjpeg`` builds a minimal valid single-track
-MJPEG-in-MP4 (ftyp + mdat + moov) for tests and synthetic media tables;
-``samples_per_chunk`` > 1 exercises real stsc run-length expansion.
+Writers ``encode_mp4_mjpeg`` (progressive layout; ``samples_per_chunk``
+> 1 exercises real stsc run-length expansion, ``moov_first`` the
+faststart ordering, ``wide`` the 64-bit v1/co64/largesize shapes) and
+``encode_fmp4_mjpeg`` (fragmented/DASH layout) build minimal valid
+single-track MJPEG files for tests and synthetic media tables.
 """
 
 from __future__ import annotations
@@ -118,6 +127,7 @@ def _video_stbl(buf: bytes) -> tuple[int, int, dict]:
             continue
         tk_b, _tk_e = _find(buf, b, e, b"tkhd")
         ver, p = _full(buf, tk_b)
+        info["track_id"] = _u32(buf, p + (16 if ver == 1 else 8))
         base = p + (32 if ver == 1 else 20)  # past ids/times/duration
         # reserved(8) layer(2) alternate(2) volume(2) reserved(2) matrix(36)
         info["width"] = _u32(buf, base + 52) / 65536.0
@@ -136,6 +146,14 @@ def _video_stbl(buf: bytes) -> tuple[int, int, dict]:
         _ver, p = _full(buf, sd_b)
         if _u32(buf, p):  # entry_count
             info["codec"] = buf[p + 8:p + 12].decode("ascii", "replace")
+        # fragmented files: mvex/trex carries per-track sample defaults
+        for f2, b2, e2 in _iter_boxes(buf, moov_b, moov_e):
+            if f2 != b"mvex":
+                continue
+            for f3, b3, _e3 in _iter_boxes(buf, b2, e2):
+                if f3 == b"trex" and _u32(buf, b3 + 4) == info["track_id"]:
+                    # version/flags(4) track(4) desc_idx(4) duration(4) size(4)
+                    info["default_sample_size"] = _u32(buf, b3 + 16)
         return stbl_b, stbl_e, info
     raise ValueError("MP4 has no video ('vide' handler) track")
 
@@ -186,8 +204,11 @@ def mp4_info(buf: bytes) -> dict:
     """Movie/track headers + sample-table frame count: width, height,
     fps (media timescale over per-frame delta), n_frames, codec fourcc."""
     stbl_b, stbl_e, info = _video_stbl(buf)
-    sizes = _sample_sizes(buf, stbl_b, stbl_e)
-    info["n_frames"] = len(sizes)
+    n = len(_sample_sizes(buf, stbl_b, stbl_e))
+    if not n:  # fragmented layout: samples live in moof/trun runs
+        n = len(_fragment_index(buf, info["track_id"],
+                                info.get("default_sample_size", 0)))
+    info["n_frames"] = n
     tt_b, _ = _find(buf, stbl_b, stbl_e, b"stts")
     _ver, p = _full(buf, tt_b)
     if _u32(buf, p):  # entry_count: (count, delta) of the first run
@@ -196,12 +217,82 @@ def mp4_info(buf: bytes) -> dict:
     return info
 
 
+def _fragment_index(buf: bytes, track_id: int,
+                    default_size: int) -> list[tuple[int, int]]:
+    """(absolute_offset, size) per sample across every ``moof`` fragment
+    (fMP4/DASH layout): tfhd carries per-fragment defaults and the base
+    offset (explicit u64, or moof-relative per the default-base-is-moof
+    flag / first-trun convention); trun carries per-sample sizes. Only
+    moof headers are walked — mdat payload bytes are never touched."""
+    out: list[tuple[int, int]] = []
+    for fcc, body, end in _iter_boxes(buf, 0, len(buf)):
+        if fcc != b"moof":
+            continue
+        moof_start = body - 8
+        for f2, b2, e2 in _iter_boxes(buf, body, end):
+            if f2 != b"traf":
+                continue
+            tf_b, _tf_e = _find(buf, b2, e2, b"tfhd")
+            flags = int.from_bytes(buf[tf_b + 1:tf_b + 4], "big")
+            p = tf_b + 4
+            if _u32(buf, p) != track_id:
+                continue
+            p += 4
+            base: int | None = None
+            if flags & 0x01:  # base-data-offset-present
+                base = _u64(buf, p)
+                p += 8
+            if flags & 0x02:  # sample-description-index-present
+                p += 4
+            if flags & 0x08:  # default-sample-duration-present
+                p += 4
+            frag_size = default_size
+            if flags & 0x10:  # default-sample-size-present
+                frag_size = _u32(buf, p)
+                p += 4
+            if base is None:  # default-base-is-moof (0x20000) / first-trun
+                base = moof_start
+            pos = base
+            for f3, b3, _e3 in _iter_boxes(buf, b2, e2):
+                if f3 != b"trun":
+                    continue
+                tflags = int.from_bytes(buf[b3 + 1:b3 + 4], "big")
+                q = b3 + 4
+                n = _u32(buf, q)
+                q += 4
+                if tflags & 0x01:  # data-offset-present (signed, base-rel)
+                    pos = base + struct.unpack_from(">i", buf, q)[0]
+                    q += 4
+                if tflags & 0x04:  # first-sample-flags-present
+                    q += 4
+                per = (4 if tflags & 0x100 else 0)  # sample-duration
+                for _ in range(n):
+                    q += per
+                    if tflags & 0x200:  # sample-size-present
+                        size = _u32(buf, q)
+                        q += 4
+                    else:
+                        size = frag_size
+                    if tflags & 0x400:  # sample-flags
+                        q += 4
+                    if tflags & 0x800:  # composition-time-offset
+                        q += 4
+                    if not size:
+                        raise ValueError(
+                            "fMP4 sample has no size in trun, tfhd or trex")
+                    out.append((pos, size))
+                    pos += size
+    return out
+
+
 def mp4_frame_index(buf: bytes) -> list[tuple[int, int]]:
     """(absolute_offset, size) of every video sample, decode order,
-    computed purely from stsz x stsc x stco/co64 — O(sample tables),
-    ``mdat`` is never walked (MP4's tables are mandatory, so unlike AVI
-    there is no O(file) fallback to need)."""
-    stbl_b, stbl_e, _info = _video_stbl(buf)
+    computed purely from the sample tables — stsz x stsc x stco/co64 for
+    the progressive layout, plus moof/tfhd/trun fragment runs for
+    fMP4/DASH files — O(tables + fragment headers); ``mdat`` is never
+    walked (MP4's tables are mandatory, so unlike AVI there is no
+    O(file) fallback to need)."""
+    stbl_b, stbl_e, info = _video_stbl(buf)
     sizes = _sample_sizes(buf, stbl_b, stbl_e)
     offsets = _chunk_offsets(buf, stbl_b, stbl_e)
     spc = _samples_per_chunk(buf, stbl_b, stbl_e, len(offsets))
@@ -218,7 +309,9 @@ def mp4_frame_index(buf: bytes) -> list[tuple[int, int]]:
     if s != len(sizes):
         raise ValueError(
             f"stsc/stco cover {s} samples, stsz declares {len(sizes)}")
-    if out and out[-1][0] + out[-1][1] > len(buf):
+    out.extend(_fragment_index(buf, info["track_id"],
+                               info.get("default_sample_size", 0)))
+    if out and max(o + sz for o, sz in out) > len(buf):
         raise ValueError("truncated MP4: last sample exceeds file size")
     return out
 
@@ -257,10 +350,13 @@ _UNITY = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
 def _build_moov(frames: list[bytes], chunk_offs: list[int],
                 stsc_runs: list[tuple[int, int]], fps: int,
-                width: int, height: int, wide: bool) -> bytes:
+                width: int, height: int, wide: bool,
+                fragmented: bool = False) -> bytes:
     """moov whose size is independent of the VALUES in ``chunk_offs``
     (each offset is a fixed-width field), so a moov-first layout can be
-    built by measuring a dummy moov first."""
+    built by measuring a dummy moov first. ``fragmented`` writes the
+    fMP4 shape: zero-entry sample tables plus an mvex/trex box — the
+    samples live in moof/trun runs appended after."""
     n = len(frames)
     dur = n * 1000 // max(fps, 1)
     stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(
@@ -272,17 +368,24 @@ def _build_moov(frames: list[bytes], chunk_offs: list[int],
         + struct.pack(">I", 0) + struct.pack(">H", 1)  # frame_count
         + b"\0" * 32                                  # compressorname
         + struct.pack(">Hh", 24, -1)))
-    stts = _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
-    stsc = _fbox(b"stsc", 0, 0, struct.pack(">I", len(stsc_runs)) + b"".join(
-        struct.pack(">III", first, k, 1) for first, k in stsc_runs))
-    stsz = _fbox(b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(
-        struct.pack(">I", len(f)) for f in frames))
-    if wide:
-        stco = _fbox(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
-                     + b"".join(struct.pack(">Q", o) for o in chunk_offs))
+    if fragmented:  # zero-entry tables: samples live in moof/trun runs
+        stts = _fbox(b"stts", 0, 0, struct.pack(">I", 0))
+        stsc = _fbox(b"stsc", 0, 0, struct.pack(">I", 0))
+        stsz = _fbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        stco = _fbox(b"stco", 0, 0, struct.pack(">I", 0))
     else:
-        stco = _fbox(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
-                     + b"".join(struct.pack(">I", o) for o in chunk_offs))
+        stts = _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+        stsc = _fbox(b"stsc", 0, 0, struct.pack(">I", len(stsc_runs))
+                     + b"".join(struct.pack(">III", first, k, 1)
+                                for first, k in stsc_runs))
+        stsz = _fbox(b"stsz", 0, 0, struct.pack(">II", 0, n) + b"".join(
+            struct.pack(">I", len(f)) for f in frames))
+        if wide:
+            stco = _fbox(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
+                         + b"".join(struct.pack(">Q", o) for o in chunk_offs))
+        else:
+            stco = _fbox(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
+                         + b"".join(struct.pack(">I", o) for o in chunk_offs))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     dinf = _box(b"dinf", _fbox(b"dref", 0, 0, struct.pack(">I", 1)
                                + _fbox(b"url ", 0, 1, b"")))
@@ -309,7 +412,11 @@ def _build_moov(frames: list[bytes], chunk_offs: list[int],
                      + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\0" * 8
                      + _UNITY + b"\0" * 24 + struct.pack(">I", 2))
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    return _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    body = mvhd + _box(b"trak", tkhd + mdia)
+    if fragmented:
+        trex = _fbox(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0))
+        body += _box(b"mvex", trex)
+    return _box(b"moov", body)
 
 
 def encode_mp4_mjpeg(frames: list[bytes], fps: int = 10,
@@ -363,3 +470,47 @@ def encode_mp4_mjpeg(frames: list[bytes], fps: int = 10,
     else:
         mdat = _box(b"mdat", mdat_body)
     return ftyp + (moov + mdat if moov_first else mdat + moov)
+
+
+def encode_fmp4_mjpeg(frames: list[bytes], fps: int = 10,
+                      width: int = 16, height: int = 16,
+                      frames_per_fragment: int = 2,
+                      use_default_size: bool = False) -> bytes:
+    """Fragmented MP4 (the fMP4/DASH streaming layout): ``ftyp`` +
+    ``moov`` with ZERO-entry sample tables and an ``mvex/trex``, then one
+    ``moof`` + ``mdat`` pair per fragment. Each moof's tfhd sets
+    default-base-is-moof and its trun carries data-offset + per-sample
+    sizes; ``use_default_size`` instead writes one default-sample-size in
+    tfhd and omits trun sizes (requires all samples equal-length — the
+    fixed-record shape), covering the tfhd/trex default fallbacks."""
+    if not frames:
+        raise ValueError("fragmented MJPEG MP4 needs at least one frame")
+    if use_default_size and len({len(f) for f in frames}) != 1:
+        raise ValueError("use_default_size requires equal-length samples")
+    fpf = max(1, frames_per_fragment)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso6mp41")
+    moov = _build_moov(frames, [], [], fps, width, height, wide=False,
+                       fragmented=True)
+    out = ftyp + moov
+    for seq, lo in enumerate(range(0, len(frames), fpf), start=1):
+        group = frames[lo:lo + fpf]
+        mfhd = _fbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+        if use_default_size:
+            # tfhd: default-base-is-moof | default-sample-size-present
+            tfhd = _fbox(b"tfhd", 0, 0x020010,
+                         struct.pack(">II", 1, len(group[0])))
+            trun_body = struct.pack(">Ii", len(group), 0)  # count, offset
+            tr_flags = 0x000001  # data-offset only
+        else:
+            tfhd = _fbox(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+            trun_body = (struct.pack(">Ii", len(group), 0)
+                         + b"".join(struct.pack(">I", len(f)) for f in group))
+            tr_flags = 0x000201  # data-offset + sample-size
+        trun = _fbox(b"trun", 0, tr_flags, trun_body)
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        # patch the trun data offset: mdat body starts right after moof
+        data_off = len(moof) + 8
+        at = moof.rfind(trun) + 8 + 4 + 4  # box hdr + version/flags + count
+        moof = moof[:at] + struct.pack(">i", data_off) + moof[at + 4:]
+        out += moof + _box(b"mdat", b"".join(group))
+    return out

@@ -29,7 +29,7 @@ import ray.data as rd
 
 from . import codecs
 from .avi import count_avi_frames, encode_avi_mjpeg
-from .mp4 import count_mp4_frames, encode_mp4_mjpeg
+from .mp4 import count_mp4_frames, encode_fmp4_mjpeg, encode_mp4_mjpeg
 from .gif import count_gif_frames
 from .text import _worker_cached
 
@@ -86,7 +86,7 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload in ("gif", "mjpeg", "avi", "mp4"):
+    if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -109,6 +109,12 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
         payloads = [encode_mp4_mjpeg(
             [codecs.encode_jpeg(np.asarray(f)) for f in
              synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16)
+            for i in range(n)]
+    elif payload == "fmp4":
+        payloads = [encode_fmp4_mjpeg(
+            [codecs.encode_jpeg(np.asarray(f)) for f in
+             synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16,
+            frames_per_fragment=4)
             for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]

@@ -1330,8 +1330,9 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over four video containers (flat-map shape:
-    one row per sampled frame index), stage-tagged union: 'gif' = each
+    """REAL frame sampling over four video containers / five layouts
+    (flat-map shape: one row per sampled frame index), stage-tagged
+    union: 'gif' = each
     clip is a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW
     + disposal composition, ``functions/gif.py``); 'mjpeg' = the same
     clips as Motion-JPEG streams (concatenated baseline JPEGs), frame
@@ -1340,7 +1341,9 @@ def q_media_frames(sf_dir: str):
     container, ``functions/avi.py``), frames counted via the idx1 seek
     index / movi chunk walk; 'mp4' = the same clips as MJPEG-in-MP4
     (ISO-BMFF, ``functions/mp4.py``), frames counted from the mandatory
-    stsz/stsc/stco sample tables without touching mdat. Sampled indices
+    stsz/stsc/stco sample tables without touching mdat; 'fmp4' = the
+    same clips in the fragmented/DASH layout, frames counted from the
+    moof/tfhd/trun fragment runs. Sampled indices
     come from the DECODED container in all legs, so the oracle's
     closed-form reconstruction hash-checks every round trip.
     Pixel-content equality of decoded frames stays in the codec
@@ -1370,7 +1373,12 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="mp4"))
     mp4_out = multimodal.sample_frames(mp, every_n=10, mode="real").map_batches(
         tag("mp4"), batch_format="pyarrow")
-    return gif_out.union(mjp_out).union(avi_out).union(mp4_out)
+    fmp = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="fmp4"))
+    fmp4_out = multimodal.sample_frames(fmp, every_n=10, mode="real").map_batches(
+        tag("fmp4"), batch_format="pyarrow")
+    return (gif_out.union(mjp_out).union(avi_out).union(mp4_out)
+            .union(fmp4_out))
 
 
 def q_audio_features(sf_dir: str):
@@ -1810,7 +1818,8 @@ ORACLE_SQL = {
         "SELECT 'gif' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'mp4' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'mp4' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'fmp4' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip

@@ -96,6 +96,50 @@ def test_mp4_stsc_stco_disagreement_raises():
         mp4.mp4_frame_index(bad)
 
 
+@pytest.mark.parametrize("fpf", [1, 2, 3, 7, 10])
+def test_fmp4_fragmented_roundtrip(fpf):
+    # the fMP4/DASH layout: zero-entry stbl + mvex/trex, samples in
+    # moof/tfhd/trun runs — one moof+mdat pair per frames_per_fragment
+    frames_px = synth_gif_frames(7, 7)
+    jpegs = [codecs.encode_jpeg(np.asarray(f)) for f in frames_px]
+    buf = mp4.encode_fmp4_mjpeg(jpegs, frames_per_fragment=fpf)
+    assert buf.count(b"moof") >= -(-7 // fpf)
+    assert mp4.split_mp4_frames(buf) == jpegs
+    assert mp4.mp4_info(buf)["n_frames"] == 7
+    assert codecs.sniff_image_format(buf) == "mp4"
+
+
+def test_fmp4_tfhd_default_sample_size():
+    # equal-length samples via tfhd default-sample-size, no trun sizes —
+    # the fixed-record shape; also pins the trun-size-absent parse path
+    fake = [bytes([i]) * 64 for i in range(5)]
+    buf = mp4.encode_fmp4_mjpeg(fake, frames_per_fragment=2,
+                                use_default_size=True)
+    assert mp4.split_mp4_frames(buf) == fake
+    with pytest.raises(ValueError):
+        mp4.encode_fmp4_mjpeg([b"ab", b"abc"], use_default_size=True)
+
+
+def test_fmp4_fragment_index_never_reads_mdat():
+    # fragment offsets/sizes are recoverable with every mdat body zeroed
+    frames_px = synth_gif_frames(3, 6)
+    jpegs = [codecs.encode_jpeg(np.asarray(f)) for f in frames_px]
+    buf = mp4.encode_fmp4_mjpeg(jpegs, frames_per_fragment=2)
+    idx = mp4.mp4_frame_index(buf)
+    blanked = bytearray(buf)
+    for off, size in idx:
+        blanked[off:off + size] = b"\0" * size
+    assert mp4.mp4_frame_index(bytes(blanked)) == idx
+
+
+def test_frame_sampler_real_fmp4_leg():
+    t = multimodal.synth_media_table(12, media_type="video", payload="fmp4")
+    out = multimodal.sample_frames(
+        rd.from_arrow(t), every_n=10, mode="real").to_pandas()
+    want = sum(len(range(0, (i % 30) + 1, 10)) for i in range(12))
+    assert len(out) == want
+
+
 def test_frame_sampler_real_mp4_leg():
     t = multimodal.synth_media_table(12, media_type="video", payload="mp4")
     out = multimodal.sample_frames(
