@@ -224,17 +224,30 @@ class DefaultPipeline:
             # collapsed to one shard — materialize k-1 deterministic copies
             # so the export keeps every row (a retry of the same block
             # yields ONE intent row, so retries never inflate the count)
-            total, seen = 0, {}
+            total, seen, dup_jobs = 0, {}, []
             for i in sorted(intents, key=lambda r: r["path"]):
                 rel, rows = i["path"], int(i["rows"])
                 total += rows
                 k = seen.get(rel, 0)
                 seen[rel] = k + 1
                 if k:  # duplicate content: copy under a -dupN name
-                    dup = rel.replace(suffix, f"-dup{k}{suffix}")
-                    tmp = _os.path.join(out_dir, dup + f".tmp-{_os.getpid()}")
-                    _shutil.copyfile(_os.path.join(out_dir, rel), tmp)
-                    _os.rename(tmp, _os.path.join(out_dir, dup))
+                    dup_jobs.append(
+                        (rel, rel.replace(suffix, f"-dup{k}{suffix}")))
+
+            def _copy_dup(rel: str, dup: str) -> None:
+                tmp = _os.path.join(out_dir, dup + f".tmp-{_os.getpid()}")
+                _shutil.copyfile(_os.path.join(out_dir, rel), tmp)
+                _os.rename(tmp, _os.path.join(out_dir, dup))
+
+            if len(dup_jobs) <= 4:  # the expected rare-duplicate case
+                for rel, dup in dup_jobs:
+                    _copy_dup(rel, dup)
+            else:  # duplicate-heavy export: full-shard byte copies would
+                # serialize through the driver — fan them out as tasks
+                import ray as _ray
+                copy_task = _ray.remote(num_cpus=0.5)(_copy_dup)
+                _ray.get([copy_task.remote(rel, dup)
+                          for rel, dup in dup_jobs])
             return total
 
         self._sink = _sink

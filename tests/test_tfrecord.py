@@ -194,6 +194,23 @@ def test_tfrecord_dir_duplicate_blocks_keep_all_rows(tmp_path):
     assert n2 == 6
     assert sorted(p for p in os.listdir(out) if p.endswith(".tfrecord")) == parts
 
+    # duplicate-heavy export (>4 dup jobs) crosses to the task-fan-out copy
+    # path — same layout rules, no driver-serial byte loop
+    src8 = rd.from_pandas(block)
+    for _ in range(7):
+        src8 = src8.union(rd.from_pandas(block))
+    out8 = str(tmp_path / "dup_shards_8")
+    n8 = DefaultPipeline().from_dataset(src8).to_tfrecord_dir(out8).do()
+    assert n8 == 24
+    parts8 = sorted(p for p in os.listdir(out8) if p.endswith(".tfrecord"))
+    assert len(parts8) == 8
+    assert sorted(p for p in parts8 if "-dup" in p) == sorted(
+        p for p in parts8 if any(f"-dup{k}." in p for k in range(1, 8)))
+    assert len([p for p in parts8 if "-dup" in p]) == 7
+    back8 = DefaultPipeline().from_tfrecord(out8).collect().do().to_pandas()
+    assert sorted(int(v[0]) for v in back8["val"]) == sorted([7, 8, 9] * 8)
+    assert not any(".tmp-" in p for p in os.listdir(out8))  # no litter
+
 
 def test_tfrecord_sink_throughput(tmp_path):
     """The vectorized-CRC sink must beat the scalar-loop regime (~1 MB/s)
