@@ -242,12 +242,14 @@ _GIF_SIG = b"GIF8"
 
 
 def sniff_image_format(buf: bytes) -> str:
-    """'png' | 'jpeg' | 'gif' | 'avi' | 'mp4' from magic bytes; raises on
-    anything else. The image trio matches what the reference decodes via Go
-    stdlib (/root/reference/tfdata/core/example.go:131-146); 'avi' is the
-    RIFF video container (``functions/avi.py``) and 'mp4' the ISO-BMFF one
-    (``functions/mp4.py``) — MJPEG payloads decode from-spec; other video
-    codecs plug in at that seam."""
+    """'png' | 'jpeg' | 'gif' | 'avi' | 'mp4' | 'mkv' from magic bytes;
+    raises on anything else. The image trio matches what the reference
+    decodes via Go stdlib
+    (/root/reference/tfdata/core/example.go:131-146); 'avi' is the
+    RIFF video container (``functions/avi.py``), 'mp4' the ISO-BMFF one
+    (``functions/mp4.py``) and 'mkv' the EBML/Matroska one
+    (``functions/mkv.py``) — MJPEG payloads decode from-spec; other
+    video codecs plug in at that seam."""
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
     if buf[: len(_JPEG_SIG)] == _JPEG_SIG:
@@ -258,10 +260,12 @@ def sniff_image_format(buf: bytes) -> str:
         return "avi"
     if len(buf) >= 12 and buf[4:8] == b"ftyp":
         return "mp4"
+    if buf[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
     raise NotImplementedError(
-        "unrecognized image payload (PNG, baseline JPEG, GIF, MJPEG-AVI and "
-        "MJPEG-MP4 have from-spec codecs in this container; other media "
-        "plugs in at this seam)")
+        "unrecognized image payload (PNG, baseline JPEG, GIF, MJPEG-AVI, "
+        "MJPEG-MP4 and MJPEG-MKV have from-spec codecs in this container; "
+        "other media plugs in at this seam)")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -280,6 +284,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from .mp4 import extract_mp4_frames
 
         return decode_jpeg(extract_mp4_frames(buf, [0])[0])
+    if fmt == "mkv":  # first block frame of an MJPEG-in-MKV clip
+        from .mkv import extract_mkv_frames
+
+        return decode_jpeg(extract_mkv_frames(buf, [0])[0])
     return decode_gif_first(buf)
 
 

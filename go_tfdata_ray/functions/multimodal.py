@@ -29,6 +29,7 @@ import ray.data as rd
 
 from . import codecs
 from .avi import count_avi_frames, encode_avi_mjpeg
+from .mkv import count_mkv_frames, encode_mkv_mjpeg
 from .mp4 import count_mp4_frames, encode_fmp4_mjpeg, encode_mp4_mjpeg
 from .gif import count_gif_frames
 from .text import _worker_cached
@@ -80,13 +81,14 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
-    / ``"avi"`` / ``"mp4"`` / ``"wav"`` = REAL encoded payloads for the real
-    decode kernels (``"gif"`` / ``"mjpeg"`` / ``"avi"`` / ``"mp4"`` are
-    n_frames-frame clips at 16×16, so the width/height columns report 16)."""
+    / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"wav"`` = REAL
+    encoded payloads for the real decode kernels (the video payloads are
+    n_frames-frame clips at 16×16, so the width/height columns report 16;
+    ``"mkv"`` cycles no/Xiph/EBML lacing across clips)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4"):
+    if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4", "mkv"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -115,6 +117,14 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             [codecs.encode_jpeg(np.asarray(f)) for f in
              synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16,
             frames_per_fragment=4)
+            for i in range(n)]
+    elif payload == "mkv":
+        # alternate lacing per clip so the EBML walk sees every block shape
+        payloads = [encode_mkv_mjpeg(
+            [codecs.encode_jpeg(np.asarray(f)) for f in
+             synth_gif_frames(i + seed, nf[i])], fps=10, width=16, height=16,
+            frames_per_cluster=4,
+            lacing=(None, "xiph", "ebml")[i % 3])
             for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
@@ -190,17 +200,20 @@ class FrameSampler:
     """Frame sampling: emits one row per sampled frame index (flat-map
     shape: output rows ≠ input rows).
 
-    real: REAL frame counting from the container structure in all four
+    real: REAL frame counting from the container structure in all five
     legs — animated GIF via the descriptor/sub-block walk
     (``gif.count_gif_frames``), MJPEG via the marker-segment walk
     (``codecs.split_mjpeg``), AVI via the RIFF idx1-index / movi walk
     (``avi.count_avi_frames`` — the idx1 path is O(index), the seek-shape
-    for sampling) and MP4 via the mandatory stsz/stsc/stco sample tables
-    (``mp4.count_mp4_frames`` — always O(tables), mdat never walked) —
+    for sampling), MP4 via the mandatory stsz/stsc/stco sample tables
+    (``mp4.count_mp4_frames`` — always O(tables), mdat never walked) and
+    Matroska via the EBML cluster walk (``mkv.count_mkv_frames`` —
+    O(block headers), all three lacing modes) —
     none touches pixels, the right cost model for sampling: only the
     SAMPLED frames would ever be pixel-decoded downstream
     (``gif.decode_gif`` / ``jpeg.decode_jpeg`` /
-    ``avi.extract_avi_frames`` / ``mp4.extract_mp4_frames``). The frame
+    ``avi.extract_avi_frames`` / ``mp4.extract_mp4_frames`` /
+    ``mkv.extract_mkv_frames``). The frame
     count comes from the
     container, not metadata. Other video containers raise at this seam
     (ffmpeg would plug in).
@@ -223,10 +236,12 @@ class FrameSampler:
                     n_frames = count_avi_frames(buf)
                 elif fmt == "mp4":  # stsz/stsc/stco walk, O(sample tables)
                     n_frames = count_mp4_frames(buf)
+                elif fmt == "mkv":  # EBML cluster walk, O(block headers)
+                    n_frames = count_mkv_frames(buf)
                 else:
                     raise NotImplementedError(
-                        "frame extraction beyond GIF/MJPEG/AVI/MP4 requires "
-                        "ffmpeg — seam")
+                        "frame extraction beyond GIF/MJPEG/AVI/MP4/MKV "
+                        "requires ffmpeg — seam")
                 for f in range(0, n_frames, self.every_n):
                     ids.append(mid)
                     frames.append(f)

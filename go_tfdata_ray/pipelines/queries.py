@@ -1330,7 +1330,7 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over four video containers / five layouts
+    """REAL frame sampling over five video containers / six layouts
     (flat-map shape: one row per sampled frame index), stage-tagged
     union: 'gif' = each
     clip is a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW
@@ -1343,7 +1343,10 @@ def q_media_frames(sf_dir: str):
     (ISO-BMFF, ``functions/mp4.py``), frames counted from the mandatory
     stsz/stsc/stco sample tables without touching mdat; 'fmp4' = the
     same clips in the fragmented/DASH layout, frames counted from the
-    moof/tfhd/trun fragment runs. Sampled indices
+    moof/tfhd/trun fragment runs; 'mkv' = the same clips as
+    MJPEG-in-Matroska (EBML container, ``functions/mkv.py``, lacing
+    mode cycling none/Xiph/EBML per clip), frames counted from the
+    O(block headers) cluster walk. Sampled indices
     come from the DECODED container in all legs, so the oracle's
     closed-form reconstruction hash-checks every round trip.
     Pixel-content equality of decoded frames stays in the codec
@@ -1377,8 +1380,12 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="fmp4"))
     fmp4_out = multimodal.sample_frames(fmp, every_n=10, mode="real").map_batches(
         tag("fmp4"), batch_format="pyarrow")
+    mk = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mkv"))
+    mkv_out = multimodal.sample_frames(mk, every_n=10, mode="real").map_batches(
+        tag("mkv"), batch_format="pyarrow")
     return (gif_out.union(mjp_out).union(avi_out).union(mp4_out)
-            .union(fmp4_out))
+            .union(fmp4_out).union(mkv_out))
 
 
 def q_audio_features(sf_dir: str):
@@ -1819,7 +1826,8 @@ ORACLE_SQL = {
         "UNION ALL SELECT 'mjpeg' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mp4' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'fmp4' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'fmp4' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mkv' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip
