@@ -6,9 +6,10 @@ Image and audio kernels are REAL — PNG, baseline JPEG, GIF and WAV via
 mirroring the reference's use of Go stdlib codecs at
 /root/reference/tfdata/core/example.go:131-146): ``mode="real"`` sniffs
 the payload magic and decodes actual pixels/samples/frames. Frame
-sampling is real over animated GIF, MJPEG, MJPEG-in-AVI and MJPEG-in-MP4
-(container walks — GIF descriptor/sub-block, JPEG marker, RIFF idx1,
-ISO-BMFF sample tables — no pixel decode); other video codecs raise
+sampling is real over animated GIF, MJPEG, MJPEG-in-AVI, MJPEG-in-MP4
+and MJPEG-in-MKV (container walks — GIF descriptor/sub-block, JPEG
+marker, RIFF idx1, ISO-BMFF sample tables, EBML cluster/block headers —
+no pixel decode); other video codecs raise
 ``NotImplementedError`` at the same seam (they need ffmpeg, absent in
 this container); ``mode="fake"``
 keeps the deterministic bytes-derived path for plumbing tests and for
