@@ -5,7 +5,9 @@ the standard library can carry — mirroring how the reference decodes images
 with Go's stdlib codecs (/root/reference/tfdata/core/example.go:131-146).
 
 Scope: PNG bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA), all five
-row filters; WAV PCM 16-bit. Enough for real decode → transform → encode
+row filters; WAV 16-bit PCM plus from-spec IMA-ADPCM (fmt tag 0x0011,
+4-bit, block-vectorized decode) and G.711 mu-law/A-law (0x0007/0x0006,
+pure bit kernels, fixed-point-exact). Enough for real decode → transform → encode
 pipelines on synthetic or screenshot-class data; a production deployment
 would swap a C codec in at the same seam (identical signatures).
 
@@ -147,7 +149,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """WAV PCM bytes → (int16 samples (n,) or (n, ch), sample_rate)."""
+    """WAV bytes → (int16 samples (n,) or (n, ch), sample_rate). Sniffs
+    the fmt tag: 0x0001 (PCM, via the ``wave`` module), 0x0011
+    (IMA ADPCM, from-spec block decode) or 0x0006/0x0007
+    (G.711 A-law/mu-law, from-spec bit kernels)."""
+    tag = _wav_format_tag(buf)
+    if tag == 0x0011:
+        return decode_wav_adpcm(buf)
+    if tag in (0x0006, 0x0007):
+        return decode_wav_g711(buf)
     with wave.open(io.BytesIO(buf), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM supported")
@@ -155,6 +165,232 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         rate = wf.getframerate()
         data = np.frombuffer(wf.readframes(wf.getnframes()), dtype=np.int16)
     return (data if nch == 1 else data.reshape(-1, nch)), rate
+
+
+# -- IMA ADPCM WAV (fmt tag 0x0011, 4-bit, ~4:1 lossy) ---------------------
+
+# the published IMA/DVI step-size and index-adjust tables
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _riff_chunks(buf: bytes) -> dict[bytes, bytes]:
+    """id → data for the top-level chunks of a RIFF WAVE file."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF WAVE file")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > len(buf):
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        out.setdefault(cid, buf[pos + 8:pos + 8 + size])
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def _wav_format_tag(buf: bytes) -> int:
+    if buf[:4] != b"RIFF" or len(buf) < 22:
+        return -1
+    try:
+        fmt = _riff_chunks(buf)[b"fmt "]
+    except (ValueError, KeyError):
+        return -1
+    return struct.unpack_from("<H", fmt, 0)[0]
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     block_align: int = 256) -> bytes:
+    """int16 mono samples → IMA-ADPCM WAV bytes (fmt tag 0x0011). Each
+    block stores its first sample verbatim in the 4-byte header
+    (predictor + step index) and nibble-codes the rest, so blocks decode
+    independently; the ``fact`` chunk records the TRUE sample count so
+    the decoder can trim the final block's padding. Encoder is the
+    reference scalar recurrence (test/synth support — the decode side is
+    the product kernel)."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim != 1:
+        raise ValueError("ADPCM writer: mono only")
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    blocks = bytearray()
+    index = 0
+    for b0 in range(0, len(x), spb):
+        chunk = x[b0:b0 + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = int(steps[index])
+            delta = int(s) - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            # reconstruct exactly like the decoder to stay in sync
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = min(32767, max(-32768, pred + (-diff if code & 8 else diff)))
+            index = min(88, max(0, index + int(adj[code & 7])))
+            nibbles.append(code)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
+        arr = np.asarray(nibbles, dtype=np.uint8)
+        blocks += (arr[0::2] | (arr[1::2] << 4)).tobytes()
+    spb_data = spb
+    byte_rate = (sample_rate * block_align + spb_data - 1) // spb_data
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, spb_data)
+    fact = struct.pack("<I", len(x))
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV → (int16 mono samples, sample_rate). Vectorized
+    ACROSS blocks (blocks are independent by construction): the nibble
+    recurrence runs sequentially only in the sample dimension, with every
+    block advanced per step as one numpy lane — the same
+    batch-amortization shape as the image codecs."""
+    chunks = _riff_chunks(buf)
+    fmt = chunks[b"fmt "]
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
+    if tag != 0x0011:
+        raise ValueError(f"not IMA ADPCM (fmt tag 0x{tag:04x})")
+    if nch != 1:
+        raise ValueError("ADPCM decode: mono only (stereo interleaves "
+                         "4-byte groups per channel — seam)")
+    data = chunks[b"data"]
+    if len(data) % block_align:
+        raise ValueError("ADPCM data is not a whole number of blocks")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, block_align)
+    pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    nbytes = raw[:, 4:]
+    nib = np.empty((raw.shape[0], (block_align - 4) * 2), dtype=np.uint8)
+    nib[:, 0::2] = nbytes & 0xF
+    nib[:, 1::2] = nbytes >> 4
+    out = np.empty((raw.shape[0], 1 + nib.shape[1]), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(nib.shape[1]):  # all blocks advance one sample per step
+        n = nib[:, j].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = ((step >> 3) + np.where(n & 1, step >> 2, 0)
+                + np.where(n & 2, step >> 1, 0) + np.where(n & 4, step, 0))
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_ADJ[n & 7], 0, 88)
+        out[:, j + 1] = pred
+    flat = out.reshape(-1)
+    if b"fact" in chunks:  # trim the final block's padding
+        n_true = struct.unpack_from("<I", chunks[b"fact"], 0)[0]
+        if n_true > len(flat):
+            raise ValueError("fact chunk declares more samples than data")
+        flat = flat[:n_true]
+    return flat.astype(np.int16), rate
+
+
+# -- G.711 WAV (fmt tags 0x0007 mu-law / 0x0006 A-law, 8-bit, 2:1) ---------
+
+
+def _mulaw_compress(x: np.ndarray) -> np.ndarray:
+    """int16 → G.711 mu-law bytes, vectorized (bias 0x84, 8 segments)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent = position of the highest set bit above bit 7
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_expand(b: np.ndarray) -> np.ndarray:
+    u = (~b.astype(np.int32)) & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 0x7, u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_compress(x: np.ndarray) -> np.ndarray:
+    """int16 → G.711 A-law bytes, vectorized (13-bit domain, per-spec
+    ``-pcm-1`` negative handling, XOR 0x55 with the sign bit set on
+    POSITIVE values)."""
+    x = x.astype(np.int32)
+    pos = x >= 0
+    mag = np.minimum(np.where(pos, x, -x - 1) >> 3, 4095)
+    exp = np.where(mag < 32, 0,
+                   (np.floor(np.log2(np.maximum(mag, 32))).astype(np.int32) - 4))
+    mant = np.where(exp < 2, mag >> 1, mag >> exp) & 0x0F
+    return ((np.where(pos, 0x80, 0) | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _alaw_expand(b: np.ndarray) -> np.ndarray:
+    a = b.astype(np.int32) ^ 0x55
+    seg, t0 = (a >> 4) & 0x7, (a & 0x0F) << 4
+    t = np.where(seg == 0, t0 + 8,
+                 (t0 + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    law: str = "u") -> bytes:
+    """int16 mono samples → G.711 WAV bytes (``law="u"`` mu-law, fmt tag
+    0x0007; ``law="a"`` A-law, 0x0006). 1 byte/sample, exactly
+    length-preserving; compress AND expand are pure numpy bit kernels."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim != 1:
+        raise ValueError("G.711 writer: mono only")
+    if law == "u":
+        tag, data = 0x0007, _mulaw_compress(x).tobytes()
+    elif law == "a":
+        tag, data = 0x0006, _alaw_compress(x).tobytes()
+    else:
+        raise ValueError(f"unknown law {law!r}")
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(x))
+    pad = b"\0" if len(data) & 1 else b""
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data + pad)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_g711(buf: bytes) -> tuple[np.ndarray, int]:
+    """G.711 WAV → (int16 mono samples, sample_rate)."""
+    chunks = _riff_chunks(buf)
+    fmt = chunks[b"fmt "]
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag not in (0x0006, 0x0007):
+        raise ValueError(f"not G.711 (fmt tag 0x{tag:04x})")
+    if nch != 1:
+        raise ValueError("G.711 decode: mono only")
+    b = np.frombuffer(chunks[b"data"], dtype=np.uint8)
+    if b"fact" in chunks:
+        b = b[:struct.unpack_from("<I", chunks[b"fact"], 0)[0]]
+    out = _mulaw_expand(b) if tag == 0x0007 else _alaw_expand(b)
+    return out, rate
 
 
 # -- Motion-JPEG (video = back-to-back baseline JPEG frames) ----------------

@@ -82,10 +82,12 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
-    / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"wav"`` = REAL
+    / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"wav"`` /
+    ``"wav_adpcm"`` / ``"wav_ulaw"`` / ``"wav_alaw"`` = REAL
     encoded payloads for the real decode kernels (the video payloads are
     n_frames-frame clips at 16×16, so the width/height columns report 16;
-    ``"mkv"`` cycles no/Xiph/EBML lacing across clips)."""
+    ``"mkv"`` cycles no/Xiph/EBML lacing and ``"wav_adpcm"`` cycles
+    block_align across clips)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
@@ -129,6 +131,14 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
+    elif payload == "wav_adpcm":
+        # alternate block_align so the block walk sees several shapes
+        payloads = [codecs.encode_wav_adpcm(
+            synth_audio(i + seed), 16000,
+            block_align=(64, 128, 256)[i % 3]) for i in range(n)]
+    elif payload in ("wav_ulaw", "wav_alaw"):
+        payloads = [codecs.encode_wav_g711(
+            synth_audio(i + seed), 16000, law=payload[-4]) for i in range(n)]
     else:
         payloads = [bytes(((np.arange(256) * (i + seed)) % 251).astype(np.uint8)) for i in range(n)]
     return pa.table(
@@ -313,7 +323,10 @@ class AudioFeaturizer:
     """Audio feature-extract: payload bytes → per-window RMS energy
     (fixed n_windows).
 
-    real: WAV PCM decode (``codecs.decode_wav``), samples normalized to
+    real: sniffing WAV decode (``codecs.decode_wav`` — 16-bit PCM via
+    the ``wave`` module, from-spec IMA-ADPCM block decode for fmt tag
+    0x0011, or G.711 mu/A-law bit kernels for 0x0007/0x0006), samples
+    normalized to
     [-1, 1], stereo averaged to mono, RMS per window; sample_rate comes
     from the RIFF header. Other containers (mp3/flac) would plug in at
     this seam.

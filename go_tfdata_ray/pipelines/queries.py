@@ -1389,20 +1389,44 @@ def q_media_frames(sf_dir: str):
 
 
 def q_audio_features(sf_dir: str):
-    """REAL WAV decode (RIFF header + int16 PCM) → per-window RMS features.
-    The driver hash-checks the header/PCM round trip (sample_rate parsed
-    from RIFF, n_samples = decoded mono length — both closed-form for the
-    synthetic clips); the float RMS values are pytest-covered."""
+    """REAL WAV decode → per-window RMS features, stage-tagged union:
+    'pcm' = RIFF header + int16 PCM via the ``wave`` module; 'adpcm' =
+    the same clips compressed ~3.5:1 as IMA ADPCM (fmt tag 0x0011,
+    from-spec block decode vectorized across blocks, block_align cycling
+    64/128/256, final-block padding trimmed by the ``fact`` chunk);
+    'ulaw' / 'alaw' = the same clips as 8-bit G.711 (fmt tags
+    0x0007/0x0006, exact 2:1, pure-numpy bit kernels with the
+    fixed-point property pytest-verified over all 256 codes).
+    The driver hash-checks the header/sample-count round trip
+    (sample_rate parsed from RIFF, n_samples = decoded mono length —
+    both closed-form for the synthetic clips, identical across codecs
+    BECAUSE the fact-chunk trim is exact); the float RMS values (lossy
+    on the compressed legs) are pytest-covered."""
     from ..functions import multimodal
+
+    def tag(stage):
+        def f(t: pa.Table) -> pa.Table:
+            out = _i64(t.select(["media_id", "sample_rate", "n_samples"]),
+                       "sample_rate", "n_samples")
+            return out.add_column(0, "stage", pa.array([stage] * len(t)))
+        return f
 
     n = max(int(1000 * walmod.sf_from_dir(sf_dir) * 10), 50)
     ds = rd.from_arrow(multimodal.synth_media_table(n, media_type="audio", payload="wav"))
-    out = multimodal.audio_features(ds, n_windows=4, mode="real")
-    return out.map_batches(
-        lambda t: _i64(t.select(["media_id", "sample_rate", "n_samples"]),
-                       "sample_rate", "n_samples"),
-        batch_format="pyarrow",
-    )
+    pcm = multimodal.audio_features(ds, n_windows=4, mode="real").map_batches(
+        tag("pcm"), batch_format="pyarrow")
+    ds2 = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="audio", payload="wav_adpcm"))
+    adpcm = multimodal.audio_features(ds2, n_windows=4, mode="real").map_batches(
+        tag("adpcm"), batch_format="pyarrow")
+    out = pcm.union(adpcm)
+    for law in ("ulaw", "alaw"):
+        dsl = rd.from_arrow(multimodal.synth_media_table(
+            n, media_type="audio", payload=f"wav_{law}"))
+        out = out.union(multimodal.audio_features(
+            dsl, n_windows=4, mode="real").map_batches(
+                tag(law), batch_format="pyarrow"))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1830,10 +1854,15 @@ ORACLE_SQL = {
         "UNION ALL SELECT 'mkv' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
-        # 4096-sample 16 kHz synthetic clips; header + PCM length round-trip
-        "WITH m AS (SELECT range AS i FROM range(100)) "
-        "SELECT printf('m-%06d', i) AS media_id, "
+        # 4096-sample 16 kHz synthetic clips; header + sample-count
+        # round-trip, identical for PCM and fact-trimmed IMA ADPCM
+        "WITH m AS (SELECT range AS i FROM range(100)), "
+        "s AS (SELECT printf('m-%06d', i) AS media_id, "
         "CAST(16000 AS BIGINT) AS sample_rate, "
-        "CAST(4096 AS BIGINT) AS n_samples FROM m"
+        "CAST(4096 AS BIGINT) AS n_samples FROM m) "
+        "SELECT 'pcm' AS stage, * FROM s "
+        "UNION ALL SELECT 'adpcm' AS stage, * FROM s "
+        "UNION ALL SELECT 'ulaw' AS stage, * FROM s "
+        "UNION ALL SELECT 'alaw' AS stage, * FROM s"
     ),
 }

@@ -541,6 +541,111 @@ def test_wav_roundtrip_mono_stereo():
     assert rate2 == 44100 and s2.shape == (500, 2) and (s2 == stereo).all()
 
 
+def test_wav_adpcm_roundtrip_and_vector_decode_parity():
+    from go_tfdata_ray.functions.codecs import (_IMA_INDEX_ADJ, _IMA_STEPS,
+                                                decode_wav_adpcm,
+                                                encode_wav_adpcm)
+
+    x = multimodal.synth_audio(5)
+    for ba in (8, 64, 256):
+        buf = encode_wav_adpcm(x, 16000, block_align=ba)
+        y, rate = codecs.decode_wav(buf)  # sniffs fmt tag 0x0011
+        assert rate == 16000 and len(y) == len(x)  # fact-chunk exact trim
+        err = y.astype(np.float64) - x.astype(np.float64)
+        snr = 10 * np.log10((x.astype(np.float64) ** 2).mean() / (err ** 2).mean())
+        assert snr > 20, (ba, snr)  # ~4:1 lossy but faithful
+        if ba >= 64:  # tiny blocks are all header; realistic sizes ~3.5:1
+            assert len(buf) < len(codecs.encode_wav(x, 16000)) // 3
+
+    # the block-vectorized decoder must EXACTLY match the scalar reference
+    # recurrence from the IMA spec
+    buf = encode_wav_adpcm(x[:1100], 16000, block_align=64)
+    got, _ = decode_wav_adpcm(buf)
+    from go_tfdata_ray.functions.codecs import _riff_chunks
+    data = _riff_chunks(buf)[b"data"]
+    ref = []
+    for b0 in range(0, len(data), 64):
+        block = data[b0:b0 + 64]
+        pred = int.from_bytes(block[:2], "little", signed=True)
+        index = block[2]
+        ref.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = min(32767, max(-32768, pred + (-diff if nib & 8 else diff)))
+                index = min(88, max(0, index + int(_IMA_INDEX_ADJ[nib & 7])))
+                ref.append(pred)
+    assert (got == np.array(ref[:1100], dtype=np.int16)).all()
+
+    # edge lengths: header-only final blocks, exact trim either side
+    for n in (1, 2, 120, 121, 122):
+        z = multimodal.synth_audio(9)[:n]
+        w, _ = decode_wav_adpcm(encode_wav_adpcm(z, 16000, block_align=64))
+        assert len(w) == n
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_wav_adpcm(np.zeros((10, 2), np.int16), 16000)  # mono only
+    with _pytest.raises(ValueError):
+        decode_wav_adpcm(codecs.encode_wav(x, 16000))  # PCM into adpcm
+
+
+def test_wav_g711_fixed_point_and_roundtrip():
+    from go_tfdata_ray.functions.codecs import (_alaw_compress, _alaw_expand,
+                                                _mulaw_compress,
+                                                _mulaw_expand,
+                                                decode_wav_g711,
+                                                encode_wav_g711)
+
+    # the G.711 fixed-point property: compress(expand(code)) == code for
+    # every 8-bit code (mu-law's single miss is the +/-0 alias pair)
+    codes = np.arange(256, dtype=np.uint8)
+    assert (_alaw_compress(_alaw_expand(codes)) == codes).all()
+    assert (_mulaw_compress(_mulaw_expand(codes)) == codes).sum() == 255
+    # decision levels: every int16 value maps onto the code whose decoded
+    # value it re-compresses to (quantization is idempotent)
+    xs = np.arange(-32768, 32768, 257, dtype=np.int16)
+    for comp, exp in ((_mulaw_compress, _mulaw_expand),
+                      (_alaw_compress, _alaw_expand)):
+        c = comp(xs)
+        assert (comp(exp(c)) == c).all()
+
+    x = multimodal.synth_audio(4)
+    for law in ("u", "a"):
+        buf = encode_wav_g711(x, 16000, law=law)
+        y, rate = codecs.decode_wav(buf)  # sniffed dispatch (tags 6/7)
+        assert rate == 16000 and len(y) == len(x)
+        err = y.astype(np.float64) - x.astype(np.float64)
+        snr = 10 * np.log10((x.astype(np.float64) ** 2).mean() / (err ** 2).mean())
+        assert snr > 30, (law, snr)
+    # odd-length data chunk: RIFF pad byte invisible, fact-exact length
+    w, _ = decode_wav_g711(encode_wav_g711(x[:4095], 16000, law="a"))
+    assert len(w) == 4095
+
+
+def test_audio_featurizer_real_compressed_legs():
+    t2 = multimodal.synth_media_table(6, media_type="audio", payload="wav")
+    rms_pcm = np.array(
+        multimodal.AudioFeaturizer(n_windows=4, mode="real")(t2)["rms"].to_pylist())
+    for payload, tol in (("wav_adpcm", 0.02), ("wav_ulaw", 0.01),
+                         ("wav_alaw", 0.01)):
+        t = multimodal.synth_media_table(6, media_type="audio",
+                                         payload=payload)
+        out = multimodal.AudioFeaturizer(n_windows=4, mode="real")(t)
+        assert (out["sample_rate"].to_numpy(zero_copy_only=False) == 16000).all()
+        assert (out["n_samples"].to_numpy(zero_copy_only=False) == 4096).all()
+        # lossy decode keeps windowed RMS close to the PCM leg's
+        rms = np.array(out["rms"].to_pylist())
+        assert np.abs(rms - rms_pcm).max() < tol, payload
+
+
 def test_image_decoder_real_features():
     t = multimodal.synth_media_table(6, payload="png")
     dec = multimodal.ImageDecoder(mode="real")

@@ -159,11 +159,13 @@ def test_codecs_sniffing_dispatch():
     buf = codecs.encode_image(pal_img, "gif")
     assert codecs.sniff_image_format(buf) == "gif"
     assert (codecs.decode_image(buf) == pal_img).all()
-    # MP4 (ftyp) now sniffs — the container walk is from-spec (mp4.py)
+    # MP4 (ftyp) and Matroska (EBML) sniff — container walks are
+    # from-spec (mp4.py / mkv.py)
     assert codecs.sniff_image_format(b"\x00\x00\x00\x18ftypmp42....") == "mp4"
-    # Matroska/EBML stays at the ffmpeg seam
+    assert codecs.sniff_image_format(b"\x1a\x45\xdf\xa3" + b"\0" * 16) == "mkv"
+    # anything else stays at the ffmpeg seam
     with pytest.raises(NotImplementedError, match="media plugs in"):
-        codecs.sniff_image_format(b"\x1a\x45\xdf\xa3" + b"\0" * 16)
+        codecs.sniff_image_format(b"OggS" + b"\0" * 16)
 
 
 def test_multimodal_real_decode_jpeg_payloads():
