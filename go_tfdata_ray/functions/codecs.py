@@ -207,95 +207,99 @@ def _wav_format_tag(buf: bytes) -> int:
     return struct.unpack_from("<H", fmt, 0)[0]
 
 
+def _adpcm_encode_channel(chunk: np.ndarray, index: int,
+                          n_nibbles: int) -> tuple[bytes, list[int], int]:
+    """One channel's slice of one block → (4-byte header, nibble list
+    padded to n_nibbles, carried step index). Reference scalar
+    recurrence, reconstructing exactly like the decoder to stay sync."""
+    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    pred = int(chunk[0])
+    header = struct.pack("<hBB", pred, index, 0)
+    nibbles: list[int] = []
+    for s in chunk[1:]:
+        step = int(steps[index])
+        delta = int(s) - pred
+        code = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            code |= 4
+            delta -= step
+        if delta >= step >> 1:
+            code |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            code |= 1
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        pred = min(32767, max(-32768, pred + (-diff if code & 8 else diff)))
+        index = min(88, max(0, index + int(adj[code & 7])))
+        nibbles.append(code)
+    nibbles += [0] * (n_nibbles - len(nibbles))  # pad block
+    return header, nibbles, index
+
+
 def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
                      block_align: int = 256) -> bytes:
-    """int16 mono samples → IMA-ADPCM WAV bytes (fmt tag 0x0011). Each
-    block stores its first sample verbatim in the 4-byte header
-    (predictor + step index) and nibble-codes the rest, so blocks decode
-    independently; the ``fact`` chunk records the TRUE sample count so
-    the decoder can trim the final block's padding. Encoder is the
-    reference scalar recurrence (test/synth support — the decode side is
-    the product kernel)."""
+    """int16 mono (n,) or stereo (n, 2) samples → IMA-ADPCM WAV bytes
+    (fmt tag 0x0011). Each block stores each channel's first sample
+    verbatim in a 4-byte per-channel header (predictor + step index) and
+    nibble-codes the rest — stereo interleaves the coded data in 4-byte
+    (8-nibble) words per channel, per spec — so blocks decode
+    independently; the ``fact`` chunk records the TRUE per-channel frame
+    count so the decoder can trim the final block's padding. Encoder is
+    the reference scalar recurrence (test/synth support — the decode
+    side is the product kernel)."""
     x = np.asarray(samples, dtype=np.int16)
-    if x.ndim != 1:
-        raise ValueError("ADPCM writer: mono only")
-    if block_align < 8 or block_align % 4:
-        raise ValueError("block_align must be a multiple of 4, >= 8")
-    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
-    steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
+    nch = 1 if x.ndim == 1 else x.shape[1]
+    if x.ndim > 2 or nch not in (1, 2):
+        raise ValueError("ADPCM writer: mono or stereo only")
+    if x.ndim == 1:
+        x = x[:, np.newaxis]
+    if block_align < 8 * nch or block_align % (4 * nch):
+        raise ValueError(
+            f"block_align must be a multiple of {4 * nch}, >= {8 * nch}")
+    nib_ch = (block_align - 4 * nch) * 2 // nch  # coded nibbles per channel
+    spb = nib_ch + 1  # frames per block incl. the header sample
     blocks = bytearray()
-    index = 0
-    for b0 in range(0, len(x), spb):
+    index = [0] * nch
+    for b0 in range(0, x.shape[0], spb):
         chunk = x[b0:b0 + spb]
-        pred = int(chunk[0])
-        blocks += struct.pack("<hBB", pred, index, 0)
-        nibbles: list[int] = []
-        for s in chunk[1:]:
-            step = int(steps[index])
-            delta = int(s) - pred
-            code = 8 if delta < 0 else 0
-            delta = abs(delta)
-            if delta >= step:
-                code |= 4
-                delta -= step
-            if delta >= step >> 1:
-                code |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                code |= 1
-            # reconstruct exactly like the decoder to stay in sync
-            diff = step >> 3
-            if code & 1:
-                diff += step >> 2
-            if code & 2:
-                diff += step >> 1
-            if code & 4:
-                diff += step
-            pred = min(32767, max(-32768, pred + (-diff if code & 8 else diff)))
-            index = min(88, max(0, index + int(adj[code & 7])))
-            nibbles.append(code)
-        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
-        arr = np.asarray(nibbles, dtype=np.uint8)
-        blocks += (arr[0::2] | (arr[1::2] << 4)).tobytes()
-    spb_data = spb
-    byte_rate = (sample_rate * block_align + spb_data - 1) // spb_data
-    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
-                      block_align, 4, 2, spb_data)
-    fact = struct.pack("<I", len(x))
+        headers, ch_nibs = b"", []
+        for c in range(nch):
+            h, nibs, index[c] = _adpcm_encode_channel(
+                chunk[:, c], index[c], nib_ch)
+            headers += h
+            arr = np.asarray(nibs, dtype=np.uint8)
+            ch_nibs.append(arr[0::2] | (arr[1::2] << 4))
+        blocks += headers
+        if nch == 1:
+            blocks += ch_nibs[0].tobytes()
+        else:  # interleave coded data in 4-byte words per channel
+            words = np.stack([cn.reshape(-1, 4) for cn in ch_nibs], axis=1)
+            blocks += words.tobytes()
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x0011, nch, sample_rate, byte_rate,
+                      block_align, 4, 2, spb)
+    fact = struct.pack("<I", x.shape[0])
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"fact" + struct.pack("<I", len(fact)) + fact
             + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks))
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
-def decode_wav_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
-    """IMA-ADPCM WAV → (int16 mono samples, sample_rate). Vectorized
-    ACROSS blocks (blocks are independent by construction): the nibble
-    recurrence runs sequentially only in the sample dimension, with every
-    block advanced per step as one numpy lane — the same
-    batch-amortization shape as the image codecs."""
-    chunks = _riff_chunks(buf)
-    fmt = chunks[b"fmt "]
-    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
-    block_align = struct.unpack_from("<H", fmt, 12)[0]
-    if tag != 0x0011:
-        raise ValueError(f"not IMA ADPCM (fmt tag 0x{tag:04x})")
-    if nch != 1:
-        raise ValueError("ADPCM decode: mono only (stereo interleaves "
-                         "4-byte groups per channel — seam)")
-    data = chunks[b"data"]
-    if len(data) % block_align:
-        raise ValueError("ADPCM data is not a whole number of blocks")
-    raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, block_align)
-    pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
-    index = np.clip(raw[:, 2].astype(np.int32), 0, 88)
-    nbytes = raw[:, 4:]
-    nib = np.empty((raw.shape[0], (block_align - 4) * 2), dtype=np.uint8)
-    nib[:, 0::2] = nbytes & 0xF
-    nib[:, 1::2] = nbytes >> 4
-    out = np.empty((raw.shape[0], 1 + nib.shape[1]), dtype=np.int16)
+def _adpcm_decode_lanes(pred: np.ndarray, index: np.ndarray,
+                        nib: np.ndarray) -> np.ndarray:
+    """(lanes,) predictors + indices, (lanes, k) nibbles → (lanes, 1+k)
+    decoded samples. All lanes advance one sample per step."""
+    pred, index = pred.astype(np.int32), np.clip(index.astype(np.int32), 0, 88)
+    out = np.empty((nib.shape[0], 1 + nib.shape[1]), dtype=np.int16)
     out[:, 0] = pred
-    for j in range(nib.shape[1]):  # all blocks advance one sample per step
+    for j in range(nib.shape[1]):
         n = nib[:, j].astype(np.int32)
         step = _IMA_STEPS[index]
         diff = ((step >> 3) + np.where(n & 1, step >> 2, 0)
@@ -303,13 +307,49 @@ def decode_wav_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
         pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
         index = np.clip(index + _IMA_INDEX_ADJ[n & 7], 0, 88)
         out[:, j + 1] = pred
-    flat = out.reshape(-1)
+    return out
+
+
+def decode_wav_adpcm(buf: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV → (int16 samples (n,) mono or (n, 2) stereo,
+    sample_rate). Vectorized ACROSS block×channel lanes (blocks are
+    independent by construction; stereo de-interleaves the 4-byte coded
+    words into one lane per channel): the nibble recurrence runs
+    sequentially only in the sample dimension, with every lane advanced
+    per step as one numpy row — the same batch-amortization shape as the
+    image codecs."""
+    chunks = _riff_chunks(buf)
+    fmt = chunks[b"fmt "]
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    block_align = struct.unpack_from("<H", fmt, 12)[0]
+    if tag != 0x0011:
+        raise ValueError(f"not IMA ADPCM (fmt tag 0x{tag:04x})")
+    if nch not in (1, 2):
+        raise ValueError("ADPCM decode: mono or stereo only")
+    data = chunks[b"data"]
+    if len(data) % block_align:
+        raise ValueError("ADPCM data is not a whole number of blocks")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, block_align)
+    n_blocks = raw.shape[0]
+    heads = raw[:, :4 * nch].reshape(n_blocks, nch, 4)
+    pred = heads[:, :, :2].copy().reshape(-1, 2).view("<i2")[:, 0]
+    index = heads[:, :, 2].reshape(-1)  # lane order: (block, channel)
+    coded = raw[:, 4 * nch:]
+    if nch == 2:  # de-interleave the per-channel 4-byte words
+        coded = coded.reshape(n_blocks, -1, 2, 4).transpose(0, 2, 1, 3)
+    nbytes = coded.reshape(n_blocks * nch, -1)
+    nib = np.empty((nbytes.shape[0], nbytes.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = nbytes & 0xF
+    nib[:, 1::2] = nbytes >> 4
+    out = _adpcm_decode_lanes(pred, index, nib)
+    # (block, channel, frame) → (block, frame, channel) → flat frames
+    frames = out.reshape(n_blocks, nch, -1).transpose(0, 2, 1).reshape(-1, nch)
     if b"fact" in chunks:  # trim the final block's padding
         n_true = struct.unpack_from("<I", chunks[b"fact"], 0)[0]
-        if n_true > len(flat):
+        if n_true > frames.shape[0]:
             raise ValueError("fact chunk declares more samples than data")
-        flat = flat[:n_true]
-    return flat.astype(np.int16), rate
+        frames = frames[:n_true]
+    return (frames[:, 0] if nch == 1 else frames), rate
 
 
 # -- G.711 WAV (fmt tags 0x0007 mu-law / 0x0006 A-law, 8-bit, 2:1) ---------
