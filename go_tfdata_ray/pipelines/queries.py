@@ -1005,15 +1005,35 @@ _BPE_RX = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+"
 
 
 def q_tokenize(sf_dir: str):
-    """Deterministic hash-vocab tokenizer over documents. The driver checks
-    the SQL-reproducible projection (doc_id, n_tok) — the ids themselves
-    are siphash-derived (pytest-verified for determinism/range)."""
+    """Tokenization, stage-tagged union: 'hash' = the deterministic
+    hash-vocab tokenizer (driver checks the SQL-reproducible (doc_id,
+    n_tok) projection; the siphash-derived ids are pytest-verified for
+    determinism/range); 'bpe' = a REAL byte-level BPE trained from
+    scratch on a bounded deterministic sample of the same corpus
+    (``functions/bpe.py``, 256 greedy merges, worker-cached merge table
+    on apply) — every doc is encoded then decoded, the lossless property
+    hard-asserted in-stage, and the reconstruction's character length
+    emitted, which the oracle reproduces closed-form as
+    ``length(array_to_string(regexp_extract_all(text, rx), ''))``."""
+    from ..functions import bpe as bpemod
+    from ..functions.text import _worker_cached
+
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
-    out = text.tokenize(ds)
-    return out.map_batches(
-        lambda t: _i64(t.select(["doc_id", "n_tok"]), "doc_id", "n_tok"),
+
+    def tag(stage):
+        def f(t: pa.Table) -> pa.Table:
+            out = _i64(t.select(["doc_id", "n_tok"]), "doc_id", "n_tok")
+            return out.add_column(0, "stage", pa.array([stage] * len(t)))
+        return f
+
+    hashed = text.tokenize(ds).map_batches(tag("hash"), batch_format="pyarrow")
+    tok = bpemod.train_bpe(ds, n_merges=256, sample_n=512)
+    bpe_leg = ds.map_batches(
+        _worker_cached(bpemod.BPERoundTrip, tuple(tok.merges), "text",
+                       "doc_id"),
         batch_format="pyarrow",
-    )
+    ).map_batches(tag("bpe"), batch_format="pyarrow")
+    return hashed.union(bpe_leg)
 
 
 def q_tokenize_pack(sf_dir: str):
@@ -1762,8 +1782,14 @@ ORACLE_SQL = {
         r"FROM c"
     ),
     "tokenize": (
-        r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
-        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+')) AS BIGINT) AS n_tok FROM documents"
+        # 'hash' = pretoken count; 'bpe' = character length of the BPE
+        # round-trip reconstruction == concatenated pretokens (lossless)
+        r"SELECT 'hash' AS stage, doc_id, CAST(len(regexp_extract_all(text, "
+        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+')) AS BIGINT) AS n_tok FROM documents "
+        r"UNION ALL SELECT 'bpe' AS stage, doc_id, "
+        r"CAST(length(array_to_string(regexp_extract_all(text, "
+        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]+'), '')) AS BIGINT) AS n_tok "
+        r"FROM documents"
     ),
     "tokenize_pack": (
         r"SELECT CAST(SUM(len(regexp_extract_all(text, "

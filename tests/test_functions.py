@@ -709,6 +709,40 @@ def test_audio_featurizer_real_sine_rms():
     assert (abs(rms[0] - 0.216) < 0.04).all()
 
 
+def test_bpe_train_encode_decode():
+    from go_tfdata_ray.functions.bpe import _PRETOKEN_RX, train_bpe
+
+    corpus = ["the cat sat on the mat", "the dog sat on the log",
+              "cats and dogs, 123 456!", "héllo wörld — unicode bytes"] * 5
+    bpe = train_bpe(corpus, n_merges=64)
+    for s in corpus + ["unseen text with the cat 789 ?!"]:
+        ids = bpe.encode(s)
+        joined = "".join(_PRETOKEN_RX.findall(s))
+        assert bpe.decode(ids) == joined          # lossless by construction
+        assert len(ids) < len(joined.encode())    # merges actually compress
+    # deterministic: same corpus → identical merge sequence
+    assert train_bpe(list(corpus), n_merges=64).merges == bpe.merges
+    # classic sanity: an aa-heavy corpus merges (a,a) first
+    assert train_bpe(["aaaaaaa aaaa aa"], n_merges=4).merges[0] == (97, 97)
+    # vocab ids decode to the byte concatenation of their parts
+    for k, (a, b) in enumerate(bpe.merges):
+        assert bpe.vocab[256 + k] == bpe.vocab[a] + bpe.vocab[b]
+
+
+def test_bpe_tokenize_distributed():
+    from go_tfdata_ray.functions.bpe import (_PRETOKEN_RX, bpe_tokenize,
+                                             train_bpe)
+
+    texts = [f"doc {i} says the cat sat {i % 7} times" for i in range(200)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(200), "text": texts}))
+    bpe = train_bpe(ds, n_merges=48, sample_n=64)  # Dataset-input training
+    out = bpe_tokenize(ds, bpe.merges).to_pandas().sort_values("doc_id")
+    assert len(out) == 200
+    for txt, ids, n in zip(texts, out["ids"], out["n_tok"]):
+        assert len(ids) == n
+        assert bpe.decode(ids) == "".join(_PRETOKEN_RX.findall(txt))
+
+
 def test_hll_approx_ndv_error_bound_and_determinism():
     from go_tfdata_ray.functions import sketch
 
