@@ -743,6 +743,60 @@ def test_bpe_tokenize_distributed():
         assert bpe.decode(ids) == "".join(_PRETOKEN_RX.findall(txt))
 
 
+def test_char_lm_perplexity_separates_quality():
+    import random
+
+    import pyarrow as pa
+
+    from go_tfdata_ray.functions.lm import (PerplexityScorer, V,
+                                            train_char_lm)
+
+    clean = ["the quick brown fox jumps over the lazy dog and runs home.",
+             "a sentence with normal english words reads quite naturally.",
+             "training data quality matters for model performance."] * 30
+    logp = train_char_lm(clean)
+    assert logp.shape == (V, V, V) and np.isfinite(logp).all()
+    assert (train_char_lm(list(clean)) == logp).all()  # deterministic
+
+    sc = PerplexityScorer(logp.tobytes())
+
+    def score(texts):
+        return sc(pa.table({"doc_id": [str(i) for i in range(len(texts))],
+                            "text": texts}))["ppl"].to_numpy()
+
+    natural = score(["my dog also enjoys running over the green field."])[0]
+    rng = random.Random(3)
+    shuffled = score(["".join(rng.sample(clean[0], len(clean[0])))])[0]
+    gibberish = score(["xq zvv qjk wxz qqq kxj zzv jqx wqk zxv pzq"])[0]
+    # clean text must score materially lower perplexity than noise
+    assert natural < 0.7 * shuffled and natural < 0.5 * gibberish
+    assert np.isnan(score([""])[0])  # empty doc → NaN, not a crash
+
+
+def test_perplexity_score_distributed():
+    from go_tfdata_ray.functions.lm import perplexity_score, train_char_lm
+
+    # the curation recipe: train on CLEAN text, score a mixed corpus
+    words = ("the cat dog runs over green field home quick brown fox lazy "
+             "reads sentence normal words data model training quality").split()
+    clean_train = [" ".join(words[(i + j) % len(words)] for j in range(8)) + "."
+                   for i in range(60)]
+    train_ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [f"t{i:03d}" for i in range(60)], "text": clean_train}))
+    logp = train_char_lm(train_ds, sample_n=60)  # Dataset-input training
+
+    texts = ([" ".join(words[(i * 3 + j) % len(words)] for j in range(6))
+              for i in range(50)]
+             + ["zzq qjx vkz xqj zqv kxq jzv qxk zjq vqx"] * 50)
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [f"d{i:03d}" for i in range(100)], "text": texts}))
+    out = perplexity_score(ds, logp).to_pandas().sort_values("doc_id")
+    assert len(out) == 100 and (out["n_chars"] > 0).all()
+    clean_ppl = out["ppl"].to_numpy()[:50].mean()
+    noise_ppl = out["ppl"].to_numpy()[50:].mean()
+    assert clean_ppl < 0.5 * noise_ppl, (clean_ppl, noise_ppl)
+
+
 def test_hll_approx_ndv_error_bound_and_determinism():
     from go_tfdata_ray.functions import sketch
 
