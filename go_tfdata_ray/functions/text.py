@@ -338,6 +338,53 @@ def tokenize(ds: rd.Dataset, text_col: str = "text", key_col: str = "doc_id",
     )
 
 
+class PIIRedactor:
+    """PII detection + redaction (worker-cached: regexes compile once per
+    worker process): emails, North-American-shaped phone numbers and
+    IPv4 addresses are counted and replaced with typed placeholders
+    (``[EMAIL]`` / ``[PHONE]`` / ``[IP]``) — the standard pre-training
+    scrub pass. Vectorized via pandas ``str.count`` / ``str.replace``
+    (one compiled-regex pass per kind over the whole batch).
+    Idempotent: placeholders don't re-match any pattern."""
+
+    _PATTERNS = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "[EMAIL]"),
+        # require separators or +cc so plain 10-digit ids don't redact
+        ("phone", r"(?<!\d)(?:\+?1[-.\s])?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}(?!\d)",
+         "[PHONE]"),
+        ("ip", r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "[IP]"),
+    )
+
+    def __init__(self, text_col: str = "text", key_col: str = "doc_id"):
+        import re
+
+        self.text_col, self.key_col = text_col, key_col
+        self.compiled = [(k, re.compile(rx), sub)
+                         for k, rx, sub in self._PATTERNS]
+
+    def __call__(self, df: pd.DataFrame) -> pa.Table:
+        s = df[self.text_col].fillna("")
+        cols = {self.key_col: pa.Array.from_pandas(df[self.key_col])}
+        red = s
+        for kind, rx, sub in self.compiled:  # email first: its local part
+            cols[f"n_{kind}"] = pa.array(  # may hold phone-like digits
+                red.str.count(rx).to_numpy(), pa.int64())
+            red = red.str.replace(rx, sub, regex=True)
+        # explicit Arrow output pins the schema so mixed-source unions
+        # (string vs large_string inference) concat cleanly
+        cols["redacted"] = pa.array(red.tolist(), pa.string())
+        return pa.table(cols)
+
+
+def redact_pii(ds: rd.Dataset, text_col: str = "text",
+               key_col: str = "doc_id") -> rd.Dataset:
+    return ds.map_batches(
+        _worker_cached(PIIRedactor, text_col, key_col),
+        batch_format="pandas", batch_size=4096,
+    )
+
+
 # --- dataset-level helpers --------------------------------------------------
 
 class JsonFieldExtractor:

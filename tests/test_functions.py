@@ -743,6 +743,45 @@ def test_bpe_tokenize_distributed():
         assert bpe.decode(ids) == "".join(_PRETOKEN_RX.findall(txt))
 
 
+def test_pii_redactor_counts_and_idempotence():
+    from go_tfdata_ray.functions.text import PIIRedactor
+
+    r = PIIRedactor()
+    df = pd.DataFrame({
+        "doc_id": list("abcdef"),
+        "text": [
+            "contact jane.doe+x@example.co.uk or bob@test.io today",
+            "call +1 555-867-5309 or (212) 555-1234 now",
+            "server at 192.168.1.100 and 10.0.0.1 responded",
+            "mixed: a@b.com then 555-123-4567 then 8.8.8.8 done",
+            "clean text with numbers 1234567890 and words only",
+            None,
+        ]})
+    out = r(df).to_pandas()  # stage emits schema-pinned Arrow tables
+    assert out["n_email"].tolist() == [2, 0, 0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_ip"].tolist() == [0, 0, 2, 1, 0, 0]
+    assert out["redacted"][0] == "contact [EMAIL] or [EMAIL] today"
+    assert out["redacted"][3] == "mixed: [EMAIL] then [PHONE] then [IP] done"
+    assert out["redacted"][4] == df["text"][4]  # bare 10-digit id kept
+    # idempotent: placeholders never re-match
+    out2 = r(df.assign(text=out["redacted"])).to_pandas()
+    assert (out2[["n_email", "n_phone", "n_ip"]].to_numpy() == 0).all()
+    assert out2["redacted"].tolist() == out["redacted"].tolist()
+
+
+def test_redact_pii_distributed():
+    from go_tfdata_ray.functions.text import redact_pii
+
+    rows = [(f"d{i:03d}", f"user{i}@mail.com pinged 10.0.0.{i % 256} twice")
+            for i in range(200)]
+    ds = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = redact_pii(ds).to_pandas()
+    assert len(out) == 200
+    assert (out["n_email"] == 1).all() and (out["n_ip"] == 1).all()
+    assert out["redacted"].str.contains(r"\[EMAIL\] pinged \[IP\]").all()
+
+
 def test_char_lm_perplexity_separates_quality():
     import random
 
