@@ -73,6 +73,77 @@ def pack_batch(
     )
 
 
+def chunk_batch(
+    t: pa.Table,
+    context_len: int,
+    overlap: int = 0,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+) -> pa.Table:
+    """Flat-map chunking of one batch: split each document's tokens into
+    ``context_len`` windows advancing by ``stride = context_len -
+    overlap`` (the standard long-document pretraining shape — each
+    window repeats the previous window's last ``overlap`` tokens so no
+    boundary context is lost). The final window of a doc is SHORT, not
+    padded — padding/packing is ``pack_sequences``'s job downstream.
+    Vectorized: window starts come from one arange per batch; every
+    chunk is a zero-copy ListArray slice view over the batch's flat
+    token buffer."""
+    if not 0 <= overlap < context_len:
+        raise ValueError("need 0 <= overlap < context_len")
+    stride = context_len - overlap
+    toks = t[tokens_col].combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values
+    n_tok = np.diff(offs)
+    # chunks per doc: 1 for empty/short docs, else ceil((n-overlap)/stride)
+    n_chunks = np.maximum(1, -(-(n_tok - overlap) // stride)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_chunks)
+    # window index within each doc: global arange minus each doc's base
+    base = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(len(doc_idx), dtype=np.int64) - base[doc_idx]
+    starts = offs[doc_idx] + chunk_idx * stride
+    ends = np.minimum(starts + context_len, offs[doc_idx] + n_tok[doc_idx])
+    out_offs = np.concatenate(([0], np.cumsum(ends - starts)))
+    # gather the windows into one flat buffer (windows may overlap, so a
+    # pure offsets-view is not possible; one vectorized take per batch)
+    take_idx = np.concatenate(
+        [np.arange(s, e, dtype=np.int64) for s, e in zip(starts, ends)]
+    ) if len(starts) else np.zeros(0, np.int64)
+    values = flat.take(pa.array(take_idx, pa.int64()))
+    chunks = pa.ListArray.from_arrays(
+        pa.array(out_offs, pa.int32()), values)
+    return pa.table({
+        key_col: t[key_col].take(pa.array(doc_idx, pa.int64())),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        tokens_col: chunks,
+        "n_tok": pa.array((ends - starts).astype(np.int32), pa.int32()),
+    })
+
+
+def chunk_documents(
+    ds: rd.Dataset,
+    context_len: int = 2048,
+    overlap: int = 0,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """Distributed long-document chunking (flat-map shape: output rows ≥
+    input rows); pairs with ``pack_sequences`` downstream."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            chunk_batch, context_len=context_len, overlap=overlap,
+            tokens_col=tokens_col, key_col=key_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def pack_sequences(
     ds: rd.Dataset,
     context_len: int = 2048,

@@ -455,6 +455,50 @@ def test_tokenizer_deterministic_and_lake_shaped():
     assert (tc["n_bpe_tokens"].sort_index() == out1["n_tok"].sort_index()).all()
 
 
+def test_chunk_documents_windows_and_conservation():
+    from go_tfdata_ray.functions.pack import chunk_batch, chunk_documents
+
+    rng = np.random.default_rng(7)
+    docs = [list(map(int, rng.integers(0, 100, n)))
+            for n in (0, 1, 5, 16, 17, 31, 32, 33, 100, 257)]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))],
+                  "tokens": pa.array(docs, pa.list_(pa.int32()))})
+
+    def ref_chunks(tokens, ctx, ov):
+        stride = ctx - ov
+        if len(tokens) <= ctx:
+            return [tokens]
+        out, i = [], 0
+        while True:
+            out.append(tokens[i:i + ctx])
+            if i + ctx >= len(tokens):
+                break
+            i += stride
+        return out
+
+    for ctx, ov in ((16, 0), (16, 4), (16, 15), (32, 8)):
+        out = chunk_batch(t, ctx, ov)
+        got: dict = {}
+        for d, ci, tk in zip(out["doc_id"].to_pylist(),
+                             out["chunk_idx"].to_pylist(),
+                             out["tokens"].to_pylist()):
+            got.setdefault(d, []).append((ci, tk))
+        for i, doc in enumerate(docs):
+            want = ref_chunks(doc, ctx, ov)
+            assert [tk for _, tk in sorted(got[f"d{i}"])] == want
+        # no-overlap chunking conserves every token exactly once
+        if ov == 0:
+            assert int(out["n_tok"].to_numpy().sum()) == sum(map(len, docs))
+
+    # distributed flat-map shape over a Dataset
+    ds = rd.from_arrow(t)
+    out = chunk_documents(ds, context_len=16, overlap=4).to_pandas()
+    assert len(out) == sum(
+        max(1, -(-(len(d) - 4) // 12)) for d in docs)
+    with pytest.raises(ValueError):
+        chunk_batch(t, 16, 16)
+
+
 def test_tokenize_then_pack_conserves_tokens():
     from go_tfdata_ray.functions import pack
 
