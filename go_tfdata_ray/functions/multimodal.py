@@ -376,6 +376,87 @@ class AudioFeaturizer:
 # spin-up per query for no state to amortize. Keep batch_size small: media
 # rows are KB–MB wide.
 
+class ImageAugmenter:
+    """Deterministic, REPLAYABLE per-(media_id, epoch, seed) augmentation:
+    horizontal flip, 90°-multiple rotation, and fractional crop, with all
+    parameters derived from a stable content hash of the key — NOT from
+    RNG state. That is the scale-correct shape: a retried task, a
+    different worker, or a resumed epoch reproduces byte-identical
+    augmentations (RNG-stream augmentation silently diverges on any
+    retry/reshard), and per-epoch variety comes from hashing the epoch in.
+
+    real: sniffing decode → numpy flip/rot90/slice → re-encode in the
+    same format (PNG/JPEG via the from-spec codecs).
+    fake: deterministic byte decimation (plumbing tests)."""
+
+    def __init__(self, epoch: int = 0, seed: int = 0,
+                 crop_frac: float = 1.0, mode: str = "fake"):
+        if not 0.25 <= crop_frac <= 1.0:
+            raise ValueError("crop_frac must be in [0.25, 1.0]")
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.epoch, self.seed = epoch, seed
+        self.crop_frac, self.mode = crop_frac, mode
+
+    def _params(self, media_id: str) -> tuple[bool, int, float, float]:
+        import hashlib
+
+        h = hashlib.blake2b(
+            f"{media_id}:{self.epoch}:{self.seed}".encode(),
+            digest_size=8).digest()
+        flip = bool(h[0] & 1)
+        rot = h[1] & 3  # k quarter-turns
+        off_y = h[2] / 255.0  # fractional crop origin in the slack
+        off_x = h[3] / 255.0
+        return flip, rot, off_y, off_x
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for mid, buf in zip(t["media_id"].to_pylist(),
+                            t["payload"].to_pylist()):
+            flip, rot, off_y, off_x = self._params(mid)
+            if self.mode == "real":
+                fmt = codecs.sniff_image_format(buf)
+                img = codecs.decode_image(buf)
+                if flip:
+                    img = img[:, ::-1]
+                if rot:
+                    img = np.rot90(img, k=rot)
+                ch, cw = (max(1, int(round(img.shape[0] * self.crop_frac))),
+                          max(1, int(round(img.shape[1] * self.crop_frac))))
+                y0 = int(round((img.shape[0] - ch) * off_y))
+                x0 = int(round((img.shape[1] - cw) * off_x))
+                img = np.ascontiguousarray(img[y0:y0 + ch, x0:x0 + cw])
+                payloads.append(codecs.encode_image(
+                    img, "png" if fmt == "gif" else fmt))
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+            else:  # deterministic byte-level stand-in
+                b = np.frombuffer(buf, dtype=np.uint8)
+                if flip:
+                    b = b[::-1]
+                keep = max(1, int(round(len(b) * self.crop_frac ** 2)))
+                start = int(round((len(b) - keep) * off_y))
+                payloads.append(bytes(b[start:start + keep]))
+                heights.append(0)
+                widths.append(0)
+        return pa.table({
+            "media_id": t["media_id"],
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        })
+
+
+def augment_images(ds: rd.Dataset, epoch: int = 0, seed: int = 0,
+                   crop_frac: float = 1.0, mode: str = "fake",
+                   concurrency=None) -> rd.Dataset:
+    return ds.map_batches(
+        _worker_cached(ImageAugmenter, epoch, seed, crop_frac, mode),
+        batch_format="pyarrow", batch_size=64,
+    )
+
+
 def resize_images(ds: rd.Dataset, target_w: int = 32, target_h: int = 32,
                   mode: str = "fake", concurrency=None) -> rd.Dataset:
     return ds.map_batches(

@@ -741,6 +741,51 @@ def test_image_resizer_real_roundtrip():
         assert img.shape == (16, 16, 3)
 
 
+def test_image_augmenter_replayable_params():
+    from go_tfdata_ray.functions.multimodal import ImageAugmenter
+
+    t = multimodal.synth_media_table(8, payload="png")
+    aug = ImageAugmenter(epoch=1, seed=5, crop_frac=0.75, mode="real")
+    out1, out2 = aug(t), ImageAugmenter(1, 5, 0.75, "real")(t)
+    # replayable: a fresh instance (≈ a retried task) is byte-identical
+    assert out1["payload"].to_pylist() == out2["payload"].to_pylist()
+    # per-epoch variety comes from hashing the epoch in
+    assert (out1["payload"].to_pylist()
+            != ImageAugmenter(2, 5, 0.75, "real")(t)["payload"].to_pylist())
+    # one image checked against the direct numpy reference
+    mid, buf = t["media_id"][0].as_py(), t["payload"][0].as_py()
+    flip, rot, oy, ox = aug._params(mid)
+    ref = codecs.decode_image(buf)
+    ref = ref[:, ::-1] if flip else ref
+    ref = np.rot90(ref, k=rot) if rot else ref
+    ch = max(1, int(round(ref.shape[0] * 0.75)))
+    cw = max(1, int(round(ref.shape[1] * 0.75)))
+    y0 = int(round((ref.shape[0] - ch) * oy))
+    x0 = int(round((ref.shape[1] - cw) * ox))
+    ref = ref[y0:y0 + ch, x0:x0 + cw]
+    assert (codecs.decode_image(out1["payload"][0].as_py()) == ref).all()
+    assert out1["width"][0].as_py() == ref.shape[1]
+
+
+def test_augment_images_distributed():
+    t = multimodal.synth_media_table(30, payload="png")
+    out = multimodal.augment_images(
+        rd.from_arrow(t), epoch=3, seed=9, crop_frac=0.5,
+        mode="real").to_pandas().sort_values("media_id")
+    assert len(out) == 30
+    # crop halves dims (synth images are 64-160 px, so rounding is exact
+    # for even sizes; allow ±1 for odd)
+    src_w = {m: w for m, w in zip(t["media_id"].to_pylist(),
+                                  t["width"].to_pylist())}
+    for m, w, h in zip(out["media_id"], out["width"], out["height"]):
+        assert abs(max(w, h) - src_w[m] * 0.5) <= 1
+    # replay across the cluster: a second run is byte-identical
+    out2 = multimodal.augment_images(
+        rd.from_arrow(t), epoch=3, seed=9, crop_frac=0.5,
+        mode="real").to_pandas().sort_values("media_id")
+    assert list(out["payload"]) == list(out2["payload"])
+
+
 def test_audio_featurizer_real_sine_rms():
     t = multimodal.synth_media_table(3, media_type="audio", payload="wav")
     af = multimodal.AudioFeaturizer(n_windows=4, mode="real")
