@@ -21,7 +21,10 @@ merge loop itself is driver-side over the sample's unique-word dict —
 O(n_merges × unique words), independent of corpus size. APPLICATION is
 the distributed hot path: the merge-rank table ships once per worker
 (``_worker_cached``), each batch encodes its UNIQUE pretokens once
-through an LRU cache, and ids come out as Arrow ``list<int32>``.
+through a size-capped (generationally cleared) cache — the pretoken
+space includes ``\\d+`` runs so it is unbounded and a plain dict would
+grow for the worker-process lifetime — and ids come out as Arrow
+``list<int32>``.
 
 Merge selection tiebreaks deterministically (highest count, then
 lexicographically smallest pair), so the same sample always yields the
@@ -42,6 +45,7 @@ import ray.data as rd
 from .text import _worker_cached
 
 _PRETOKEN_RX = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+_CACHE_CAP = 262_144  # unique-pretoken cache entries before a clear
 
 
 class BPE:
@@ -76,7 +80,9 @@ class BPE:
         for w in _PRETOKEN_RX.findall(text):
             ids = cache.get(w)
             if ids is None:
-                ids = self.encode_word(tuple(w.encode("utf-8")))
+                if len(cache) >= _CACHE_CAP:  # generational clear: the
+                    cache.clear()  # pretoken space (\d+ runs, ids) is
+                ids = self.encode_word(tuple(w.encode("utf-8")))  # unbounded
                 cache[w] = ids
             out.extend(ids)
         return out

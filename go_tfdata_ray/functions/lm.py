@@ -116,15 +116,24 @@ class PerplexityScorer:
         texts = t[self.text_col].to_pylist()
         codes = [_doc_codes(s or "") for s in texts]
         lens = np.array([len(c) for c in codes], dtype=np.int64)
-        sums = []
-        for c in codes:
-            if len(c):
-                c2 = np.concatenate(([_BOS, _BOS], c))
-                sums.append(self.logp[c2[:-2], c2[1:-1], c2[2:]].sum())
-            else:
-                sums.append(0.0)
+        # one batch-wide gather: concatenate [BOS,BOS]+codes per doc, so
+        # each doc's windows stay inside its own padded segment, then
+        # mask the two BOS-position rows out and reduce per segment
+        padded = [np.concatenate(([_BOS, _BOS], c)) for c in codes]
+        if padded:
+            flat = np.concatenate(padded)
+            lp = np.zeros(len(flat), dtype=np.float64)
+            lp[2:] = self.logp[flat[:-2], flat[1:-1], flat[2:]]
+            seg = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
+            # zero the first two positions of every segment (BOS pads and,
+            # equivalently, the stale windows crossing doc boundaries)
+            lp[seg] = 0.0
+            lp[seg + 1] = 0.0
+            sums = np.add.reduceat(lp, seg)
+        else:
+            sums = np.zeros(0, dtype=np.float64)
         ppl = np.where(lens > 0,
-                       np.exp(-np.asarray(sums) / np.maximum(lens, 1)),
+                       np.exp(-sums / np.maximum(lens, 1)),
                        np.nan)
         return pa.table({
             self.key_col: t[self.key_col],

@@ -427,8 +427,11 @@ class ImageAugmenter:
                 y0 = int(round((img.shape[0] - ch) * off_y))
                 x0 = int(round((img.shape[1] - cw) * off_x))
                 img = np.ascontiguousarray(img[y0:y0 + ch, x0:x0 + cw])
+                # GIF and the video containers augment their first
+                # composed frame (decode_image's semantic) and re-encode
+                # as PNG — there is no single-frame re-encode for them
                 payloads.append(codecs.encode_image(
-                    img, "png" if fmt == "gif" else fmt))
+                    img, fmt if fmt in ("png", "jpeg") else "png"))
                 heights.append(img.shape[0])
                 widths.append(img.shape[1])
             else:  # deterministic byte-level stand-in

@@ -105,6 +105,11 @@ def chunk_batch(
     starts = offs[doc_idx] + chunk_idx * stride
     ends = np.minimum(starts + context_len, offs[doc_idx] + n_tok[doc_idx])
     out_offs = np.concatenate(([0], np.cumsum(ends - starts)))
+    if out_offs[-1] > np.iinfo(np.int32).max:  # list<int32> offset ceiling
+        raise ValueError(
+            f"chunk_batch output ({out_offs[-1]} tokens) overflows int32 "
+            "list offsets — lower batch_size (overlap inflates output by "
+            f"~{context_len / max(1, stride):.1f}x)")
     # gather the windows into one flat buffer (windows may overlap, so a
     # pure offsets-view is not possible; one vectorized take per batch)
     take_idx = np.concatenate(

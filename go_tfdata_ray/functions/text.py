@@ -350,8 +350,10 @@ class PIIRedactor:
     _PATTERNS = (
         ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
          "[EMAIL]"),
-        # require separators or +cc so plain 10-digit ids don't redact
-        ("phone", r"(?<!\d)(?:\+?1[-.\s])?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}(?!\d)",
+        # a paren'd area code is unambiguous (separators optional); the
+        # bare form still requires separators so 10-digit ids don't redact
+        ("phone", r"(?<!\d)(?:\+?1[-.\s]?)?(?:\(\d{3}\)[-.\s]?\d{3}[-.\s]?\d{4}"
+                  r"|\d{3}[-.\s]\d{3}[-.\s]\d{4})(?!\d)",
          "[PHONE]"),
         ("ip", r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "[IP]"),
     )

@@ -243,9 +243,17 @@ class DefaultPipeline:
                 for rel, dup in dup_jobs:
                     _copy_dup(rel, dup)
             else:  # duplicate-heavy export: full-shard byte copies would
-                # serialize through the driver — fan them out as tasks
+                # serialize through the driver — fan them out as tasks,
+                # PINNED to this node: out_dir is a local path from the
+                # driver's view, so a copy on another raylet would write
+                # to (or fail on) that node's filesystem
                 import ray as _ray
-                copy_task = _ray.remote(num_cpus=0.5)(_copy_dup)
+                from ray.util.scheduling_strategies import (
+                    NodeAffinitySchedulingStrategy as _Node)
+                copy_task = _ray.remote(num_cpus=0.5)(_copy_dup).options(
+                    scheduling_strategy=_Node(
+                        _ray.get_runtime_context().get_node_id(),
+                        soft=False))
                 _ray.get([copy_task.remote(rel, dup)
                           for rel, dup in dup_jobs])
             return total

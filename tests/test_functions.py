@@ -853,6 +853,11 @@ def test_pii_redactor_counts_and_idempotence():
     assert out["redacted"][0] == "contact [EMAIL] or [EMAIL] today"
     assert out["redacted"][3] == "mixed: [EMAIL] then [PHONE] then [IP] done"
     assert out["redacted"][4] == df["text"][4]  # bare 10-digit id kept
+    # paren'd area code redacts even without a separator after the paren
+    parens = r(pd.DataFrame({"doc_id": ["p"],
+                             "text": ["call (555)123-4567 now"]})).to_pandas()
+    assert parens["n_phone"][0] == 1
+    assert parens["redacted"][0] == "call [PHONE] now"
     # idempotent: placeholders never re-match
     out2 = r(df.assign(text=out["redacted"])).to_pandas()
     assert (out2[["n_email", "n_phone", "n_ip"]].to_numpy() == 0).all()
