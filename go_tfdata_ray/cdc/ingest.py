@@ -1,0 +1,222 @@
+"""Crawl-drop → WAL ingest adapter: the first mile of the lake.
+
+``sources/warc.py`` / ``sources/jsonl.py`` read raw crawl drops;
+``cdc/engine.py`` applies WAL segments exactly-once. This module is the
+producer in between: it normalizes a document Dataset to the WAL event
+schema (`sources/wal.py:WAL_SCHEMA`) and writes it as ONE sealed epoch
+segment under ``wal_dir`` — after which the standard
+``CDCEngine.tail(wal_dir, auto_dedup=...)`` path owns it (idempotent
+replay filter, dedup-on-ingest, incremental views, compaction).
+
+The end-to-end story this enables::
+
+    docs = warc.read_warc(drop_files)          # crawl shard
+    docs = docs.map_batches(decode_text, ...)  # payload → text
+    ingest.stage_drop(docs, wal_dir)           # one sealed WAL epoch
+    engine.tail(wal_dir, auto_dedup=2)         # exactly-once apply
+
+Scale shape (same discipline as ``CDCEngine.delete_dataset``,
+`cdc/engine.py:770`): every block writes its own shard file straight
+into the open segment directory — no all-to-all, no driver
+materialization; shard names are content-addressed (sha1 of the block's
+doc_ids+seqs) so task retries overwrite the same file with the same
+bytes; only tiny ``(path, rows)`` intent rows return to the driver,
+which then SEALS the segment — the completeness barrier that makes the
+whole drop visible to ``tail`` atomically (`sources/wal.py:247-279`).
+
+Event identity: ``doc_id`` is the stable 64-bit siphash of the URI
+(LWW per page across drops); ``seq`` packs ``(epoch << 40) |
+(fetch-seconds << 8) | text-hash-low-bits`` — monotonic across drops
+(later epochs always win the replay filter), ordered by fetch time
+within a drop, and deterministically tie-broken by content when one
+URI is fetched twice in the same second.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.text import Tokenizer, _worker_cached
+from ..sources import wal as walmod
+
+_SEC_BITS = 32  # fetch-time seconds (good through 2106)
+_TIE_BITS = 8
+
+
+def doc_id_for_uri(uris) -> pa.Array:
+    """Stable lake key per URI: fixed-key siphash (process-stable, like
+    `cdc/collapse.py:hash_partition`), hex-encoded with a ``w:`` prefix."""
+    arr = np.asarray(list(uris) if not isinstance(uris, np.ndarray) else uris,
+                     dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return pa.array([f"w:{v:016x}" for v in h], pa.string())
+
+
+def _next_epoch(wal_dir: str) -> int:
+    """Highest existing segment id (sealed OR open OR legacy file) + 1."""
+    import re
+
+    if not os.path.isdir(wal_dir):
+        return 0
+    mx = -1
+    for name in os.listdir(wal_dir):
+        m = re.fullmatch(r"epoch-(\d+)(?:\.parquet)?", name)
+        if m:
+            mx = max(mx, int(m.group(1)))
+    return mx + 1
+
+
+def _fetch_seconds(dates: pa.Array | None, n: int) -> np.ndarray:
+    if dates is None:
+        return np.zeros(n, dtype=np.int64)
+    ts = pd.to_datetime(dates.to_pylist(), utc=True, errors="coerce")
+    sec = ts.astype("int64", copy=False) // 1_000_000_000
+    return np.where(ts.isna(), 0, sec).astype(np.int64)
+
+
+class _DropNormalizer:
+    """Per-worker stage: tokenize + key + seq-stamp one block of documents
+    into WAL event rows, then write the block as one content-addressed
+    shard file inside the open segment. Tokenizer state (the pretokenizer
+    regex) builds once per worker process."""
+
+    def __init__(self, seg_dir: str, epoch: int, uri_col: str, text_col: str,
+                 date_col: str | None, source: str, vocab: int,
+                 keep_uri: bool):
+        self.seg_dir, self.epoch = seg_dir, epoch
+        self.uri_col, self.text_col, self.date_col = uri_col, text_col, date_col
+        self.source, self.keep_uri = source, keep_uri
+        self.tok = Tokenizer(text_col=text_col, key_col=uri_col, vocab=vocab)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        n = len(t)
+        uris = pc.cast(t[self.uri_col], pa.string())
+        texts = pc.cast(t[self.text_col], pa.string())
+        toks = self.tok(pa.table({self.uri_col: uris, self.text_col: texts}))
+        sec = _fetch_seconds(
+            t[self.date_col] if self.date_col and self.date_col in t.column_names
+            else None, n)
+        sec &= (1 << _SEC_BITS) - 1
+        tie = (pd.util.hash_array(
+            np.asarray(texts.to_pylist(), dtype=object), categorize=False)
+            & np.uint64((1 << _TIE_BITS) - 1)).astype(np.int64)
+        seq = (np.int64(self.epoch) << 40) | (sec << _TIE_BITS) | tie
+        ids = doc_id_for_uri(uris.to_pylist())
+        cols = {
+            "seq": pa.array(seq),
+            "epoch": pa.array(np.full(n, self.epoch, dtype=np.int32)),
+            "op": pa.array(["U"] * n, pa.string()),
+            "doc_id": ids,
+            "tokens": toks["tokens"],
+            "n_tok": toks["n_tok"],
+            "source": pa.array([self.source] * n, pa.string()),
+        }
+        if self.keep_uri:
+            # lands in the delta fragments; to read it back, declare `uri`
+            # in the engine's SchemaPolicy target and pass it in
+            # scan(columns=[...]) — add-column evolution nulls it on
+            # fragments that predate the declaration
+            cols["uri"] = uris
+        staged = pa.table(cols)
+        return pa.table(_write_shard(staged, self.seg_dir, "doc"))
+
+
+def _write_shard(staged: pa.Table, seg_dir: str, prefix: str) -> dict:
+    name = hashlib.sha1(
+        ("\x00".join(sorted(staged["doc_id"].to_pylist()))
+         + f"|{int(pc.min(staged['seq']).as_py())}").encode()
+    ).hexdigest()[:20]
+    final = os.path.join(seg_dir, f"shard-{prefix}-{name}.parquet")
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(staged, tmp, row_group_size=8192, compression="lz4")
+    os.rename(tmp, final)
+    return {"path": pa.array([final], pa.string()),
+            "rows": pa.array([len(staged)], pa.int64())}
+
+
+def stage_drop(
+    ds: rd.Dataset,
+    wal_dir: str,
+    *,
+    epoch: int | None = None,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    date_col: str | None = "date",
+    source: str = "web",
+    vocab: int = 50257,
+    keep_uri: bool = True,
+) -> dict[str, Any]:
+    """Write one document Dataset as one sealed WAL epoch segment.
+
+    Single-producer per epoch id (concurrent producers pick distinct
+    epochs; ``open_segment`` races resolve to one directory). Returns
+    ``{"epoch", "rows", "shards", "seg_dir"}``."""
+    e = _next_epoch(wal_dir) if epoch is None else int(epoch)
+    seg_dir = walmod.open_segment(wal_dir, e)
+    intents = ds.map_batches(
+        _worker_cached(_DropNormalizer, seg_dir, e, uri_col, text_col,
+                       date_col, source, vocab, keep_uri),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).take_all()  # tiny (path, rows) rows only
+    by_path = {r["path"]: int(r["rows"]) for r in intents}
+    walmod.seal_segment(seg_dir)
+    return {"epoch": e, "rows": sum(by_path.values()),
+            "shards": len(by_path), "seg_dir": seg_dir}
+
+
+def stage_tombstones(
+    uris: rd.Dataset | list[str],
+    wal_dir: str,
+    *,
+    epoch: int | None = None,
+    uri_col: str = "uri",
+) -> dict[str, Any]:
+    """Write a takedown/robots-removal list as one sealed DELETE epoch:
+    op='D' rows keyed like ``stage_drop`` (so they tombstone the same
+    ``doc_id`` a fetch of that URI produced). Small lists pass as a plain
+    ``list[str]``; big ones stream as a Dataset, one shard per block."""
+    e = _next_epoch(wal_dir) if epoch is None else int(epoch)
+    seg_dir = walmod.open_segment(wal_dir, e)
+
+    def write(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        n = len(t)
+        us = pc.cast(t[uri_col], pa.string())
+        staged = pa.table({
+            # deletes sit ABOVE every same-epoch fetch seq (max seconds
+            # field): a takedown in the same drop always wins
+            "seq": pa.array(np.full(
+                n, (np.int64(e) << 40) | ((1 << (_SEC_BITS + _TIE_BITS)) - 1),
+                dtype=np.int64)),
+            "epoch": pa.array(np.full(n, e, dtype=np.int32)),
+            "op": pa.array(["D"] * n, pa.string()),
+            "doc_id": doc_id_for_uri(us.to_pylist()),
+            "tokens": pa.array([[]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array(np.zeros(n, dtype=np.int32)),
+            "source": pa.array([""] * n, pa.string()),
+        })
+        return pa.table(_write_shard(staged, seg_dir, "del"))
+
+    if not isinstance(uris, rd.Dataset):
+        uris = rd.from_arrow(pa.table({uri_col: pa.array(list(uris), pa.string())}))
+    intents = uris.map_batches(write, batch_format="pyarrow",
+                               batch_size=None).take_all()
+    by_path = {r["path"]: int(r["rows"]) for r in intents}
+    walmod.seal_segment(seg_dir)
+    return {"epoch": e, "rows": sum(by_path.values()),
+            "shards": len(by_path), "seg_dir": seg_dir}

@@ -1,0 +1,200 @@
+"""WARC (ISO 28500) web-archive source — the crawl-side front door.
+
+The reference ingests training corpora from tar archives
+(`/root/reference/tfdata/archive/tar.go:50-55`); at web scale the
+equivalent drop format is WARC — what Common Crawl and every crawler
+actually emit. This is a from-spec implementation of the WARC/1.0 and
+WARC/1.1 record grammar (ISO 28500 §4: ``warc-record = header CRLF block
+CRLF CRLF``; ``header = version CRLF *named-field``; block length given
+by the mandatory ``Content-Length`` field), plus the spec's recommended
+``.warc.gz`` layout of one gzip MEMBER per record (Annex C) — Python's
+``gzip`` streams concatenated members transparently, and per-record
+members are what make a multi-GB crawl file splittable in principle.
+
+Ray Data shape mirrors the seek tar reader (`sources/tar.py:52`): one
+file = one read task, the task is a GENERATOR yielding bounded-size
+Arrow batches — a 50 GB crawl shard never materializes in a worker.
+Long layout ``(record_id, warc_type, uri, date, content_type,
+payload: large_binary)``; HTTP ``response`` payloads optionally have
+their HTTP envelope stripped (body after the first CRLF CRLF, per the
+spec's note that response blocks hold the full HTTP message).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from typing import Iterable, Iterator
+
+import pyarrow as pa
+
+import ray.data as rd
+
+_CRLF = b"\r\n"
+
+#: WARC-Types that carry document content (ISO 28500 §6.2); ``request`` /
+#: ``metadata`` / ``warcinfo`` records are bookkeeping and filtered by
+#: default.
+CONTENT_TYPES = ("response", "resource", "conversion")
+
+
+# --------------------------------------------------------------------------
+# record-level reader / writer (pure functions of the byte stream)
+# --------------------------------------------------------------------------
+
+def _read_record(f) -> dict | None:
+    """Parse one record at the stream position, or None at EOF.
+
+    Tolerates any amount of inter-record CRLF padding before the version
+    line (crawlers differ on trailing-newline counts)."""
+    line = f.readline()
+    while line in (_CRLF, b"\n"):
+        line = f.readline()
+    if not line:
+        return None
+    version = line.strip().decode("ascii", "replace")
+    if not version.startswith("WARC/"):
+        raise ValueError(f"expected WARC version line, got {version!r}")
+    headers: dict[str, str] = {}
+    while True:
+        line = f.readline()
+        if line in (_CRLF, b"\n", b""):
+            break
+        # named-field = field-name ":" [ field-value ]; continuation lines
+        # (obs-fold) start with SP/TAB and extend the previous value
+        if line[:1] in (b" ", b"\t") and headers:
+            headers[last] += " " + line.strip().decode("utf-8", "replace")  # noqa: F821
+            continue
+        name, _, value = line.decode("utf-8", "replace").partition(":")
+        last = name.strip()
+        headers[last] = value.strip()
+    n = int(headers.get("Content-Length", "0"))
+    payload = f.read(n)
+    if len(payload) != n:
+        raise ValueError("truncated WARC record block")
+    return {"version": version, "headers": headers, "payload": payload}
+
+
+def iter_warc_records(path: str) -> Iterator[dict]:
+    """Stream records from a ``.warc`` or ``.warc.gz`` file (gzip sniffed
+    from the magic bytes, not the name — crawl drops are routinely
+    misnamed). Constant memory: one record held at a time."""
+    with open(path, "rb") as raw:
+        magic = raw.read(2)
+        raw.seek(0)
+        f = gzip.open(raw, "rb") if magic == b"\x1f\x8b" else io.BufferedReader(raw)
+        while True:
+            rec = _read_record(f)
+            if rec is None:
+                return
+            yield rec
+
+
+def http_body(payload: bytes) -> bytes:
+    """Strip the HTTP envelope from a ``response`` block: the entity body
+    after the first blank line; payloads without one pass through (a
+    ``resource``/``conversion`` block is already bare content)."""
+    i = payload.find(b"\r\n\r\n")
+    if i < 0:
+        return payload
+    return payload[i + 4:]
+
+
+def write_warc(path: str, records: Iterable[dict]) -> int:
+    """Fixture/export writer: each ``record`` is a dict with ``warc_type``,
+    ``payload`` (bytes) and optional ``uri``/``date``/``content_type``/
+    ``record_id``/``extra_headers``. ``.gz`` paths get ONE GZIP MEMBER PER
+    RECORD (Annex C layout). Deterministic for deterministic input —
+    record ids default to a content hash, no RNG/clock. Returns the
+    record count."""
+    n = 0
+    gz = path.endswith(".gz")
+    with open(path, "wb") as out:
+        for r in records:
+            payload = r["payload"]
+            rid = r.get("record_id") or (
+                "<urn:blake2b:"
+                + hashlib.blake2b(payload, digest_size=16).hexdigest() + ">")
+            headers = [("WARC-Type", r.get("warc_type", "resource")),
+                       ("WARC-Record-ID", rid),
+                       ("WARC-Date", r.get("date", "2026-01-01T00:00:00Z")),
+                       ("Content-Length", str(len(payload)))]
+            if r.get("uri"):
+                headers.append(("WARC-Target-URI", r["uri"]))
+            if r.get("content_type"):
+                headers.append(("Content-Type", r["content_type"]))
+            headers.extend(r.get("extra_headers", ()))
+            buf = bytearray(b"WARC/1.0\r\n")
+            for k, v in headers:
+                buf += f"{k}: {v}\r\n".encode()
+            buf += _CRLF
+            buf += payload
+            buf += _CRLF + _CRLF
+            if gz:
+                # mtime=0: reproducible bytes (gzip stores a timestamp)
+                member = io.BytesIO()
+                with gzip.GzipFile(fileobj=member, mode="wb", mtime=0) as g:
+                    g.write(bytes(buf))
+                out.write(member.getvalue())
+            else:
+                out.write(bytes(buf))
+            n += 1
+    return n
+
+
+# --------------------------------------------------------------------------
+# Ray Data source
+# --------------------------------------------------------------------------
+
+def read_warc(
+    paths: str | list[str],
+    types: tuple[str, ...] = CONTENT_TYPES,
+    http_strip: bool = True,
+    batch_rows: int = 256,
+) -> rd.Dataset:
+    """Dataset of content records, one streaming read task per WARC file
+    (the file is the shard). Output columns: ``record_id, warc_type, uri,
+    date, content_type, payload``."""
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    tset = set(types)
+
+    def parse(batch: pa.Table):
+        for p in batch["path"].to_pylist():
+            rows: list[dict] = []
+            for rec in iter_warc_records(p):
+                h = rec["headers"]
+                wt = h.get("WARC-Type", "")
+                if wt not in tset:
+                    continue
+                payload = rec["payload"]
+                if http_strip and wt == "response":
+                    payload = http_body(payload)
+                rows.append({
+                    "record_id": h.get("WARC-Record-ID", ""),
+                    "warc_type": wt,
+                    "uri": h.get("WARC-Target-URI", ""),
+                    "date": h.get("WARC-Date", ""),
+                    "content_type": h.get("Content-Type", ""),
+                    "payload": payload,
+                })
+                if len(rows) >= batch_rows:
+                    yield _rows_to_table(rows)
+                    rows = []
+            if rows:
+                yield _rows_to_table(rows)
+
+    return rd.from_items([{"path": p} for p in plist]).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table({
+        "record_id": pa.array([r["record_id"] for r in rows], pa.string()),
+        "warc_type": pa.array([r["warc_type"] for r in rows], pa.string()),
+        "uri": pa.array([r["uri"] for r in rows], pa.string()),
+        "date": pa.array([r["date"] for r in rows], pa.string()),
+        "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
+        "payload": pa.array([r["payload"] for r in rows], pa.large_binary()),
+    })

@@ -1,0 +1,236 @@
+"""Crawl front door: WARC / JSONL sources and the drop→WAL→lake path."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from go_tfdata_ray.cdc import ingest
+from go_tfdata_ray.cdc.engine import CDCEngine
+from go_tfdata_ray.functions.text import Tokenizer
+from go_tfdata_ray.sources import jsonl as jsonlmod
+from go_tfdata_ray.sources import warc as warcmod
+
+
+def _mk_records(n, *, start=0, prefix="page"):
+    recs = []
+    for i in range(start, start + n):
+        body = f"Document {prefix} {i} " + "lorem ipsum " * (i % 5 + 1)
+        recs.append({
+            "warc_type": "response",
+            "uri": f"https://example.com/{prefix}/{i}",
+            "date": f"2026-01-01T00:{i % 60:02d}:00Z",
+            "content_type": "application/http; msgtype=response",
+            "payload": (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                        b"\r\n" + body.encode()),
+        })
+    return recs
+
+
+# -- WARC record layer ------------------------------------------------------
+
+@pytest.mark.parametrize("suffix", [".warc", ".warc.gz"])
+def test_warc_roundtrip(tmp_path, suffix):
+    recs = _mk_records(7)
+    # interleave a request record (filtered by default) and a warcinfo
+    recs.insert(2, {"warc_type": "request", "uri": recs[2]["uri"],
+                    "payload": b"GET / HTTP/1.1\r\n\r\n"})
+    recs.insert(0, {"warc_type": "warcinfo", "payload": b"robots: obey\r\n"})
+    path = str(tmp_path / f"drop{suffix}")
+    assert warcmod.write_warc(path, recs) == 9
+
+    got = list(warcmod.iter_warc_records(path))
+    assert len(got) == 9
+    assert [g["headers"]["WARC-Type"] for g in got] == \
+        ["warcinfo", "response", "response", "request"] + ["response"] * 5
+    # payload byte-exact through the gzip member layout
+    assert got[1]["payload"] == recs[1]["payload"]
+    assert got[-1]["payload"] == recs[-1]["payload"]
+
+    ds = warcmod.read_warc(path)
+    t = ds.to_pandas().sort_values("uri").reset_index(drop=True)
+    assert len(t) == 7  # request + warcinfo filtered
+    assert set(t["warc_type"]) == {"response"}
+    # http_strip removed the envelope: bodies start with "Document"
+    assert all(bytes(p).startswith(b"Document") for p in t["payload"])
+
+
+def test_warc_no_strip_and_type_filter(tmp_path):
+    path = str(tmp_path / "drop.warc")
+    warcmod.write_warc(path, _mk_records(3))
+    t = warcmod.read_warc(path, http_strip=False).to_pandas()
+    assert all(bytes(p).startswith(b"HTTP/1.1 200 OK") for p in t["payload"])
+    none = warcmod.read_warc(path, types=("resource",)).to_pandas()
+    assert len(none) == 0
+
+
+def test_warc_http_body_passthrough():
+    assert warcmod.http_body(b"no envelope here") == b"no envelope here"
+    assert warcmod.http_body(b"H: v\r\n\r\nbody") == b"body"
+
+
+# -- JSONL ------------------------------------------------------------------
+
+def test_jsonl_strict_and_tolerant(tmp_path):
+    rows = [{"uri": f"u{i}", "text": f"doc {i}", "n": i} for i in range(50)]
+    p_ok = str(tmp_path / "a.jsonl")
+    with open(p_ok, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    p_gz = str(tmp_path / "b.jsonl.gz")
+    with gzip.open(p_gz, "wt") as f:
+        for r in rows[:10]:
+            f.write(json.dumps(r) + "\n")
+        f.write("{broken json\n")
+        f.write('"not an object"\n')
+        f.write("\n")
+        for r in rows[10:20]:
+            f.write(json.dumps(r) + "\n")
+
+    strict = jsonlmod.read_jsonl(p_ok, columns=["uri", "n"]).to_pandas()
+    assert len(strict) == 50 and list(strict.columns) == ["uri", "n"]
+
+    tol = jsonlmod.read_jsonl([p_ok, p_gz], columns=["uri", "text"],
+                              strict=False, batch_rows=16).to_pandas()
+    assert len(tol) == 70  # bad lines skipped, both files read
+
+    rep = jsonlmod.scan_bad_lines([p_ok, p_gz]).to_pandas().set_index("path")
+    assert rep.loc[p_ok, "bad_lines"] == 0 and rep.loc[p_ok, "rows"] == 50
+    assert rep.loc[p_gz, "bad_lines"] == 2 and rep.loc[p_gz, "rows"] == 20
+
+
+# -- drop → WAL → lake end to end --------------------------------------------
+
+def _expected_tokens(text, uri, vocab=50257):
+    tok = Tokenizer(vocab=vocab)
+    t = tok(pa.table({"doc_id": pa.array([uri]), "text": pa.array([text])}))
+    return t["tokens"][0].as_py()
+
+
+def test_stage_drop_then_tail_lww_and_tombstones(tmp_path):
+    """Two WARC drops + a takedown list through the real WAL path:
+    last-fetch-wins per URI, deletes tombstone, lake content matches a
+    pandas oracle per-row."""
+    wal_dir = str(tmp_path / "wal")
+
+    # drop 1: pages 0..19
+    d1 = str(tmp_path / "d1.warc.gz")
+    warcmod.write_warc(d1, _mk_records(20))
+    docs1 = warcmod.read_warc(d1).map_batches(
+        lambda t: t.append_column(
+            "text", pa.array([bytes(p).decode() for p in t["payload"].to_pylist()],
+                             pa.string())),
+        batch_format="pyarrow")
+    r1 = ingest.stage_drop(docs1, wal_dir, source="crawl")
+    assert r1["epoch"] == 0 and r1["rows"] == 20 and r1["shards"] >= 1
+    assert not os.path.exists(os.path.join(r1["seg_dir"], "_OPEN"))
+
+    # drop 2: pages 10..19 re-fetched LATER with new content, plus 20..24 new
+    recs2 = _mk_records(10, start=10)
+    for r in recs2:
+        r["payload"] = r["payload"].replace(b"Document", b"Refetched")
+        r["date"] = "2026-02-02T00:00:00Z"
+    recs2 += _mk_records(5, start=20)
+    d2 = str(tmp_path / "d2.warc")
+    warcmod.write_warc(d2, recs2)
+    docs2 = warcmod.read_warc(d2).map_batches(
+        lambda t: t.append_column(
+            "text", pa.array([bytes(p).decode() for p in t["payload"].to_pylist()],
+                             pa.string())),
+        batch_format="pyarrow")
+    r2 = ingest.stage_drop(docs2, wal_dir, source="crawl")
+    assert r2["epoch"] == 1 and r2["rows"] == 15
+
+    # takedown: pages 0 and 15 (15 was just refetched — delete still wins
+    # in a LATER epoch)
+    r3 = ingest.stage_tombstones(
+        ["https://example.com/page/0", "https://example.com/page/15"], wal_dir)
+    assert r3["epoch"] == 2 and r3["rows"] == 2
+
+    # declare `uri` in the lake schema (add-column evolution: the tombstone
+    # shards lack it and read back as null)
+    from go_tfdata_ray.cdc.engine import DEFAULT_TARGET
+    from go_tfdata_ray.stages.schema import SchemaPolicy
+
+    policy = SchemaPolicy(target=DEFAULT_TARGET.append(pa.field("uri", pa.string())))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, policy=policy)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan(columns=["doc_id", "uri", "tokens", "n_tok", "source"]).to_pandas()
+
+    # oracle: pandas LWW over the same logical events
+    live = {}
+    for i in range(20):
+        live[f"https://example.com/page/{i}"] = f"Document page {i} " + \
+            "lorem ipsum " * (i % 5 + 1)
+    for i in range(10, 20):
+        live[f"https://example.com/page/{i}"] = f"Refetched page {i} " + \
+            "lorem ipsum " * (i % 5 + 1)
+    for i in range(20, 25):
+        live[f"https://example.com/page/{i}"] = f"Document page {i} " + \
+            "lorem ipsum " * (i % 5 + 1)
+    del live["https://example.com/page/0"], live["https://example.com/page/15"]
+
+    assert len(got) == len(live) == 23
+    by_uri = got.set_index("uri")
+    for uri, text in live.items():
+        assert by_uri.loc[uri, "tokens"].tolist() == _expected_tokens(text, uri)
+        assert by_uri.loc[uri, "source"] == "crawl"
+
+    # idempotent re-tail: nothing re-applied
+    before = eng.manifest.version
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.manifest.version == before
+
+
+def test_stage_drop_same_uri_twice_in_one_drop_latest_fetch_wins(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    uri = "https://example.com/hot"
+    docs = rd.from_arrow(pa.table({
+        "uri": pa.array([uri, uri], pa.string()),
+        "text": pa.array(["old body", "new body"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z", "2026-01-01T00:00:05Z"],
+                         pa.string()),
+    }))
+    ingest.stage_drop(docs, wal_dir)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan().to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["tokens"].tolist() == _expected_tokens("new body", uri)
+
+
+def test_stage_drop_retry_is_idempotent(tmp_path):
+    """Content-addressed shard names: re-staging the same epoch id with the
+    same rows lands on the same files (a retried producer double-writes
+    nothing)."""
+    wal_dir = str(tmp_path / "wal")
+    docs = rd.from_arrow(pa.table({
+        "uri": pa.array([f"u{i}" for i in range(8)], pa.string()),
+        "text": pa.array([f"body {i}" for i in range(8)], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"] * 8, pa.string()),
+    }))
+    r1 = ingest.stage_drop(docs, wal_dir, epoch=0, date_col="date")
+    names1 = sorted(os.listdir(r1["seg_dir"]))
+    r2 = ingest.stage_drop(docs, wal_dir, epoch=0, date_col="date")
+    names2 = sorted(os.listdir(r2["seg_dir"]))
+    assert names1 == names2 and r1["rows"] == r2["rows"] == 8
+
+
+def test_doc_id_stability():
+    a = ingest.doc_id_for_uri(["https://x/1", "https://x/2"]).to_pylist()
+    b = ingest.doc_id_for_uri(["https://x/1", "https://x/2"]).to_pylist()
+    assert a == b and a[0] != a[1] and a[0].startswith("w:")
+
+
+def test_seq_orders_epochs_above_dates():
+    """A later drop's smallest seq exceeds an earlier drop's largest —
+    the replay filter can never drop a later epoch's events."""
+    hi_e0 = (np.int64(0) << 40) | (((1 << 32) - 1) << 8) | 0xFF
+    lo_e1 = np.int64(1) << 40
+    assert lo_e1 > hi_e0
