@@ -15,6 +15,8 @@ Commands:
   dedup         --lake DIR [--content-col C --dry-run]  exact content dedup
   status        --lake DIR                              manifest summary
   profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
+  ingest        --wal DIR (--warc F.. | --jsonl F..)    crawl drop → sealed epoch
+  takedown      --wal DIR (--uris a,b | --uris-file F)  delete epoch by URI
 """
 
 from __future__ import annotations
@@ -110,6 +112,25 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dry-run", action="store_true",
                    help="count duplicates without tombstoning them")
 
+    s = sub.add_parser("ingest")
+    s.add_argument("--wal", required=True)
+    s.add_argument("--warc", nargs="+", default=None,
+                   help="WARC drop file(s) (.warc / .warc.gz)")
+    s.add_argument("--jsonl", nargs="+", default=None,
+                   help="JSONL drop file(s) (.jsonl / .jsonl.gz)")
+    s.add_argument("--uri-col", default="uri")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--date-col", default="date")
+    s.add_argument("--source", default="web")
+    s.add_argument("--vocab", type=int, default=50257)
+    s.add_argument("--strict", action="store_true",
+                   help="jsonl: abort on malformed lines (default: skip)")
+
+    s = sub.add_parser("takedown")
+    s.add_argument("--wal", required=True)
+    s.add_argument("--uris", default=None, help="comma-separated URIs")
+    s.add_argument("--uris-file", default=None, help="one URI per line")
+
     s = sub.add_parser("status")
     s.add_argument("--lake", required=True)
 
@@ -133,6 +154,52 @@ def main(argv: list[str] | None = None) -> int:
         else:
             files = walmod.generate_wal(a.wal, p)
         print(json.dumps({"wal": a.wal, "segments": len(files)}))
+        return 0
+
+    if a.cmd == "ingest":
+        if (a.warc is None) == (a.jsonl is None):
+            print(json.dumps({"error": "exactly one of --warc / --jsonl"}))
+            return 2
+        _ray_up()
+        import pyarrow as pa
+
+        from . import ingest as ing
+
+        if a.warc:
+            from ..sources import warc as warcmod
+
+            def add_text(t: pa.Table) -> pa.Table:
+                texts = [bytes(p).decode("utf-8", "replace")
+                         for p in t["payload"].to_pylist()]
+                return t.append_column("text", pa.array(texts, pa.string()))
+
+            docs = warcmod.read_warc(a.warc).map_batches(
+                add_text, batch_format="pyarrow")
+        else:
+            from ..sources import jsonl as jsonlmod
+
+            docs = jsonlmod.read_jsonl(
+                a.jsonl, columns=[a.uri_col, a.text_col, a.date_col],
+                strict=a.strict)
+        out = ing.stage_drop(docs, a.wal, uri_col=a.uri_col,
+                             text_col=a.text_col, date_col=a.date_col,
+                             source=a.source, vocab=a.vocab)
+        print(json.dumps(out))
+        return 0
+
+    if a.cmd == "takedown":
+        if (a.uris is None) == (a.uris_file is None):
+            print(json.dumps({"error": "exactly one of --uris / --uris-file"}))
+            return 2
+        _ray_up()
+        from . import ingest as ing
+
+        if a.uris:
+            uris = [u.strip() for u in a.uris.split(",") if u.strip()]
+        else:
+            with open(a.uris_file) as f:
+                uris = [ln.strip() for ln in f if ln.strip()]
+        print(json.dumps(ing.stage_tombstones(uris, a.wal)))
         return 0
 
     from .engine import CDCEngine

@@ -76,6 +76,37 @@ def _next_epoch(wal_dir: str) -> int:
     return mx + 1
 
 
+def _claim_epoch(wal_dir: str) -> tuple[int, str]:
+    """Atomically claim the next FREE epoch id for this producer.
+
+    ``open_segment`` deliberately merges a same-id race into one directory
+    (one logical producer resuming); two INDEPENDENT drops must not share a
+    segment — the first to seal would publish the other's half-written
+    shards. Claim = rename of a pre-populated temp dir (marker already
+    inside, same atomicity argument as `sources/wal.py:open_segment`): the
+    loser's rename fails on the non-empty winner directory and retries with
+    the next id. Legacy single-file segments (``epoch-N.parquet``) are
+    skipped by the id scan."""
+    import shutil
+
+    os.makedirs(wal_dir, exist_ok=True)
+    e = _next_epoch(wal_dir)
+    while True:
+        d = os.path.join(wal_dir, f"epoch-{e:05d}")
+        tmp = f"{d}.claiming-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, walmod.OPEN_MARKER), "w"):
+            pass
+        try:
+            if not os.path.exists(d):
+                os.rename(tmp, d)
+                return e, d
+        except OSError:
+            pass  # lost the race (ENOTEMPTY/EEXIST): try the next id
+        shutil.rmtree(tmp, ignore_errors=True)
+        e += 1
+
+
 def _fetch_seconds(dates: pa.Array | None, n: int) -> np.ndarray:
     if dates is None:
         return np.zeros(n, dtype=np.int64)
@@ -161,11 +192,16 @@ def stage_drop(
 ) -> dict[str, Any]:
     """Write one document Dataset as one sealed WAL epoch segment.
 
-    Single-producer per epoch id (concurrent producers pick distinct
-    epochs; ``open_segment`` races resolve to one directory). Returns
+    With ``epoch=None`` (the normal path) the id is CLAIMED atomically —
+    concurrent producers land on distinct segments. An explicit ``epoch``
+    re-opens that segment (the retrying-producer path: content-addressed
+    shards make the re-stage byte-idempotent). Returns
     ``{"epoch", "rows", "shards", "seg_dir"}``."""
-    e = _next_epoch(wal_dir) if epoch is None else int(epoch)
-    seg_dir = walmod.open_segment(wal_dir, e)
+    if epoch is None:
+        e, seg_dir = _claim_epoch(wal_dir)
+    else:
+        e = int(epoch)
+        seg_dir = walmod.open_segment(wal_dir, e)
     intents = ds.map_batches(
         _worker_cached(_DropNormalizer, seg_dir, e, uri_col, text_col,
                        date_col, source, vocab, keep_uri),
@@ -188,8 +224,11 @@ def stage_tombstones(
     op='D' rows keyed like ``stage_drop`` (so they tombstone the same
     ``doc_id`` a fetch of that URI produced). Small lists pass as a plain
     ``list[str]``; big ones stream as a Dataset, one shard per block."""
-    e = _next_epoch(wal_dir) if epoch is None else int(epoch)
-    seg_dir = walmod.open_segment(wal_dir, e)
+    if epoch is None:
+        e, seg_dir = _claim_epoch(wal_dir)
+    else:
+        e = int(epoch)
+        seg_dir = walmod.open_segment(wal_dir, e)
 
     def write(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -234,3 +234,53 @@ def test_seq_orders_epochs_above_dates():
     hi_e0 = (np.int64(0) << 40) | (((1 << 32) - 1) << 8) | 0xFF
     lo_e1 = np.int64(1) << 40
     assert lo_e1 > hi_e0
+
+
+def test_claim_epoch_skips_open_and_sealed_segments(tmp_path):
+    """Independent producers must never share a segment: a claim lands on
+    the first FREE id, skipping sealed, open, and legacy-file segments."""
+    from go_tfdata_ray.sources import wal as walmod
+
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    d0 = walmod.open_segment(wal_dir, 0)
+    walmod.seal_segment(d0)          # sealed
+    walmod.open_segment(wal_dir, 1)  # still open (another producer mid-write)
+    open(os.path.join(wal_dir, "epoch-00002.parquet"), "wb").close()  # legacy
+
+    e, seg = ingest._claim_epoch(wal_dir)
+    assert e == 3 and os.path.exists(os.path.join(seg, "_OPEN"))
+    e2, _ = ingest._claim_epoch(wal_dir)  # a second producer right after
+    assert e2 == 4
+
+
+def test_cli_ingest_and_takedown(tmp_path):
+    """The ray-job surface: WARC ingest + takedown + tail + scan through
+    the CLI entry point (in-process main())."""
+    from go_tfdata_ray.cdc.cli import main
+
+    wal_dir = str(tmp_path / "wal")
+    drop = str(tmp_path / "drop.warc.gz")
+    warcmod.write_warc(drop, _mk_records(12))
+    assert main(["ingest", "--wal", wal_dir, "--warc", drop,
+                 "--source", "crawl"]) == 0
+    assert main(["takedown", "--wal", wal_dir,
+                 "--uris", "https://example.com/page/3"]) == 0
+
+    jl = str(tmp_path / "drop.jsonl")
+    with open(jl, "w") as f:
+        f.write(json.dumps({"uri": "https://example.com/page/12",
+                            "text": "jsonl page", "date": "2026-04-01T00:00:00Z"})
+                + "\n")
+        f.write("{bad line\n")
+    assert main(["ingest", "--wal", wal_dir, "--jsonl", jl]) == 0
+
+    lake = str(tmp_path / "lake")
+    assert main(["tail", "--wal", wal_dir, "--lake", lake, "--partitions", "4",
+                 "--poll", "0.01", "--idle-limit", "1"]) == 0
+    eng = CDCEngine(lake)
+    got = eng.scan().to_pandas()
+    assert len(got) == 12  # 12 fetched - 1 takedown + 1 jsonl doc
+    # mutually exclusive flags rejected
+    assert main(["ingest", "--wal", wal_dir]) == 2
+    assert main(["takedown", "--wal", wal_dir]) == 2
