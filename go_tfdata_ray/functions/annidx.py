@@ -97,12 +97,16 @@ def _write_list_run(t: pa.Table, index_dir: str, cent_ref,
 
 
 def _commit_intents(index_dir: str, intents: list[dict], state: dict) -> None:
-    """Phase 2: intents segment (the readers' commit point), then state."""
+    """Phase 2: intents segment (the readers' commit point), then state.
+    Each fragment row carries the committing index VERSION — the staleness
+    rank ``sync_ann_index``'s supersede entries compare against."""
     if intents:
         seg = os.path.join(
             index_dir, f"intents-v{state['version']:06d}-{uuid.uuid4().hex[:8]}.parquet")
         tbl = _intents([(int(i["list_id"]), i["path"], int(i["rg"]), int(i["rows"]))
                         for i in intents])
+        tbl = tbl.append_column(
+            "ver", pa.array(np.full(tbl.num_rows, state["version"], dtype=np.int32)))
         pq.write_table(tbl, seg + ".tmp")
         os.rename(seg + ".tmp", seg)
     tmp = os.path.join(index_dir, _STATE + ".tmp")
@@ -235,7 +239,9 @@ def query_ann_index(
                           "score": pa.array([], pa.float64()),
                           "rank": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
-    ref = ray.put({"q_ids": q_ids, "q_unit": q_unit, "probing": probing})
+    dead = load_dead(index_dir)
+    ref = ray.put({"q_ids": q_ids, "q_unit": q_unit, "probing": probing,
+                   "dead": dead})
 
     def score_fragments(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
@@ -249,6 +255,17 @@ def query_ann_index(
                 os.path.join(index_dir, t["path"][row].as_py())
             ).read_row_group(int(t["rg"][row].as_py()))
             ids = frag[key_col].to_numpy(zero_copy_only=False)
+            if s["dead"]:
+                # staleness mask: a superseded/deleted key is live only in
+                # fragments committed at ver >= its min_live_ver
+                frag_ver = int(t["ver"][row].as_py())
+                mlv = pd.Series(ids).map(s["dead"]).to_numpy()
+                keep = np.flatnonzero(np.isnan(mlv) | (frag_ver >= mlv))
+                if len(keep) == 0:
+                    continue
+                if len(keep) < len(ids):
+                    ids = ids[keep]
+                    frag = frag.take(pa.array(keep))
             unit = _unit(_to_matrix(frag[emb_col]))
             sims = unit @ s["q_unit"][q_rows].T  # |list| × |probing queries|
             for j, qi in enumerate(q_rows):
@@ -282,3 +299,128 @@ def query_ann_index(
         score_fragments, batch_format="pyarrow", zero_copy_batch=True,
     )
     return _finalize_topk(cand, key_col, k, len(q_ids))
+
+
+# --------------------------------------------------------------------------
+# lake sync: keep the index current off the CDC changes feed
+# --------------------------------------------------------------------------
+
+def load_dead(index_dir: str) -> dict:
+    """The supersede map: key → min_live_ver (float; +inf = deleted until
+    rebuild). Entries land one file per sync; later syncs override earlier
+    ones for the same key (files sort by committing version). Size is
+    O(keys churned since the last rebuild) — ``rebuild`` compacts it away
+    with the fragment pile."""
+    segs = sorted(glob.glob(os.path.join(index_dir, "dead-v*.parquet")))
+    dead: dict = {}
+    for s in segs:
+        t = pq.read_table(s)
+        dead.update(zip(t["key"].to_pylist(),
+                        t["min_live_ver"].to_numpy(zero_copy_only=False)))
+    return dead
+
+
+def sync_ann_index(
+    eng,
+    index_dir: str,
+    emb_col: str = "embedding",
+    key_col: str = "doc_id",
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+) -> dict[str, Any]:
+    """Keep a persisted IVF index current against a CDC lake (`eng` is a
+    ``cdc.engine.CDCEngine``) using its incremental ``changes()`` feed —
+    the repeated-query serving shape: build once, then each sync costs
+    O(change set), never a corpus re-scan.
+
+    First call builds from ``eng.scan()`` (rows with a null ``emb_col``
+    are skipped) and records the lake manifest version. Later calls read
+    ``changes(since, collapsed=True)``: upserted vectors APPEND as new
+    run fragments (LSM — the old vector rows stay on disk), and every
+    changed key gets a SUPERSEDE entry ``(key, min_live_ver)`` — ``V``
+    (the appending index version) for upserts, ``+inf`` for deletes — so
+    ``query_ann_index`` masks the stale rows. If the feed has been folded
+    by compaction/vacuum (the engine's full-resync contract), the index
+    is REBUILT from a fresh scan.
+
+    Crash windows heal on re-sync: the lake version is committed LAST, so
+    an interrupted sync reprocesses the same change set — re-appended
+    vectors land at a higher version and the rewritten supersede entries
+    mask the half-committed attempt's rows (same idempotence argument as
+    the engine's content-addressed staging). Between an append and its
+    supersede write, stale neighbors are transiently visible — acceptable
+    for a derived, approximate structure.
+
+    Rebuild (``rm -rf index_dir`` + sync, or a compaction-triggered
+    resync) is the compaction story for both the fragment pile and the
+    supersede map."""
+    import hashlib as _hashlib
+
+    state_path = os.path.join(index_dir, _STATE)
+
+    def _full_build() -> dict[str, Any]:
+        import shutil
+
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        live = eng.scan(columns=[key_col, emb_col]).map_batches(
+            lambda t: t.filter(pa.compute.is_valid(t[emb_col])),
+            batch_format="pyarrow", zero_copy_batch=True)
+        out = build_ann_index(live, index_dir, n_centroids=n_centroids,
+                              emb_col=emb_col, key_col=key_col,
+                              sample_size=sample_size)
+        st, _ = _load_state(index_dir)
+        st["lake_version"] = int(eng.manifest.version)
+        _commit_intents(index_dir, [], st)
+        out["mode"] = "build"
+        out["lake_version"] = st["lake_version"]
+        return out
+
+    if not os.path.exists(state_path):
+        return _full_build()
+
+    state, _ = _load_state(index_dir)
+    since = int(state.get("lake_version", -1))
+    cur = int(eng.manifest.version)
+    if since == cur:
+        return {"mode": "noop", "lake_version": cur, "n_appended": 0}
+    try:
+        ch = eng.changes(since, collapsed=True)
+    except RuntimeError:  # feed folded by compaction / manifest vacuumed
+        return _full_build()
+
+    ups = ch.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(pa.compute.not_equal(t["op"], pa.scalar("D")),
+                            pa.compute.is_valid(t[emb_col]))
+        ).select([key_col, emb_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    app = append_ann_index(ups, index_dir)
+    v_new = int(app["version"])
+
+    def write_dead(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        keys = t[key_col].to_pylist()
+        is_del = pa.compute.equal(t["op"], pa.scalar("D")).to_numpy(
+            zero_copy_only=False)
+        mlv = np.where(is_del, np.inf, float(v_new))
+        out = pa.table({"key": pa.array(keys),
+                        "min_live_ver": pa.array(mlv, pa.float64())})
+        name = _hashlib.sha1(
+            "\x00".join(sorted(map(str, keys))).encode()).hexdigest()[:16]
+        final = os.path.join(index_dir, f"dead-v{v_new:06d}-{name}.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.rename(tmp, final)
+        return pa.table({"path": pa.array([final], pa.string())})
+
+    n_dead = ch.select_columns([key_col, "op"]).map_batches(
+        write_dead, batch_format="pyarrow", batch_size=None).count()
+
+    state, _ = _load_state(index_dir)  # re-read: append bumped version
+    state["lake_version"] = cur
+    _commit_intents(index_dir, [], state)
+    return {"mode": "incremental", "lake_version": cur,
+            "n_appended": int(app["n_rows_appended"]),
+            "version": v_new, "dead_shards": int(n_dead)}
