@@ -847,10 +847,14 @@ def q_cdc_rollups(sf_dir: str):
 
 
 def q_tar_pipeline(sf_dir: str):
-    """Tar source E2E (the reference's primary input, tar.go:50-55): build
-    a tarball from `documents` (one .txt + one .cls member per doc), read
-    it back through the tar stage, group members by key, emit per-doc
-    byte-length + lang. The original table is the oracle."""
+    """Archive front doors E2E. 'greedy'/'seek' = the reference's primary
+    input (tar.go:50-55): build a tarball from `documents` (one .txt + one
+    .cls member per doc), read it back through both tar reader tiers,
+    group members by key, emit per-doc byte-length + lang. 'warc' = the
+    same documents as an ISO 28500 crawl drop (`sources/warc.py`,
+    per-record gzip members): one response record per doc, lang riding
+    the Content-Type header, HTTP envelope stripped on read. The original
+    table is the oracle for all three legs."""
     import tarfile as _tarfile
 
     tar_path = f"/tmp/graft_tar/sf{walmod.sf_from_dir(sf_dir):g}.tar"
@@ -893,7 +897,36 @@ def q_tar_pipeline(sf_dir: str):
     seek = DefaultPipeline().from_tar(
         tar_path, members=["txt", "cls"], streaming=True).collect().do().map_batches(
         finish("seek"), batch_format="pyarrow")
-    return greedy.union(seek)
+
+    # 'warc' leg: the crawl drop format through sources/warc.py
+    from ..sources import warc as warcmod
+
+    warc_path = f"/tmp/graft_warc/sf{walmod.sf_from_dir(sf_dir):g}.warc.gz"
+    os.makedirs(os.path.dirname(warc_path), exist_ok=True)
+    if not os.path.exists(warc_path):
+        docs = pd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text", "lang"])
+        tmp = warc_path + f".tmp-{os.getpid()}"
+        warcmod.write_warc(tmp, (
+            {"warc_type": "response", "uri": f"https://docs/{r.doc_id}",
+             "content_type": f"text/plain; lang={r.lang}",
+             "payload": b"HTTP/1.1 200 OK\r\n\r\n" + r.text.encode()}
+            for r in docs.itertuples()))
+        os.rename(tmp, warc_path)
+
+    def finish_warc(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[-1]) for u in t["uri"].to_pylist()]
+        langs = [ct.rsplit("lang=", 1)[-1] for ct in t["content_type"].to_pylist()]
+        return pa.table({
+            "kind": pa.array(["warc"] * len(t), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+        })
+
+    wleg = warcmod.read_warc(warc_path).map_batches(
+        finish_warc, batch_format="pyarrow")
+    return greedy.union(seek).union(wleg)
 
 
 def q_tfrecord_roundtrip(sf_dir: str):
@@ -1749,6 +1782,9 @@ ORACLE_SQL = {
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang FROM documents "
         "UNION ALL "
         "SELECT 'seek' AS kind, doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang FROM documents "
+        "UNION ALL "
+        "SELECT 'warc' AS kind, doc_id, "
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, lang FROM documents"
     ),
     "tfrecord_roundtrip": (
