@@ -51,7 +51,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..sources.wal import LAKE_COLUMNS, WAL_SCHEMA, list_segments
+from ..sources.wal import (LAKE_COLUMNS, WAL_SCHEMA, first_open_epoch,
+                           list_segments)
 from ..stages.schema import SchemaPolicy
 from ..state import manifest as mf
 from .collapse import collapse_latest, hash_partition, merge_on_read
@@ -675,9 +676,16 @@ class CDCEngine:
         epoch."""
         out: list[dict[str, Any]] = []
         wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
+        barrier = first_open_epoch(wal_dir)
         for e, paths in list_segments(wal_dir):
             if e <= wal_hwm:
                 out.append({"epoch": e, "skipped": True})
+                continue
+            if barrier is not None and e > barrier:
+                # ordering barrier (see tail()): a smaller id is still open;
+                # applying past it would silently drop that drop when it
+                # seals. Re-run apply_wal/tail once it is sealed/vacuumed.
+                out.append({"epoch": e, "deferred": True})
                 continue
             if e <= self.manifest.committed_epoch:
                 # unapplied segment below committed_epoch: synthesized
@@ -950,9 +958,16 @@ class CDCEngine:
         wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
         while True:
             progressed = False
+            barrier = first_open_epoch(wal_dir)
             for e, paths in list_segments(wal_dir):
                 if e <= wal_hwm:
                     continue
+                if barrier is not None and e > barrier:
+                    # ordering barrier: a SMALLER id is still open (a slower
+                    # concurrent producer). Applying this one would raise
+                    # wal_hwm and the replay watermarks past the open
+                    # segment, silently dropping it when it seals — wait.
+                    break
                 r = self.apply_epoch(self.manifest.committed_epoch + 1,
                                      paths, stats_extra={"wal_hwm": e})
                 wal_hwm = e

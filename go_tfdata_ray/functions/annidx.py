@@ -150,12 +150,13 @@ def build_ann_index(
     if os.path.exists(os.path.join(index_dir, _STATE)):
         raise FileExistsError(f"ANN index already exists at {index_dir}")
     os.makedirs(index_dir, exist_ok=True)
-    sample = _to_matrix(
-        pa.concat_tables(
-            [b for b in ds.limit(sample_size).iter_batches(
-                batch_size=sample_size, batch_format="pyarrow")]
-        )[emb_col]
-    )
+    batches = [b for b in ds.limit(sample_size).iter_batches(
+        batch_size=sample_size, batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        raise ValueError(
+            "cannot build an ANN index over an empty corpus (no rows with "
+            f"a non-null {emb_col!r})")
+    sample = _to_matrix(pa.concat_tables(batches)[emb_col])
     cent = _train_centroids(sample, n_centroids, seed=seed)
     np.save(os.path.join(index_dir, _CENTROIDS + ".tmp.npy"), cent)
     os.rename(os.path.join(index_dir, _CENTROIDS + ".tmp.npy"),
@@ -200,12 +201,11 @@ def append_ann_index(ds: rd.Dataset, index_dir: str) -> dict[str, Any]:
 
 
 def plan_probe(index_dir: str, queries: pd.DataFrame, n_probe: int = 8,
-               key_col: str | None = None) -> tuple[pa.Table, dict[int, np.ndarray]]:
+               ) -> tuple[pa.Table, dict[int, np.ndarray]]:
     """Query planning, exposed for tests/metrics: the fragment rows a
     query set would READ (subset of the manifest — the partial-probe
     I/O bound) and the list_id → probing-query-indices map."""
     state, cent = _load_state(index_dir)
-    kc = key_col or state["key_col"]
     q_unit = _unit(np.stack(queries[state["emb_col"]].to_numpy()).astype(np.float64))
     n_probe = min(n_probe, len(cent))
     q_probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]
@@ -234,8 +234,13 @@ def query_ann_index(
     q_unit = _unit(np.stack(queries[emb_col].to_numpy()).astype(np.float64))
     frags, probing = plan_probe(index_dir, queries, n_probe)
     if frags.num_rows == 0:
-        empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          key_col: pa.array([], pa.int64()),
+        # key type follows the query ids (string doc_id lakes vs int
+        # vec_id corpora) so the rare empty-probe result unions cleanly
+        # with non-empty ones
+        key_t = (pa.string() if q_ids.dtype == object else
+                 pa.from_numpy_dtype(q_ids.dtype))
+        empty = pa.table({"query_id": pa.array([], key_t),
+                          key_col: pa.array([], key_t),
                           "score": pa.array([], pa.float64()),
                           "rank": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
@@ -246,14 +251,20 @@ def query_ann_index(
     def score_fragments(t: pa.Table) -> pa.Table:
         s = ray.get(ref)
         out_q, out_id, out_s = [], [], []
+        # open each run file ONCE per block: a run holds one row group per
+        # list, so probing k lists of the same run must not re-parse its
+        # footer k times
+        files: dict[str, pq.ParquetFile] = {}
         for row in range(t.num_rows):
             list_id = int(t["list_id"][row].as_py())
             q_rows = s["probing"].get(list_id)
             if q_rows is None or not len(q_rows):
                 continue
-            frag = pq.ParquetFile(
-                os.path.join(index_dir, t["path"][row].as_py())
-            ).read_row_group(int(t["rg"][row].as_py()))
+            path = t["path"][row].as_py()
+            pf = files.get(path)
+            if pf is None:
+                pf = files[path] = pq.ParquetFile(os.path.join(index_dir, path))
+            frag = pf.read_row_group(int(t["rg"][row].as_py()))
             ids = frag[key_col].to_numpy(zero_copy_only=False)
             if s["dead"]:
                 # staleness mask: a superseded/deleted key is live only in
@@ -385,16 +396,26 @@ def sync_ann_index(
     if since == cur:
         return {"mode": "noop", "lake_version": cur, "n_appended": 0}
     try:
-        ch = eng.changes(since, collapsed=True)
+        # materialize: both the vector append and the supersede pass read
+        # the same collapsed change set — one execution of the fragment
+        # reads + per-partition collapse, not two (change sets are small
+        # by the feed's retention contract)
+        ch = eng.changes(since, collapsed=True).materialize()
     except RuntimeError:  # feed folded by compaction / manifest vacuumed
         return _full_build()
 
-    ups = ch.map_batches(
-        lambda t: t.filter(
+    def _upserts(t: pa.Table) -> pa.Table:
+        if emb_col not in t.column_names:
+            # schema-stable EMPTY feed blocks carry only the WAL columns
+            # (engine.changes's no-fragments fallback) — nothing to append
+            return pa.table({key_col: pa.array([], pa.string()),
+                             emb_col: pa.array([], pa.list_(pa.float64()))})
+        return t.filter(
             pa.compute.and_(pa.compute.not_equal(t["op"], pa.scalar("D")),
                             pa.compute.is_valid(t[emb_col]))
-        ).select([key_col, emb_col]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        ).select([key_col, emb_col])
+
+    ups = ch.map_batches(_upserts, batch_format="pyarrow", zero_copy_batch=True)
     app = append_ann_index(ups, index_dir)
     v_new = int(app["version"])
 

@@ -11,7 +11,13 @@ paths with one signature:
 - ``strict=False``: web junk tolerated — one streaming task per file,
   malformed / non-object lines SKIPPED (the per-line ``json.loads``
   loop is inherent string work, same adjudication as the tokenizer's
-  regex loop); batches bounded at ``batch_rows``. Use
+  regex loop); batches bounded at ``batch_rows``. ``columns`` is
+  REQUIRED here (inferring the column set per batch would make the
+  block schema depend on where batch boundaries fall); a column whose
+  values type-drift across lines (``{"id": 1}`` then ``{"id": "x"}``)
+  falls back to strings for that batch, and an all-null batch column
+  types as string — tolerant means every well-formed LINE survives,
+  never that a junk line fails the whole read task. Use
   ``scan_bad_lines`` for the drop-quality report — a separate pass by
   design, so the document stream stays schema-clean.
 """
@@ -63,6 +69,10 @@ def read_jsonl(
             ds = ds.select_columns(columns)
         return ds
 
+    if not columns:
+        raise ValueError(
+            "strict=False requires columns=[...]: per-batch column "
+            "inference would make block schemas depend on batch boundaries")
     cols = columns
 
     def parse(batch: pa.Table):
@@ -109,11 +119,17 @@ def scan_bad_lines(paths: str | list[str]) -> rd.Dataset:
     )
 
 
-def _table(rows: list[dict], cols: list[str] | None) -> pa.Table:
-    if cols is None:
-        seen: dict[str, None] = {}
-        for r in rows:
-            for k in r:
-                seen.setdefault(k)
-        cols = list(seen)
-    return pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+def _table(rows: list[dict], cols: list[str]) -> pa.Table:
+    out: dict[str, pa.Array] = {}
+    for c in cols:
+        vals = [r.get(c) for r in rows]
+        try:
+            arr = pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # type drift across lines (web junk): fall back to strings
+            arr = pa.array([None if v is None else str(v) for v in vals],
+                           pa.string())
+        if pa.types.is_null(arr.type):
+            arr = arr.cast(pa.string())  # stable type for all-null batches
+        out[c] = arr
+    return pa.table(out)

@@ -278,6 +278,29 @@ def seal_segment(seg_dir: str) -> None:
     os.unlink(os.path.join(seg_dir, OPEN_MARKER))
 
 
+def first_open_epoch(wal_dir: str) -> int | None:
+    """Smallest segment id still carrying the ``_OPEN`` marker, or None.
+
+    The consumer's ORDERING BARRIER: with concurrent producers on claimed
+    ids (`cdc/ingest.py:_claim_epoch`), a producer holding a LOWER id may
+    seal after a faster producer seals a higher one. The scalar ``wal_hwm``
+    skip would then never revisit the lower id — and its seqs sit below
+    the replay watermarks the higher epoch already raised — silently
+    dropping the whole drop. Consumers must therefore not apply any sealed
+    segment ABOVE the smallest still-open id; they wait for it to seal (or
+    for the abandoned claim to be vacuumed by the operator)."""
+    if not os.path.isdir(wal_dir):
+        return None
+    lo: int | None = None
+    for name in os.listdir(wal_dir):
+        m = re.fullmatch(r"epoch-(\d+)", name)
+        if m and os.path.exists(os.path.join(wal_dir, name, OPEN_MARKER)):
+            e = int(m.group(1))
+            if lo is None or e < lo:
+                lo = e
+    return lo
+
+
 def list_segments(wal_dir: str) -> list[tuple[int, list[str]]]:
     """(epoch, shard_paths) pairs in epoch order. Accepts both layouts:
     ``epoch-N/`` shard directories and legacy single ``epoch-N.parquet``.

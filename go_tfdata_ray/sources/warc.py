@@ -43,11 +43,26 @@ CONTENT_TYPES = ("response", "resource", "conversion")
 # record-level reader / writer (pure functions of the byte stream)
 # --------------------------------------------------------------------------
 
+def hget(headers: dict[str, str], name: str, default: str = "") -> str:
+    """Case-insensitive header lookup — ISO 28500 §5 field names are
+    case-insensitive, and real crawlers emit non-canonical casing."""
+    v = headers.get(name)
+    if v is not None:
+        return v
+    lo = name.lower()
+    for k, val in headers.items():
+        if k.lower() == lo:
+            return val
+    return default
+
+
 def _read_record(f) -> dict | None:
     """Parse one record at the stream position, or None at EOF.
 
     Tolerates any amount of inter-record CRLF padding before the version
-    line (crawlers differ on trailing-newline counts)."""
+    line (crawlers differ on trailing-newline counts). A record without
+    the mandatory ``Content-Length`` raises at ITS boundary — guessing 0
+    would leave the block in the stream and desync every later record."""
     line = f.readline()
     while line in (_CRLF, b"\n"):
         line = f.readline()
@@ -69,7 +84,12 @@ def _read_record(f) -> dict | None:
         name, _, value = line.decode("utf-8", "replace").partition(":")
         last = name.strip()
         headers[last] = value.strip()
-    n = int(headers.get("Content-Length", "0"))
+    cl = hget(headers, "Content-Length", "")
+    if not cl:
+        raise ValueError(
+            f"WARC record {hget(headers, 'WARC-Record-ID', '?')} missing "
+            "mandatory Content-Length")
+    n = int(cl)
     payload = f.read(n)
     if len(payload) != n:
         raise ValueError("truncated WARC record block")
@@ -164,18 +184,18 @@ def read_warc(
             rows: list[dict] = []
             for rec in iter_warc_records(p):
                 h = rec["headers"]
-                wt = h.get("WARC-Type", "")
+                wt = hget(h, "WARC-Type")
                 if wt not in tset:
                     continue
                 payload = rec["payload"]
                 if http_strip and wt == "response":
                     payload = http_body(payload)
                 rows.append({
-                    "record_id": h.get("WARC-Record-ID", ""),
+                    "record_id": hget(h, "WARC-Record-ID"),
                     "warc_type": wt,
-                    "uri": h.get("WARC-Target-URI", ""),
-                    "date": h.get("WARC-Date", ""),
-                    "content_type": h.get("Content-Type", ""),
+                    "uri": hget(h, "WARC-Target-URI"),
+                    "date": hget(h, "WARC-Date"),
+                    "content_type": hget(h, "Content-Type"),
                     "payload": payload,
                 })
                 if len(rows) >= batch_rows:

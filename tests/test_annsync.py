@@ -154,3 +154,64 @@ def test_sync_interrupted_between_append_and_supersede_heals(tmp_path):
         got[got["doc_id"] == "d003"]["score"].max() < 0.5
     # the duplicate from the interrupted append never surfaces twice
     assert got["doc_id"].duplicated().sum() == 0
+
+
+def test_sync_after_compact_only_change_is_clean(tmp_path):
+    """compact() bumps the manifest version without new change rows; the
+    feed then returns its schema-stable EMPTY blocks (WAL columns only,
+    no embedding) — sync must treat that as zero work, not crash."""
+    wal_dir = str(tmp_path / "wal")
+    idx = str(tmp_path / "annidx")
+    policy = SchemaPolicy(
+        target=DEFAULT_TARGET.append(pa.field("embedding", pa.list_(pa.float64()))))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2, policy=policy)
+    _wal_epoch(wal_dir, 0, [(f"d{i:03d}", "U", _vec(i)) for i in range(12)])
+    eng.apply_wal(wal_dir)
+    annidx.sync_ann_index(eng, idx, emb_col="embedding", key_col="doc_id",
+                          n_centroids=4)
+
+    v_before = eng.manifest.version
+    eng.compact()
+    assert eng.manifest.version > v_before
+    r = annidx.sync_ann_index(eng, idx)
+    assert r["n_appended"] == 0 and r["mode"] in ("incremental", "build")
+
+    q = pd.DataFrame({"doc_id": ["q2"], "embedding": [_vec(2)]})
+    got = annidx.query_ann_index(idx, q, k=2, n_probe=4).to_pandas()
+    assert list(got.sort_values("rank")["doc_id"])[0] == "d002"
+
+
+def test_query_empty_probe_key_type_matches(tmp_path):
+    """Zero probed fragments must still emit the caller's key type (a
+    hand-built empty index: state + centroids, no committed intents)."""
+    import json
+
+    idx = str(tmp_path / "annidx")
+    os.makedirs(idx)
+    np.save(os.path.join(idx, "centroids.npy.tmp.npy"),
+            np.eye(2, DIM)[:2])
+    os.rename(os.path.join(idx, "centroids.npy.tmp.npy"),
+              os.path.join(idx, "centroids.npy"))
+    with open(os.path.join(idx, "state.json"), "w") as f:
+        json.dump({"version": 1, "dim": DIM, "n_centroids": 2,
+                   "emb_col": "embedding", "key_col": "doc_id",
+                   "n_rows": 0, "seed": 0}, f)
+
+    q = pd.DataFrame({"doc_id": ["qx"], "embedding": [_vec(1)]})
+    out = annidx.query_ann_index(idx, q, k=2, n_probe=2)
+    assert out.count() == 0
+    sch = dict(zip(out.schema().names, map(str, out.schema().types)))
+    # key/query types match the caller's string keys, so rare empty-probe
+    # results union cleanly with non-empty ones
+    assert sch["doc_id"] == "string" and sch["query_id"] == "string"
+
+    # an empty corpus is a clear error at build time, not a concat crash
+    import pytest as _pytest
+    import ray.data as _rd
+    import pyarrow as _pa
+    empty = _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([], _pa.string()),
+        "embedding": _pa.array([], _pa.list_(_pa.float64()))}))
+    with _pytest.raises(ValueError, match="empty corpus"):
+        annidx.build_ann_index(empty, str(tmp_path / "idx2"), n_centroids=2,
+                               emb_col="embedding", key_col="doc_id")

@@ -284,3 +284,79 @@ def test_cli_ingest_and_takedown(tmp_path):
     # mutually exclusive flags rejected
     assert main(["ingest", "--wal", wal_dir]) == 2
     assert main(["takedown", "--wal", wal_dir]) == 2
+
+
+def test_warc_case_insensitive_headers_and_missing_length(tmp_path):
+    """ISO 28500 field names are case-insensitive; a record without the
+    mandatory Content-Length fails at ITS boundary, not by desyncing."""
+    p = str(tmp_path / "odd.warc")
+    with open(p, "wb") as f:
+        f.write(b"WARC/1.0\r\n"
+                b"warc-type: response\r\n"
+                b"WARC-TARGET-URI: https://x/1\r\n"
+                b"content-length: 4\r\n"
+                b"\r\nbody\r\n\r\n")
+    got = list(warcmod.iter_warc_records(p))
+    assert len(got) == 1 and got[0]["payload"] == b"body"
+    t = warcmod.read_warc(p, http_strip=False).to_pandas()
+    assert len(t) == 1 and t.iloc[0]["uri"] == "https://x/1"
+
+    bad = str(tmp_path / "bad.warc")
+    with open(bad, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n\r\npayload\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(warcmod.iter_warc_records(bad))
+
+
+def test_jsonl_tolerant_type_drift_and_required_columns(tmp_path):
+    p = str(tmp_path / "drift.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": 1, "text": "a"}) + "\n")
+        f.write(json.dumps({"id": "abc", "text": None}) + "\n")
+        f.write(json.dumps({"text": "c"}) + "\n")
+    t = jsonlmod.read_jsonl(p, columns=["id", "text", "missing"],
+                            strict=False).to_pandas()
+    assert len(t) == 3
+    assert list(t["id"]) == ["1", "abc", None]  # drift → strings, not a crash
+    assert t["missing"].isna().all()
+    with pytest.raises(ValueError, match="columns"):
+        jsonlmod.read_jsonl(p, strict=False)
+
+
+def test_tail_defers_sealed_segment_behind_open_claim(tmp_path):
+    """Concurrent producers: B (epoch 1) seals before A (epoch 0). tail
+    must NOT apply 1 past A's open claim — that would raise wal_hwm and
+    the replay watermarks over epoch 0, silently dropping A's drop."""
+    wal_dir = str(tmp_path / "wal")
+    docs_a = rd.from_arrow(pa.table({
+        "uri": pa.array(["https://a/1", "https://a/2"], pa.string()),
+        "text": pa.array(["alpha one", "alpha two"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"] * 2, pa.string()),
+    }))
+    docs_b = rd.from_arrow(pa.table({
+        "uri": pa.array(["https://b/1"], pa.string()),
+        "text": pa.array(["bravo one"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"], pa.string()),
+    }))
+
+    # A claims 0 but is slow: claim only, no shards yet
+    e_a, seg_a = ingest._claim_epoch(wal_dir)
+    assert e_a == 0
+    # B claims 1 and finishes first
+    rb = ingest.stage_drop(docs_b, wal_dir)
+    assert rb["epoch"] == 1
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan_table(columns=["doc_id"]).num_rows == 0  # deferred
+
+    r = eng.apply_wal(wal_dir)  # one-shot path defers too
+    assert any(x.get("deferred") for x in r)
+
+    # A finishes: stage into the claimed epoch, seal — both drops apply IN ID ORDER
+    ra = ingest.stage_drop(docs_a, wal_dir, epoch=e_a)
+    assert ra["epoch"] == 0
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan_table(columns=["doc_id"])
+    assert got.num_rows == 3  # nothing lost
