@@ -25,6 +25,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import os
 from typing import Iterable, Iterator
 
 import pyarrow as pa
@@ -218,3 +219,49 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
         "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
         "payload": pa.array([r["payload"] for r in rows], pa.large_binary()),
     })
+
+
+def write_warc_dataset(
+    ds: rd.Dataset,
+    out_dir: str,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    date_col: str | None = "date",
+    gzip_shards: bool = True,
+) -> int:
+    """Distributed WARC sink: export a document Dataset as one
+    ``.warc(.gz)`` shard per block (resource records, per-record gzip
+    members) — the corpus-sharing counterpart of ``read_warc``. Shard
+    names are content-addressed (sha1 of the block's URIs), so a retried
+    task overwrites its own file with the same bytes: re-runnable, and a
+    partial failure leaves only complete shards. Returns the row count.
+    """
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_shards else ".warc"
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"rows": pa.array([], pa.int64())})
+        uris = t[uri_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        dates = (t[date_col].to_pylist()
+                 if date_col and date_col in t.column_names else [None] * len(t))
+        name = hashlib.sha1("\x00".join(map(str, uris)).encode()).hexdigest()[:20]
+        final = os.path.join(out_dir, f"part-{name}{ext}")
+        # write_warc keys the per-record-gzip layout on the path suffix, so
+        # the temp name must keep it
+        tmp = final + f".tmp-{os.getpid()}" + (".gz" if gzip_shards else "")
+        n = write_warc(tmp, (
+            {"warc_type": "resource", "uri": u,
+             **({"date": d} if d else {}),
+             "content_type": "text/plain; charset=utf-8",
+             "payload": (s or "").encode()}
+            for u, s, d in zip(uris, texts, dates)))
+        os.rename(tmp, final)
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    intents = ds.map_batches(write_shard, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True).take_all()
+    return sum(int(r["rows"]) for r in intents)
