@@ -118,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="WARC drop file(s) (.warc / .warc.gz)")
     s.add_argument("--jsonl", nargs="+", default=None,
                    help="JSONL drop file(s) (.jsonl / .jsonl.gz)")
+    s.add_argument("--tar", nargs="+", default=None,
+                   help="tar drop file(s) (.tar / .tar.gz; member stem = "
+                        "URI, .txt member = text)")
     s.add_argument("--uri-col", default="uri")
     s.add_argument("--text-col", default="text")
     s.add_argument("--date-col", default="date")
@@ -157,8 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "ingest":
-        if (a.warc is None) == (a.jsonl is None):
-            print(json.dumps({"error": "exactly one of --warc / --jsonl"}))
+        if sum(x is not None for x in (a.warc, a.jsonl, a.tar)) != 1:
+            print(json.dumps({"error": "exactly one of --warc / --jsonl / --tar"}))
             return 2
         _ray_up()
         import pyarrow as pa
@@ -175,6 +178,21 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = warcmod.read_warc(a.warc).map_batches(
                 add_text, batch_format="pyarrow")
+        elif a.tar:
+            from ..sources import tar as tarmod
+
+            def tar_docs(t: pa.Table) -> pa.Table:
+                keep = pa.compute.equal(t["member"], pa.scalar("txt"))
+                t = t.filter(keep)
+                texts = [bytes(p).decode("utf-8", "replace")
+                         for p in t["data"].to_pylist()]
+                return pa.table({
+                    a.uri_col: pa.compute.cast(t[tarmod.KEY_COLUMN], pa.string()),
+                    a.text_col: pa.array(texts, pa.string()),
+                })
+
+            docs = tarmod.read_tar_samples_streaming(a.tar).map_batches(
+                tar_docs, batch_format="pyarrow")
         else:
             from ..sources import jsonl as jsonlmod
 

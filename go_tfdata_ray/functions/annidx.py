@@ -445,3 +445,25 @@ def sync_ann_index(
     return {"mode": "incremental", "lake_version": cur,
             "n_appended": int(app["n_rows_appended"]),
             "version": v_new, "dead_shards": int(n_dead)}
+
+
+def maybe_rebuild(eng, index_dir: str, max_fragments: int = 4096,
+                  max_dead: int = 100_000) -> dict[str, Any]:
+    """The index's compaction policy (callers run it after ``sync``):
+    rebuild from a fresh lake scan once the LSM fragment pile or the
+    supersede map grows past taste — both are O(churn since last rebuild)
+    and a rebuild resets them to O(corpus / n_centroids) and {} while
+    retraining the quantizer on current data. No-op otherwise."""
+    frags = fragment_count(index_dir)
+    dead = len(load_dead(index_dir))
+    if frags <= max_fragments and dead <= max_dead:
+        return {"mode": "noop", "fragments": frags, "dead": dead}
+    import shutil
+
+    state, _ = _load_state(index_dir)
+    shutil.rmtree(index_dir)
+    out = sync_ann_index(eng, index_dir, emb_col=state["emb_col"],
+                         key_col=state["key_col"],
+                         n_centroids=state["n_centroids"])
+    out.update({"fragments_before": frags, "dead_before": dead})
+    return out

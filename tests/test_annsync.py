@@ -215,3 +215,53 @@ def test_query_empty_probe_key_type_matches(tmp_path):
     with _pytest.raises(ValueError, match="empty corpus"):
         annidx.build_ann_index(empty, str(tmp_path / "idx2"), n_centroids=2,
                                emb_col="embedding", key_col="doc_id")
+
+
+def test_maybe_rebuild_policy(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    idx = str(tmp_path / "annidx")
+    policy = SchemaPolicy(
+        target=DEFAULT_TARGET.append(pa.field("embedding", pa.list_(pa.float64()))))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2, policy=policy)
+    _wal_epoch(wal_dir, 0, [(f"d{i:03d}", "U", _vec(i)) for i in range(20)])
+    eng.apply_wal(wal_dir)
+    annidx.sync_ann_index(eng, idx, emb_col="embedding", key_col="doc_id",
+                          n_centroids=4)
+    # churn to grow the dead map
+    _wal_epoch(wal_dir, 1, [(f"d{i:03d}", "U", _vec(i, flip=True))
+                            for i in range(10)])
+    eng.apply_wal(wal_dir)
+    annidx.sync_ann_index(eng, idx)
+    assert len(annidx.load_dead(idx)) == 10
+
+    assert annidx.maybe_rebuild(eng, idx)["mode"] == "noop"  # under thresholds
+    r = annidx.maybe_rebuild(eng, idx, max_dead=5)           # over → rebuild
+    assert r["mode"] == "build" and r["dead_before"] == 10
+    assert annidx.load_dead(idx) == {}
+    q = pd.DataFrame({"doc_id": ["q15"], "embedding": [_vec(15)]})
+    got = annidx.query_ann_index(idx, q, k=1, n_probe=4).to_pandas()
+    assert got.iloc[0]["doc_id"] == "d015"
+
+
+def test_cli_ingest_tar(tmp_path):
+    """--tar drop path: member stem = URI, .txt member = text."""
+    import io
+    import tarfile
+
+    from go_tfdata_ray.cdc.cli import main
+    from go_tfdata_ray.cdc.engine import CDCEngine
+
+    drop = str(tmp_path / "drop.tar")
+    with tarfile.open(drop, "w") as tf:
+        for i in range(6):
+            body = f"tar doc {i}".encode()
+            info = tarfile.TarInfo(name=f"site/page-{i}.txt")
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    wal_dir = str(tmp_path / "wal")
+    assert main(["ingest", "--wal", wal_dir, "--tar", drop]) == 0
+    lake = str(tmp_path / "lake")
+    assert main(["tail", "--wal", wal_dir, "--lake", lake, "--partitions", "2",
+                 "--poll", "0.01", "--idle-limit", "1"]) == 0
+    eng = CDCEngine(lake)
+    assert eng.scan_table(columns=["doc_id"]).num_rows == 6
