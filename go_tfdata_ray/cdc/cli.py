@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--uris", default=None, help="comma-separated URIs")
     s.add_argument("--uris-file", default=None, help="one URI per line")
 
+    s = sub.add_parser("wal-vacuum")
+    s.add_argument("--wal", required=True)
+    s.add_argument("--age-secs", type=float, default=3600.0,
+                   help="remove ABANDONED producer claims (open segments "
+                        "whose _OPEN marker is older than this) — the "
+                        "unblock for the consumers' ordering barrier")
+
     s = sub.add_parser("status")
     s.add_argument("--lake", required=True)
 
@@ -203,6 +210,13 @@ def main(argv: list[str] | None = None) -> int:
                              text_col=a.text_col, date_col=a.date_col,
                              source=a.source, vocab=a.vocab)
         print(json.dumps(out))
+        return 0
+
+    if a.cmd == "wal-vacuum":
+        from . import ingest as ing
+
+        gone = ing.vacuum_stale_claims(a.wal, max_age_secs=a.age_secs)
+        print(json.dumps({"vacuumed_epochs": gone}))
         return 0
 
     if a.cmd == "takedown":

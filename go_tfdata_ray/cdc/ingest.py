@@ -259,3 +259,39 @@ def stage_tombstones(
     walmod.seal_segment(seg_dir)
     return {"epoch": e, "rows": sum(by_path.values()),
             "shards": len(by_path), "seg_dir": seg_dir}
+
+
+def vacuum_stale_claims(wal_dir: str, max_age_secs: float = 3600.0) -> list[int]:
+    """Remove ABANDONED producer claims: open (unsealed) segment dirs whose
+    ``_OPEN`` marker hasn't been touched for ``max_age_secs``.
+
+    The consumers' ordering barrier (`sources/wal.py:first_open_epoch`)
+    defers every sealed segment above the smallest open id, so a crashed
+    producer's claim eventually blocks the whole feed — this is the
+    operator's unblock. Deleting an unsealed segment is always safe: the
+    seal is the completeness barrier, so nothing unsealed was ever visible
+    to a consumer, and the producer's re-run re-stages the entire drop
+    under a fresh claim. A LIVE slow producer should touch its marker (or
+    the operator should size ``max_age_secs`` above the slowest drop).
+    Returns the vacuumed epoch ids."""
+    import re
+    import shutil
+    import time
+
+    if not os.path.isdir(wal_dir):
+        return []
+    now = time.time()
+    gone: list[int] = []
+    for name in sorted(os.listdir(wal_dir)):
+        m = re.fullmatch(r"epoch-(\d+)", name)
+        if not m:
+            continue
+        marker = os.path.join(wal_dir, name, walmod.OPEN_MARKER)
+        try:
+            age = now - os.path.getmtime(marker)
+        except OSError:
+            continue  # sealed (no marker) or racing seal
+        if age >= max_age_secs:
+            shutil.rmtree(os.path.join(wal_dir, name), ignore_errors=True)
+            gone.append(int(m.group(1)))
+    return gone

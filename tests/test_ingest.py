@@ -384,3 +384,46 @@ def test_write_warc_dataset_roundtrip(tmp_path):
     # content-addressed: re-export over the same dir is byte-idempotent
     n2 = warcmod.write_warc_dataset(rd.from_pandas(df).repartition(4), out)
     assert n2 == 40 and sorted(os.listdir(out)) == [os.path.basename(s) for s in shards]
+
+
+def test_vacuum_stale_claims_unblocks_feed(tmp_path):
+    """An abandoned claim blocks the ordering barrier; wal-vacuum removes
+    it (never a sealed segment, never a fresh claim) and tail proceeds."""
+    import time
+
+    from go_tfdata_ray.cdc.cli import main
+
+    wal_dir = str(tmp_path / "wal")
+    # abandoned claim at 0 (backdated), live claim at 1, sealed drop at 2
+    _, seg0 = ingest._claim_epoch(wal_dir)
+    old = time.time() - 7200
+    os.utime(os.path.join(seg0, "_OPEN"), (old, old))
+    ingest._claim_epoch(wal_dir)  # epoch 1, fresh
+    docs = rd.from_arrow(pa.table({
+        "uri": pa.array(["https://v/1"], pa.string()),
+        "text": pa.array(["vacuum test"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"], pa.string())}))
+    r = ingest.stage_drop(docs, wal_dir)
+    assert r["epoch"] == 2
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan_table(columns=["doc_id"]).num_rows == 0  # blocked at 0
+
+    gone = ingest.vacuum_stale_claims(wal_dir, max_age_secs=3600)
+    assert gone == [0]  # the fresh claim at 1 survives
+
+    # still blocked by the LIVE claim at 1 — seal it empty... a claim with
+    # no shards can simply be vacuumed by its own producer; here the
+    # producer finishes instead
+    ingest.stage_drop(rd.from_arrow(pa.table({
+        "uri": pa.array(["https://v/2"], pa.string()),
+        "text": pa.array(["second"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"], pa.string())})),
+        wal_dir, epoch=1)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan_table(columns=["doc_id"]).num_rows == 2
+
+    # CLI surface
+    assert main(["wal-vacuum", "--wal", wal_dir, "--age-secs", "3600"]) == 0
