@@ -251,14 +251,14 @@ def run_scaling() -> dict:
         return round((out[lo]["value"] / out[hi]["value"]) / (hi / lo), 3)
 
     # Two N→4N pairs are measured; the headline takes the better one
-    # (labeled in "pair", both reported). Rationale: each pair can
-    # independently catch this box's multi-x kernel-side noise in its SLOW
-    # leg (history: 2→8 spans 0.58–0.94 with the 2- and 32-cpu legs stable
-    # at their settled figures), and a single-box artifact can depress
-    # either pair (see BASELINE.md's co-location notes) — but there is no
-    # mechanism that INFLATES one: the engine has no all-to-all in the
-    # apply path, so a clean measurement is the honest ceiling.
-    pairs = {"2->8": eff(2, 8), "8->32": eff(8, 32)}
+    # (labeled in "pair", both reported, capped at 1.0). Noise can cut
+    # both ways: a noisy FAST(4N) leg depresses a pair, a noisy SLOW(N)
+    # leg INFLATES it — the cap bounds the inflation at linear, and the
+    # per-leg absolute events/s stay in the JSON so an inflated pair is
+    # auditable against the settled per-leg records in BASELINE.md
+    # (history: the noise mode hits exactly one leg while the others sit
+    # at their settled figures).
+    pairs = {"2->8": min(eff(2, 8), 1.0), "8->32": min(eff(8, 32), 1.0)}
     best = max(pairs, key=pairs.get)
     return {
         "metric": "cdc_replay_scaling",
@@ -268,7 +268,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": pairs[best],
         "scaling_efficiency_2_8": pairs["2->8"],
         "scaling_efficiency_8_32": pairs["8->32"],
-        "pair": f"{best} cpus (best N->4N pair; both reported)",
+        "pair": f"{best} cpus (best N->4N pair; both reported, capped at 1.0)",
     }
 
 

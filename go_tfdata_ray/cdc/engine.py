@@ -51,8 +51,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..sources.wal import (LAKE_COLUMNS, WAL_SCHEMA, first_open_epoch,
-                           list_segments)
+from ..sources.wal import LAKE_COLUMNS, WAL_SCHEMA, segments_with_barrier
 from ..stages.schema import SchemaPolicy
 from ..state import manifest as mf
 from .collapse import collapse_latest, hash_partition, merge_on_read
@@ -676,8 +675,11 @@ class CDCEngine:
         epoch."""
         out: list[dict[str, Any]] = []
         wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
-        barrier = first_open_epoch(wal_dir)
-        for e, paths in list_segments(wal_dir):
+        # one directory snapshot for both the list and the barrier — see
+        # sources/wal.py:segments_with_barrier for why a separate earlier
+        # barrier pass is racy
+        segs, barrier = segments_with_barrier(wal_dir)
+        for e, paths in segs:
             if e <= wal_hwm:
                 out.append({"epoch": e, "skipped": True})
                 continue
@@ -958,8 +960,9 @@ class CDCEngine:
         wal_hwm = int(self.manifest.stats.get("wal_hwm", -1))
         while True:
             progressed = False
-            barrier = first_open_epoch(wal_dir)
-            for e, paths in list_segments(wal_dir):
+            # one snapshot for list + barrier (segments_with_barrier doc)
+            segs, barrier = segments_with_barrier(wal_dir)
+            for e, paths in segs:
                 if e <= wal_hwm:
                     continue
                 if barrier is not None and e > barrier:

@@ -63,14 +63,17 @@ def doc_id_for_uri(uris) -> pa.Array:
 
 
 def _next_epoch(wal_dir: str) -> int:
-    """Highest existing segment id (sealed OR open OR legacy file) + 1."""
+    """Highest existing segment id (sealed, open, legacy file, OR a
+    vacuum tombstone — a reaped id must never be reused: the reaped
+    producer's late shard renames would land in the new claimant's
+    segment) + 1."""
     import re
 
     if not os.path.isdir(wal_dir):
         return 0
     mx = -1
     for name in os.listdir(wal_dir):
-        m = re.fullmatch(r"epoch-(\d+)(?:\.parquet)?", name)
+        m = re.fullmatch(r"epoch-(\d+)(?:\.parquet|\.vacuumed)?", name)
         if m:
             mx = max(mx, int(m.group(1)))
     return mx + 1
@@ -174,6 +177,12 @@ def _write_shard(staged: pa.Table, seg_dir: str, prefix: str) -> dict:
     tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(staged, tmp, row_group_size=8192, compression="lz4")
     os.rename(tmp, final)
+    # liveness heartbeat: a long-running stage keeps its claim fresh so
+    # vacuum_stale_claims never reaps a producer that is actually making
+    # progress (the marker's mtime IS the staleness signal). A vacuumed
+    # claim makes this utime — and the rename above — fail loudly instead
+    # of silently staging into a reused id.
+    os.utime(os.path.join(seg_dir, walmod.OPEN_MARKER), None)
     return {"path": pa.array([final], pa.string()),
             "rows": pa.array([len(staged)], pa.int64())}
 
@@ -271,9 +280,16 @@ def vacuum_stale_claims(wal_dir: str, max_age_secs: float = 3600.0) -> list[int]
     operator's unblock. Deleting an unsealed segment is always safe: the
     seal is the completeness barrier, so nothing unsealed was ever visible
     to a consumer, and the producer's re-run re-stages the entire drop
-    under a fresh claim. A LIVE slow producer should touch its marker (or
-    the operator should size ``max_age_secs`` above the slowest drop).
-    Returns the vacuumed epoch ids."""
+    under a fresh claim. A LIVE producer stays safe two ways: its shard
+    writes TOUCH the marker (`_write_shard`), so only claims with no
+    recent progress age out; and the reap is an atomic RENAME to a
+    tombstone first — a concurrent ``seal_segment`` either lands before
+    the rename (the marker vanishes and the re-check below restores the
+    dir untouched) or fails loudly with ENOENT (the producer retries
+    under a fresh claim) — a sealed segment can never be deleted, and a
+    reaped producer can never silently "succeed". The tombstone file
+    (``epoch-N.vacuumed``) pins the id against reuse. Returns the
+    vacuumed epoch ids."""
     import re
     import shutil
     import time
@@ -286,12 +302,27 @@ def vacuum_stale_claims(wal_dir: str, max_age_secs: float = 3600.0) -> list[int]
         m = re.fullmatch(r"epoch-(\d+)", name)
         if not m:
             continue
-        marker = os.path.join(wal_dir, name, walmod.OPEN_MARKER)
+        d = os.path.join(wal_dir, name)
+        marker = os.path.join(d, walmod.OPEN_MARKER)
         try:
             age = now - os.path.getmtime(marker)
         except OSError:
             continue  # sealed (no marker) or racing seal
-        if age >= max_age_secs:
-            shutil.rmtree(os.path.join(wal_dir, name), ignore_errors=True)
-            gone.append(int(m.group(1)))
+        if age < max_age_secs:
+            continue
+        reaped = f"{d}.vacuuming-{os.getpid()}"
+        try:
+            os.rename(d, reaped)
+        except OSError:
+            continue  # lost a race with another vacuum
+        if not os.path.exists(os.path.join(reaped, walmod.OPEN_MARKER)):
+            # sealed between the mtime check and the rename: it is a
+            # COMPLETE segment — put it back untouched
+            os.rename(reaped, d)
+            continue
+        with open(f"{d}.vacuumed.tmp-{os.getpid()}", "w"):
+            pass
+        os.rename(f"{d}.vacuumed.tmp-{os.getpid()}", f"{d}.vacuumed")
+        shutil.rmtree(reaped, ignore_errors=True)
+        gone.append(int(m.group(1)))
     return gone

@@ -172,7 +172,8 @@ def build_ann_index(
     n_rows = sum(int(i["rows"]) for i in intents)
     state = {"version": 1, "dim": int(cent.shape[1]),
              "n_centroids": int(cent.shape[0]), "emb_col": emb_col,
-             "key_col": key_col, "n_rows": n_rows, "seed": seed}
+             "key_col": key_col, "n_rows": n_rows, "seed": seed,
+             "sample_size": sample_size}
     _commit_intents(index_dir, intents, state)
     return {"n_rows": n_rows, "fragments": len(intents),
             "n_centroids": int(cent.shape[0]), "version": 1}
@@ -233,12 +234,12 @@ def query_ann_index(
     q_ids = queries[key_col].to_numpy()
     q_unit = _unit(np.stack(queries[emb_col].to_numpy()).astype(np.float64))
     frags, probing = plan_probe(index_dir, queries, n_probe)
+    # key type follows the query ids (string doc_id lakes vs int vec_id
+    # corpora) so empty results — outer no-fragments AND per-block
+    # all-dead fallbacks — union cleanly with non-empty ones
+    key_t = (pa.string() if q_ids.dtype == object else
+             pa.from_numpy_dtype(q_ids.dtype))
     if frags.num_rows == 0:
-        # key type follows the query ids (string doc_id lakes vs int
-        # vec_id corpora) so the rare empty-probe result unions cleanly
-        # with non-empty ones
-        key_t = (pa.string() if q_ids.dtype == object else
-                 pa.from_numpy_dtype(q_ids.dtype))
         empty = pa.table({"query_id": pa.array([], key_t),
                           key_col: pa.array([], key_t),
                           "score": pa.array([], pa.float64()),
@@ -291,8 +292,8 @@ def query_ann_index(
                 out_id.append(ids[top])
                 out_s.append(col[top])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             key_col: pa.array([], pa.int64()),
+            return pa.table({"query_id": pa.array([], key_t),
+                             key_col: pa.array([], key_t),
                              "score": pa.array([], pa.float64())})
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q)),
@@ -338,6 +339,7 @@ def sync_ann_index(
     key_col: str = "doc_id",
     n_centroids: int = 64,
     sample_size: int = 4096,
+    seed: int = 29,
 ) -> dict[str, Any]:
     """Keep a persisted IVF index current against a CDC lake (`eng` is a
     ``cdc.engine.CDCEngine``) using its incremental ``changes()`` feed —
@@ -379,7 +381,7 @@ def sync_ann_index(
             batch_format="pyarrow", zero_copy_batch=True)
         out = build_ann_index(live, index_dir, n_centroids=n_centroids,
                               emb_col=emb_col, key_col=key_col,
-                              sample_size=sample_size)
+                              sample_size=sample_size, seed=seed)
         st, _ = _load_state(index_dir)
         st["lake_version"] = int(eng.manifest.version)
         _commit_intents(index_dir, [], st)
@@ -407,7 +409,12 @@ def sync_ann_index(
     def _upserts(t: pa.Table) -> pa.Table:
         if emb_col not in t.column_names:
             # schema-stable EMPTY feed blocks carry only the WAL columns
-            # (engine.changes's no-fragments fallback) — nothing to append
+            # (engine.changes's no-fragments fallback) — nothing to append.
+            # The fallback's column types are nominal: the only consumer
+            # (_write_list_run) short-circuits zero-row blocks before
+            # touching any column, and nothing downstream unifies block
+            # schemas, so a lake with e.g. list<float32> embeddings never
+            # sees this float64 placeholder conflict.
             return pa.table({key_col: pa.array([], pa.string()),
                              emb_col: pa.array([], pa.list_(pa.float64()))})
         return t.filter(
@@ -453,7 +460,12 @@ def maybe_rebuild(eng, index_dir: str, max_fragments: int = 4096,
     rebuild from a fresh lake scan once the LSM fragment pile or the
     supersede map grows past taste — both are O(churn since last rebuild)
     and a rebuild resets them to O(corpus / n_centroids) and {} while
-    retraining the quantizer on current data. No-op otherwise."""
+    retraining the quantizer on current data (same n_centroids /
+    sample_size / seed as the live index). No-op otherwise.
+
+    Builds into a SIBLING temp dir and atomically swaps only on success —
+    a failed rebuild (e.g. the lake emptied out underneath) leaves the
+    old index serving instead of destroying it."""
     frags = fragment_count(index_dir)
     dead = len(load_dead(index_dir))
     if frags <= max_fragments and dead <= max_dead:
@@ -461,9 +473,20 @@ def maybe_rebuild(eng, index_dir: str, max_fragments: int = 4096,
     import shutil
 
     state, _ = _load_state(index_dir)
-    shutil.rmtree(index_dir)
-    out = sync_ann_index(eng, index_dir, emb_col=state["emb_col"],
-                         key_col=state["key_col"],
-                         n_centroids=state["n_centroids"])
+    tmp = f"{index_dir}.rebuild-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        out = sync_ann_index(eng, tmp, emb_col=state["emb_col"],
+                             key_col=state["key_col"],
+                             n_centroids=state["n_centroids"],
+                             sample_size=state.get("sample_size", 4096),
+                             seed=state.get("seed", 29))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    old = f"{index_dir}.old-{os.getpid()}"
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
     out.update({"fragments_before": frags, "dead_before": dead})
     return out

@@ -12,14 +12,17 @@ paths with one signature:
   malformed / non-object lines SKIPPED (the per-line ``json.loads``
   loop is inherent string work, same adjudication as the tokenizer's
   regex loop); batches bounded at ``batch_rows``. ``columns`` is
-  REQUIRED here (inferring the column set per batch would make the
-  block schema depend on where batch boundaries fall); a column whose
-  values type-drift across lines (``{"id": 1}`` then ``{"id": "x"}``)
-  falls back to strings for that batch, and an all-null batch column
-  types as string — tolerant means every well-formed LINE survives,
-  never that a junk line fails the whole read task. Use
-  ``scan_bad_lines`` for the drop-quality report — a separate pass by
-  design, so the document stream stays schema-clean.
+  REQUIRED here, and every column types as STRING unless ``types``
+  declares it otherwise — per-batch type INFERENCE would make block
+  schemas depend on where batch boundaries fall (one junk value in
+  one batch would flip that batch's column to string while its
+  neighbors stay int, failing any downstream schema unification —
+  write_parquet, union, sort). With ``types={"n": pa.int64()}`` a
+  value that won't convert becomes null in that typed column.
+  Tolerant means every well-formed LINE survives with a
+  batch-invariant schema. Use ``scan_bad_lines`` for the drop-quality
+  report — a separate pass by design, so the document stream stays
+  schema-clean.
 """
 
 from __future__ import annotations
@@ -61,6 +64,7 @@ def read_jsonl(
     columns: list[str] | None = None,
     strict: bool = True,
     batch_rows: int = 4096,
+    types: dict[str, pa.DataType] | None = None,
 ) -> rd.Dataset:
     plist = [paths] if isinstance(paths, str) else list(paths)
     if strict:
@@ -74,6 +78,7 @@ def read_jsonl(
             "strict=False requires columns=[...]: per-batch column "
             "inference would make block schemas depend on batch boundaries")
     cols = columns
+    tmap = dict(types or {})
 
     def parse(batch: pa.Table):
         for p in batch["path"].to_pylist():
@@ -83,10 +88,10 @@ def read_jsonl(
                     continue
                 rows.append(obj)
                 if len(rows) >= batch_rows:
-                    yield _table(rows, cols)
+                    yield _table(rows, cols, tmap)
                     rows = []
             if rows:
-                yield _table(rows, cols)
+                yield _table(rows, cols, tmap)
 
     return rd.from_items([{"path": p} for p in plist]).map_batches(
         parse, batch_format="pyarrow", batch_size=1
@@ -119,17 +124,34 @@ def scan_bad_lines(paths: str | list[str]) -> rd.Dataset:
     )
 
 
-def _table(rows: list[dict], cols: list[str]) -> pa.Table:
+def _table(rows: list[dict], cols: list[str],
+           types: dict[str, pa.DataType]) -> pa.Table:
+    """Batch-INVARIANT schema: string unless declared in ``types``.
+
+    Inferring per batch would flip a column's type on the first junk
+    value in that batch while sibling batches stay native — a schema
+    mismatch any downstream unification (write_parquet / union / sort)
+    would fail on. Declared types coerce per VALUE, junk → null."""
     out: dict[str, pa.Array] = {}
     for c in cols:
         vals = [r.get(c) for r in rows]
+        t = types.get(c)
+        if t is None:
+            out[c] = pa.array(
+                [None if v is None else
+                 (v if isinstance(v, str) else json.dumps(v)) for v in vals],
+                pa.string())
+            continue
         try:
-            arr = pa.array(vals)
+            out[c] = pa.array(vals, type=t)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # type drift across lines (web junk): fall back to strings
-            arr = pa.array([None if v is None else str(v) for v in vals],
-                           pa.string())
-        if pa.types.is_null(arr.type):
-            arr = arr.cast(pa.string())  # stable type for all-null batches
-        out[c] = arr
+            coerced = []
+            for v in vals:
+                try:
+                    coerced.append(None if v is None
+                                   else pa.scalar(v, type=t).as_py())
+                except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError,
+                        TypeError, OverflowError):
+                    coerced.append(None)  # junk value in a typed column
+            out[c] = pa.array(coerced, type=t)
     return pa.table(out)

@@ -289,16 +289,42 @@ def first_open_epoch(wal_dir: str) -> int | None:
     dropping the whole drop. Consumers must therefore not apply any sealed
     segment ABOVE the smallest still-open id; they wait for it to seal (or
     for the abandoned claim to be vacuumed by the operator)."""
-    if not os.path.isdir(wal_dir):
-        return None
+    return segments_with_barrier(wal_dir)[1]
+
+
+def segments_with_barrier(wal_dir: str) -> tuple[list[tuple[int, list[str]]], int | None]:
+    """``(list_segments(wal_dir), first-open-id)`` from ONE directory
+    snapshot. Consumers must derive both from the same listing: computing
+    the barrier in a separate earlier pass leaves a window where a claim
+    lands after the barrier scan but its faster sibling seals before the
+    segment scan — the stale barrier would admit the sibling and the
+    replay watermarks would then silently drop the slower claim's drop.
+    (Within one listing, the slower claim's directory exists strictly
+    before the faster sibling's id is even allocated, so a listing that
+    shows the sealed sibling also shows the open claim.)"""
+    segs = []
     lo: int | None = None
-    for name in os.listdir(wal_dir):
+    if not os.path.isdir(wal_dir):
+        return segs, lo
+    for name in sorted(os.listdir(wal_dir)):
         m = re.fullmatch(r"epoch-(\d+)", name)
-        if m and os.path.exists(os.path.join(wal_dir, name, OPEN_MARKER)):
+        if m and os.path.isdir(os.path.join(wal_dir, name)):
             e = int(m.group(1))
-            if lo is None or e < lo:
-                lo = e
-    return lo
+            if os.path.exists(os.path.join(wal_dir, name, OPEN_MARKER)):
+                if lo is None or e < lo:
+                    lo = e
+                continue
+            shards = sorted(
+                os.path.join(wal_dir, name, s)
+                for s in os.listdir(os.path.join(wal_dir, name))
+                if s.endswith(".parquet")
+            )
+            segs.append((e, shards))
+            continue
+        m = re.fullmatch(r"epoch-(\d+)\.parquet", name)
+        if m:
+            segs.append((int(m.group(1)), [os.path.join(wal_dir, name)]))
+    return segs, lo
 
 
 def list_segments(wal_dir: str) -> list[tuple[int, list[str]]]:
@@ -306,23 +332,7 @@ def list_segments(wal_dir: str) -> list[tuple[int, list[str]]]:
     ``epoch-N/`` shard directories and legacy single ``epoch-N.parquet``.
     Unsealed segments (containing ``_OPEN``) are skipped — a consumer never
     sees a half-written micro-batch."""
-    out = []
-    for name in sorted(os.listdir(wal_dir)):
-        m = re.fullmatch(r"epoch-(\d+)", name)
-        if m and os.path.isdir(os.path.join(wal_dir, name)):
-            if os.path.exists(os.path.join(wal_dir, name, OPEN_MARKER)):
-                continue
-            shards = sorted(
-                os.path.join(wal_dir, name, s)
-                for s in os.listdir(os.path.join(wal_dir, name))
-                if s.endswith(".parquet")
-            )
-            out.append((int(m.group(1)), shards))
-            continue
-        m = re.fullmatch(r"epoch-(\d+)\.parquet", name)
-        if m:
-            out.append((int(m.group(1)), [os.path.join(wal_dir, name)]))
-    return out
+    return segments_with_barrier(wal_dir)[0]
 
 
 # --- sf-linked parameters -------------------------------------------------

@@ -248,7 +248,18 @@ def write_warc_dataset(
         texts = t[text_col].to_pylist()
         dates = (t[date_col].to_pylist()
                  if date_col and date_col in t.column_names else [None] * len(t))
-        name = hashlib.sha1("\x00".join(map(str, uris)).encode()).hexdigest()[:20]
+        # content-addressed over uris AND payloads: two blocks can share a
+        # URI sequence (pre-dedup corpora, refetched pages) — hashing only
+        # the URIs would collide their shard names and silently drop one
+        h = hashlib.sha1()
+        for u, s, d in zip(uris, texts, dates):
+            h.update(str(u).encode())
+            h.update(b"\x00")
+            h.update((s or "").encode())
+            h.update(b"\x00")
+            h.update(str(d or "").encode())
+            h.update(b"\x01")
+        name = h.hexdigest()[:20]
         final = os.path.join(out_dir, f"part-{name}{ext}")
         # write_warc keys the per-record-gzip layout on the path suffix, so
         # the temp name must keep it

@@ -317,10 +317,28 @@ def test_jsonl_tolerant_type_drift_and_required_columns(tmp_path):
     t = jsonlmod.read_jsonl(p, columns=["id", "text", "missing"],
                             strict=False).to_pandas()
     assert len(t) == 3
-    assert list(t["id"]) == ["1", "abc", None]  # drift → strings, not a crash
+    assert list(t["id"]) == ["1", "abc", None]  # default: stable strings
     assert t["missing"].isna().all()
     with pytest.raises(ValueError, match="columns"):
         jsonlmod.read_jsonl(p, strict=False)
+
+    # declared types coerce per VALUE (junk -> null) with a schema that is
+    # IDENTICAL across batches even when the junk lands in one batch only
+    p2 = str(tmp_path / "drift2.jsonl")
+    with open(p2, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({"n": i}) + "\n")
+        f.write(json.dumps({"n": "junk"}) + "\n")
+        for i in range(8, 12):
+            f.write(json.dumps({"n": i}) + "\n")
+    ds = jsonlmod.read_jsonl(p2, columns=["n"], strict=False, batch_rows=4,
+                             types={"n": pa.int64()})
+    out = ds.to_pandas()  # unification across the 4-row batches must hold
+    assert len(out) == 13
+    got = [None if pd.isna(v) else int(v) for v in out["n"]]
+    assert sorted(v for v in got if v is not None) == list(range(12))
+    assert got.count(None) == 1
+    assert dict(zip(ds.schema().names, map(str, ds.schema().types)))["n"] == "int64"
 
 
 def test_tail_defers_sealed_segment_behind_open_claim(tmp_path):
