@@ -11,7 +11,9 @@ exchange-heavy pipelines across it:
 - the headline CDC replay (fused per-shard apply tasks),
 - ``join_bucketed`` (object-store exchange join),
 - ``sessionize`` (exchange_group_map over user shards),
-- ``cluster_duplicates_distributed`` (ref-passing label propagation).
+- ``cluster_duplicates_distributed`` (ref-passing label propagation),
+- the crawl front door (``ingest.stage_drop``: WARC read + shard-write
+  tasks scheduled across the raylets into one sealed epoch, then tail).
 
 Each query's result is checked against the same DuckDB oracle the driver
 uses, so "ran across nodes" also means "still correct across nodes" —
@@ -115,6 +117,43 @@ out["replay"] = {{"sec": round(wall, 3), "events": int(n_events),
                   "events_per_sec": round(n_events / wall, 1)}}
 out["checks"] = checks
 shutil.rmtree(lake, ignore_errors=True)  # don't leave the lake pinned
+
+# crawl-ingest across the cluster: WARC drop -> one sealed epoch (shard
+# writers scheduled on every raylet, same shared-wal_dir contract a real
+# cluster has via shared storage) -> tail -> count oracle
+import pyarrow as pa
+from go_tfdata_ray.cdc import ingest as ingmod
+from go_tfdata_ray.sources import warc as warcmod
+
+root = "/tmp/graft_lake/multinode-ingest"
+shutil.rmtree(root, ignore_errors=True)
+os.makedirs(root)
+paths = []
+for f in range(8):
+    recs = [{{"warc_type": "response", "uri": f"https://mn/{{i}}",
+              "date": "2026-06-01T00:00:00Z",
+              "payload": (b"HTTP/1.1 200 OK\r\n\r\n"
+                          + f"mn doc {{i}} body words".encode())}}
+            for i in range(f * 625, (f + 1) * 625)]
+    p = os.path.join(root, f"d{{f}}.warc.gz")
+    warcmod.write_warc(p, recs)
+    paths.append(p)
+
+def add_text(t):
+    return t.append_column("text", pa.array(
+        [bytes(x).decode() for x in t["payload"].to_pylist()], pa.string()))
+
+docs = warcmod.read_warc(paths).map_batches(add_text, batch_format="pyarrow")
+t0 = time.perf_counter()
+r = ingmod.stage_drop(docs, os.path.join(root, "wal"))
+ieng = CDCEngine(os.path.join(root, "lake"), num_partitions=8)
+ieng.tail(os.path.join(root, "wal"), idle_limit=1, poll_secs=0.01)
+iwall = time.perf_counter() - t0
+n_live = ieng.scan_table(columns=["doc_id"]).num_rows
+out["ingest"] = {{"docs": int(r["rows"]), "shards": int(r["shards"]),
+                  "lake_rows": int(n_live), "sec": round(iwall, 3),
+                  "match": bool(n_live == 5000 and r["rows"] == 5000)}}
+shutil.rmtree(root, ignore_errors=True)
 ray.shutdown()
 print("MULTINODE_RESULT " + json.dumps(out))
 """
@@ -501,7 +540,8 @@ def main() -> int:
             if line.startswith("MULTINODE_RESULT "):
                 print(line)
                 data = json.loads(line.split(" ", 1)[1])
-                ok = all(c["match"] for c in data["checks"].values())
+                ok = (all(c["match"] for c in data["checks"].values())
+                      and data.get("ingest", {}).get("match", False))
                 return 0 if ok and data["nodes"] == n_workers + 1 else 1
         sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
         return 1
