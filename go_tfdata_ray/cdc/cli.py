@@ -128,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--vocab", type=int, default=50257)
     s.add_argument("--strict", action="store_true",
                    help="jsonl: abort on malformed lines (default: skip)")
+    s.add_argument("--canonicalize", action="store_true",
+                   help="canonicalize URIs before keying (scheme/host case, "
+                        "default ports, fragments, trailing slash)")
 
     s = sub.add_parser("takedown")
     s.add_argument("--wal", required=True)
@@ -208,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
                 strict=a.strict)
         out = ing.stage_drop(docs, a.wal, uri_col=a.uri_col,
                              text_col=a.text_col, date_col=a.date_col,
-                             source=a.source, vocab=a.vocab)
+                             source=a.source, vocab=a.vocab,
+                             canonicalize=a.canonicalize)
         print(json.dumps(out))
         return 0
 

@@ -53,6 +53,34 @@ _SEC_BITS = 32  # fetch-time seconds (good through 2106)
 _TIE_BITS = 8
 
 
+def canonicalize_uri(uri: str) -> str:
+    """Conservative URL canonicalization for crawl identity: lowercase
+    scheme+host, strip default ports (:80 http / :443 https), drop the
+    fragment, strip one trailing slash off non-root paths. Query strings
+    are kept verbatim (reordering parameters changes semantics on enough
+    real sites to be unsafe). Idempotent; non-URL strings pass through
+    on a best-effort parse."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    try:
+        s = urlsplit(uri)
+    except ValueError:
+        return uri
+    if not s.scheme or not s.netloc:
+        return uri
+    host = s.hostname.lower() if s.hostname else ""
+    port = s.port
+    scheme = s.scheme.lower()
+    if port and not ((scheme == "http" and port == 80)
+                     or (scheme == "https" and port == 443)):
+        host = f"{host}:{port}"
+    userinfo = s.netloc.rsplit("@", 1)[0] + "@" if "@" in s.netloc else ""
+    path = s.path
+    if path.endswith("/") and len(path) > 1:
+        path = path[:-1]
+    return urlunsplit((scheme, userinfo + host, path, s.query, ""))
+
+
 def doc_id_for_uri(uris) -> pa.Array:
     """Stable lake key per URI: fixed-key siphash (process-stable, like
     `cdc/collapse.py:hash_partition`), hex-encoded with a ``w:`` prefix."""
@@ -126,10 +154,11 @@ class _DropNormalizer:
 
     def __init__(self, seg_dir: str, epoch: int, uri_col: str, text_col: str,
                  date_col: str | None, source: str, vocab: int,
-                 keep_uri: bool):
+                 keep_uri: bool, canonicalize: bool = False):
         self.seg_dir, self.epoch = seg_dir, epoch
         self.uri_col, self.text_col, self.date_col = uri_col, text_col, date_col
         self.source, self.keep_uri = source, keep_uri
+        self.canonicalize = canonicalize
         self.tok = Tokenizer(text_col=text_col, key_col=uri_col, vocab=vocab)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -138,6 +167,12 @@ class _DropNormalizer:
                              "rows": pa.array([], pa.int64())})
         n = len(t)
         uris = pc.cast(t[self.uri_col], pa.string())
+        if self.canonicalize:
+            # crawl identity: the same page under scheme/host-case, default
+            # port, fragment or trailing-slash variants collapses to ONE
+            # doc_id (LWW across refetches); the stored uri is canonical
+            uris = pa.array([canonicalize_uri(u) for u in uris.to_pylist()],
+                            pa.string())
         texts = pc.cast(t[self.text_col], pa.string())
         toks = self.tok(pa.table({self.uri_col: uris, self.text_col: texts}))
         sec = _fetch_seconds(
@@ -198,8 +233,11 @@ def stage_drop(
     source: str = "web",
     vocab: int = 50257,
     keep_uri: bool = True,
+    canonicalize: bool = False,
 ) -> dict[str, Any]:
     """Write one document Dataset as one sealed WAL epoch segment.
+    ``canonicalize=True`` routes URIs through ``canonicalize_uri`` before
+    keying, so cosmetic URL variants of one page share a lake identity.
 
     With ``epoch=None`` (the normal path) the id is CLAIMED atomically —
     concurrent producers land on distinct segments. An explicit ``epoch``
@@ -213,7 +251,7 @@ def stage_drop(
         seg_dir = walmod.open_segment(wal_dir, e)
     intents = ds.map_batches(
         _worker_cached(_DropNormalizer, seg_dir, e, uri_col, text_col,
-                       date_col, source, vocab, keep_uri),
+                       date_col, source, vocab, keep_uri, canonicalize),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).take_all()  # tiny (path, rows) rows only
     by_path = {r["path"]: int(r["rows"]) for r in intents}
@@ -228,11 +266,14 @@ def stage_tombstones(
     *,
     epoch: int | None = None,
     uri_col: str = "uri",
+    canonicalize: bool = False,
 ) -> dict[str, Any]:
     """Write a takedown/robots-removal list as one sealed DELETE epoch:
     op='D' rows keyed like ``stage_drop`` (so they tombstone the same
-    ``doc_id`` a fetch of that URI produced). Small lists pass as a plain
-    ``list[str]``; big ones stream as a Dataset, one shard per block."""
+    ``doc_id`` a fetch of that URI produced — pass the SAME
+    ``canonicalize`` the drops used, or the keys won't line up). Small
+    lists pass as a plain ``list[str]``; big ones stream as a Dataset,
+    one shard per block."""
     if epoch is None:
         e, seg_dir = _claim_epoch(wal_dir)
     else:
@@ -253,7 +294,9 @@ def stage_tombstones(
                 dtype=np.int64)),
             "epoch": pa.array(np.full(n, e, dtype=np.int32)),
             "op": pa.array(["D"] * n, pa.string()),
-            "doc_id": doc_id_for_uri(us.to_pylist()),
+            "doc_id": doc_id_for_uri(
+                [canonicalize_uri(u) for u in us.to_pylist()]
+                if canonicalize else us.to_pylist()),
             "tokens": pa.array([[]] * n, pa.list_(pa.int32())),
             "n_tok": pa.array(np.zeros(n, dtype=np.int32)),
             "source": pa.array([""] * n, pa.string()),

@@ -445,3 +445,33 @@ def test_vacuum_stale_claims_unblocks_feed(tmp_path):
 
     # CLI surface
     assert main(["wal-vacuum", "--wal", wal_dir, "--age-secs", "3600"]) == 0
+
+
+def test_canonicalize_uri_variants_collapse():
+    c = ingest.canonicalize_uri
+    assert c("HTTP://Example.COM:80/a/#frag") == "http://example.com/a"
+    assert c("https://example.com:443/a") == "https://example.com/a"
+    assert c("https://example.com:8443/a/") == "https://example.com:8443/a"
+    assert c("http://u:p@Example.com/x") == "http://u:p@example.com/x"
+    assert c("https://example.com/") == "https://example.com/"  # root kept
+    assert c("https://example.com/a?b=2&a=1") == "https://example.com/a?b=2&a=1"
+    assert c("not a uri") == "not a uri"
+    assert c(c("HTTP://X.com/p/")) == c("HTTP://X.com/p/")  # idempotent
+
+
+def test_stage_drop_canonicalize_collapses_variants(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    docs = rd.from_arrow(pa.table({
+        "uri": pa.array(["HTTP://Site.com:80/page/#top",
+                         "http://site.com/page"], pa.string()),
+        "text": pa.array(["old body", "new body"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z", "2026-01-01T00:01:00Z"],
+                         pa.string()),
+    }))
+    ingest.stage_drop(docs, wal_dir, canonicalize=True)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan_table(columns=["doc_id", "tokens"])
+    assert got.num_rows == 1  # one page, latest fetch wins
+    assert got["tokens"][0].as_py() == _expected_tokens(
+        "new body", "http://site.com/page")

@@ -225,3 +225,36 @@ def test_exchange_coalesce_map_matches_pandas(rows, blocks):
         want.sort_values("k").reset_index(drop=True)[["k", "v"]],
         check_dtype=False,
     )
+
+
+# --- WARC framing (sources/warc.py) ----------------------------------------
+
+_warc_payloads = st.lists(st.binary(min_size=0, max_size=300),
+                          min_size=1, max_size=12)
+
+
+@given(payloads=_warc_payloads,
+       inject=st.lists(st.sampled_from(
+           [b"", b"\r\n\r\n", b"\r\nWARC/1.0\r\n", b"Content-Length: 9\r\n",
+            b"\x00\xff\x1f\x8b"]), min_size=1, max_size=12),
+       gz=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_warc_roundtrip_adversarial_payloads(tmp_path_factory, payloads,
+                                             inject, gz):
+    """Content-Length framing must roundtrip payloads that embed CRLF
+    delimiters, fake version lines, fake headers and gzip magic — byte
+    for byte, in both the plain and per-record-gzip layouts."""
+    from go_tfdata_ray.sources import warc as warcmod
+
+    body = [p + inj for p, inj in
+            zip(payloads, (inject * len(payloads))[:len(payloads)])]
+    d = tmp_path_factory.mktemp("warcprop")
+    path = str(d / ("p.warc.gz" if gz else "p.warc"))
+    n = warcmod.write_warc(path, (
+        {"warc_type": "resource", "uri": f"u:{i}", "payload": b}
+        for i, b in enumerate(body)))
+    assert n == len(body)
+    got = list(warcmod.iter_warc_records(path))
+    assert [g["payload"] for g in got] == body
+    assert [g["headers"]["WARC-Target-URI"] for g in got] == \
+        [f"u:{i}" for i in range(len(body))]
