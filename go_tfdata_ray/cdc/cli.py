@@ -136,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--wal", required=True)
     s.add_argument("--uris", default=None, help="comma-separated URIs")
     s.add_argument("--uris-file", default=None, help="one URI per line")
+    s.add_argument("--canonicalize", action="store_true",
+                   help="key the takedown like a canonicalized ingest — "
+                        "REQUIRED if the drops were ingested with "
+                        "--canonicalize, or the tombstones miss")
 
     s = sub.add_parser("wal-vacuum")
     s.add_argument("--wal", required=True)
@@ -235,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             with open(a.uris_file) as f:
                 uris = [ln.strip() for ln in f if ln.strip()]
-        print(json.dumps(ing.stage_tombstones(uris, a.wal)))
+        print(json.dumps(ing.stage_tombstones(
+            uris, a.wal, canonicalize=a.canonicalize)))
         return 0
 
     from .engine import CDCEngine

@@ -53,29 +53,36 @@ _SEC_BITS = 32  # fetch-time seconds (good through 2106)
 _TIE_BITS = 8
 
 
+from urllib.parse import urlsplit, urlunsplit
+
+
 def canonicalize_uri(uri: str) -> str:
     """Conservative URL canonicalization for crawl identity: lowercase
     scheme+host, strip default ports (:80 http / :443 https), drop the
-    fragment, strip one trailing slash off non-root paths. Query strings
-    are kept verbatim (reordering parameters changes semantics on enough
-    real sites to be unsafe). Idempotent; non-URL strings pass through
-    on a best-effort parse."""
-    from urllib.parse import urlsplit, urlunsplit
-
+    fragment, normalize an EMPTY path with authority to '/' (RFC 3986
+    §6.2.3 — 'https://x.com' == 'https://x.com/'), strip one trailing
+    slash off non-root paths. Query strings are kept verbatim (reordering
+    parameters changes semantics on enough real sites to be unsafe).
+    Idempotent, IPv6-bracket-preserving; anything that won't parse —
+    including junk ports like ':99999' or ':8a' — passes through
+    unchanged (crawl drops contain such URLs, and a best-effort key
+    beats killing the ingest task)."""
     try:
         s = urlsplit(uri)
+        port = s.port  # .port itself raises on junk/out-of-range ports
     except ValueError:
         return uri
     if not s.scheme or not s.netloc:
         return uri
     host = s.hostname.lower() if s.hostname else ""
-    port = s.port
+    if ":" in host:  # bare IPv6 from .hostname — restore the brackets
+        host = f"[{host}]"
     scheme = s.scheme.lower()
     if port and not ((scheme == "http" and port == 80)
                      or (scheme == "https" and port == 443)):
         host = f"{host}:{port}"
     userinfo = s.netloc.rsplit("@", 1)[0] + "@" if "@" in s.netloc else ""
-    path = s.path
+    path = s.path or "/"
     if path.endswith("/") and len(path) > 1:
         path = path[:-1]
     return urlunsplit((scheme, userinfo + host, path, s.query, ""))
@@ -167,12 +174,13 @@ class _DropNormalizer:
                              "rows": pa.array([], pa.int64())})
         n = len(t)
         uris = pc.cast(t[self.uri_col], pa.string())
+        uri_list = uris.to_pylist()
         if self.canonicalize:
             # crawl identity: the same page under scheme/host-case, default
             # port, fragment or trailing-slash variants collapses to ONE
             # doc_id (LWW across refetches); the stored uri is canonical
-            uris = pa.array([canonicalize_uri(u) for u in uris.to_pylist()],
-                            pa.string())
+            uri_list = [canonicalize_uri(u) for u in uri_list]
+            uris = pa.array(uri_list, pa.string())
         texts = pc.cast(t[self.text_col], pa.string())
         toks = self.tok(pa.table({self.uri_col: uris, self.text_col: texts}))
         sec = _fetch_seconds(
@@ -183,7 +191,7 @@ class _DropNormalizer:
             np.asarray(texts.to_pylist(), dtype=object), categorize=False)
             & np.uint64((1 << _TIE_BITS) - 1)).astype(np.int64)
         seq = (np.int64(self.epoch) << 40) | (sec << _TIE_BITS) | tie
-        ids = doc_id_for_uri(uris.to_pylist())
+        ids = doc_id_for_uri(uri_list)
         cols = {
             "seq": pa.array(seq),
             "epoch": pa.array(np.full(n, self.epoch, dtype=np.int32)),

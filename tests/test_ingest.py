@@ -475,3 +475,37 @@ def test_stage_drop_canonicalize_collapses_variants(tmp_path):
     assert got.num_rows == 1  # one page, latest fetch wins
     assert got["tokens"][0].as_py() == _expected_tokens(
         "new body", "http://site.com/page")
+
+
+def test_canonicalize_uri_edge_cases():
+    c = ingest.canonicalize_uri
+    # junk ports pass through instead of crashing the ingest task
+    assert c("http://example.com:99999/x") == "http://example.com:99999/x"
+    assert c("http://example.com:8a/x") == "http://example.com:8a/x"
+    # IPv6 brackets preserved; idempotent
+    assert c("http://[::1]:8080/x") == "http://[::1]:8080/x"
+    assert c("https://[2001:DB8::1]/x") == "https://[2001:db8::1]/x"
+    assert c(c("https://[2001:DB8::1]/x")) == c("https://[2001:DB8::1]/x")
+    # RFC 3986 §6.2.3: empty path with authority == '/'
+    assert c("https://example.com") == "https://example.com/"
+    assert c("https://example.com#top") == c("https://example.com/#top")
+    assert c("https://x.com?a=1") == "https://x.com/?a=1"
+
+
+def test_takedown_cli_canonicalize_keys_match(tmp_path):
+    from go_tfdata_ray.cdc.cli import main
+
+    wal_dir = str(tmp_path / "wal")
+    docs = rd.from_arrow(pa.table({
+        "uri": pa.array(["http://site.com/page"], pa.string()),
+        "text": pa.array(["body"], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"], pa.string())}))
+    ingest.stage_drop(docs, wal_dir, canonicalize=True)
+    # takedown under a cosmetic VARIANT of the uri — only --canonicalize
+    # lands on the same doc_id
+    assert main(["takedown", "--wal", wal_dir,
+                 "--uris", "HTTP://Site.com:80/page/#frag",
+                 "--canonicalize"]) == 0
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan_table(columns=["doc_id"]).num_rows == 0
