@@ -470,3 +470,70 @@ def fingerprints(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
         _worker_cached(Fingerprinter, text_col), batch_format="pandas",
         batch_size=4096,
     )
+
+
+class HtmlExtractor:
+    """HTML → text extraction (worker-cached: regexes compile once per
+    worker process) — the universal first curation step on crawl payloads,
+    from scratch on stdlib only (no bs4/lxml in this container, and a
+    regex pipeline over whole batches beats a DOM parse for this shape).
+
+    Pipeline per batch (pandas ``str.replace`` = one compiled-regex pass
+    per stage over ALL rows): (1) drop ``<script>``/``<style>``/
+    ``<template>``/``<noscript>`` elements and comments/CDATA wholesale,
+    (2) turn block-level boundaries (``</p>``, ``<br>``, ``</div>``,
+    headings, list items, table cells...) into newlines so words from
+    different blocks never fuse, (3) strip every remaining tag, (4)
+    unescape HTML entities (``html.unescape`` — the one per-row step;
+    stdlib, full named-entity table), (5) collapse runs of whitespace,
+    preserving single newlines as paragraph hints. Plain text without
+    angle-bracket markup passes through unchanged (safe on mixed drops);
+    extraction is a ONE-pass step — entity unescaping can surface
+    markup-LOOKING text (``&lt;para&gt;`` → ``<para>``) that a second
+    pass would wrongly strip, the inherent ambiguity of any
+    HTML-to-text. Boilerplate REMOVAL beyond script/style (nav/footer chrome)
+    is deliberately out of scope — that's the LM quality filter's job
+    downstream (`functions/lm.py`)."""
+
+    _BLOCK_TAGS = ("p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|section|article"
+                   "|header|footer|blockquote|pre|figure|figcaption|nav"
+                   "|aside|form|hr|dt|dd|dl")
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None):
+        import re
+
+        self.text_col = text_col
+        self.out_col = out_col or text_col
+        f = re.IGNORECASE | re.DOTALL
+        self._drop = re.compile(
+            r"<(script|style|template|noscript)\b.*?</\1\s*>|<!--.*?-->"
+            r"|<!\[CDATA\[.*?\]\]>", f)
+        self._block = re.compile(rf"</?(?:{self._BLOCK_TAGS})\b[^>]*>", f)
+        self._tag = re.compile(r"</?[A-Za-z!][^>]*>", re.DOTALL)
+        self._ws = re.compile(r"[ \t\r\f\v]+")
+        self._nl = re.compile(r"\s*\n\s*")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import html as _html
+
+        s = pd.Series(t[self.text_col].to_pylist(), dtype=object).fillna("")
+        s = s.str.replace(self._drop, " ", regex=True)
+        s = s.str.replace(self._block, "\n", regex=True)
+        s = s.str.replace(self._tag, " ", regex=True)
+        s = s.map(_html.unescape)
+        s = s.str.replace(self._ws, " ", regex=True)
+        s = s.str.replace(self._nl, "\n", regex=True).str.strip()
+        out = pa.array(s.tolist(), pa.string())
+        if self.out_col in t.column_names:
+            return t.set_column(t.column_names.index(self.out_col),
+                                self.out_col, out)
+        return t.append_column(self.out_col, out)
+
+
+def html_to_text(ds: rd.Dataset, text_col: str = "text",
+                 out_col: str | None = None) -> rd.Dataset:
+    """Extract readable text from HTML payloads (see ``HtmlExtractor``)."""
+    return ds.map_batches(
+        _worker_cached(HtmlExtractor, text_col, out_col),
+        batch_format="pyarrow", batch_size=2048, zero_copy_batch=True,
+    )

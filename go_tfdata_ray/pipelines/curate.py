@@ -47,10 +47,16 @@ def curate_corpus(
     context_len: int = 256,
     overlap: int = 0,
     eod_token: int = 50256,
+    html: bool = False,
 ) -> tuple[rd.Dataset, dict]:
     """→ (packed training sequences, stats). ``ppl_cutoff=None`` derives
     the cutoff as the ``ppl_quantile`` of the scored corpus (one extra
-    pass over the tiny (key, ppl) projection, not the texts)."""
+    pass over the tiny (key, ppl) projection, not the texts).
+    ``html=True`` prepends HTML→text extraction (crawl payloads)."""
+    if html:
+        from ..functions.text import html_to_text
+
+        docs = html_to_text(docs, text_col=text_col)
     n_raw = docs.count()
 
     scrubbed = redact_pii(docs, text_col=text_col, key_col=key_col)

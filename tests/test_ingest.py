@@ -509,3 +509,73 @@ def test_takedown_cli_canonicalize_keys_match(tmp_path):
     eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
     eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
     assert eng.scan_table(columns=["doc_id"]).num_rows == 0
+
+
+# -- HTML → text (the first curation step on crawl payloads) -----------------
+
+def test_html_to_text_extraction():
+    from go_tfdata_ray.functions.text import html_to_text
+
+    html_doc = (
+        "<!DOCTYPE html><html><head><title>T</title>"
+        "<style>body { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<BODY><h1>Heading</h1>"
+        "<p>First &amp; second &lt;para&gt;.</p>"
+        "<!-- a comment with <p>markup</p> -->"
+        "<div>block one</div><div>block two</div>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<noscript>enable js</noscript>"
+        "spaced   out\ttext</BODY></html>")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["h1", "plain"], pa.string()),
+        "text": pa.array([html_doc, "already plain text"], pa.string()),
+    }))
+    out = html_to_text(ds).to_pandas().set_index("doc_id")
+
+    got = out.loc["h1", "text"]
+    # script/style/noscript/comments gone, entities unescaped
+    assert "color: red" not in got and "not text" not in got
+    assert "a comment" not in got and "enable js" not in got
+    assert "First & second <para>." in got
+    # block boundaries became newlines: words from different blocks
+    # never fuse
+    assert "block one\nblock two" in got
+    assert "alpha\nbeta" in got
+    assert got.startswith("T\nHeading")
+    assert "spaced out text" in got  # whitespace runs collapsed
+
+    # plain text passes through unchanged (mixed drops are safe); NOTE
+    # extraction is one-pass by contract — unescaped entities can surface
+    # markup-looking text a second pass would wrongly strip
+    assert out.loc["plain", "text"] == "already plain text"
+
+
+def test_html_to_text_out_col_and_crawl_chain(tmp_path):
+    """WARC drop of HTML pages → extract → ingest: the tokens in the lake
+    come from the EXTRACTED text."""
+    from go_tfdata_ray.functions.text import html_to_text
+
+    pages = [f"<html><body><p>page {i} body</p></body></html>"
+             for i in range(4)]
+    d = str(tmp_path / "h.warc.gz")
+    warcmod.write_warc(d, ({"warc_type": "response", "uri": f"https://h/{i}",
+                            "date": "2026-01-01T00:00:00Z",
+                            "payload": b"HTTP/1.1 200 OK\r\n\r\n" + p.encode()}
+                           for i, p in enumerate(pages)))
+    docs = warcmod.read_warc(d).map_batches(
+        lambda t: t.append_column("text", pa.array(
+            [bytes(x).decode() for x in t["payload"].to_pylist()], pa.string())),
+        batch_format="pyarrow")
+    docs = html_to_text(docs)
+    wal_dir = str(tmp_path / "wal")
+    ingest.stage_drop(docs, wal_dir)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan_table(columns=["doc_id", "tokens"])
+    assert got.num_rows == 4
+    want = _expected_tokens("page 0 body", "https://h/0")
+    by_id = {d: t for d, t in zip(got["doc_id"].to_pylist(),
+                                  got["tokens"].to_pylist())}
+    doc0 = ingest.doc_id_for_uri(["https://h/0"]).to_pylist()[0]
+    assert by_id[doc0] == want
