@@ -113,13 +113,77 @@ def iter_warc_records(path: str) -> Iterator[dict]:
 
 
 def http_body(payload: bytes) -> bytes:
-    """Strip the HTTP envelope from a ``response`` block: the entity body
-    after the first blank line; payloads without one pass through (a
-    ``resource``/``conversion`` block is already bare content)."""
+    """Extract the entity body from a ``response`` block's full HTTP
+    message; payloads without an envelope pass through (a ``resource``/
+    ``conversion`` block is already bare content).
+
+    Archived HTTP is stored AS TRANSMITTED, so the raw body frequently
+    still carries its wire encodings — both are undone from spec:
+
+    - ``Transfer-Encoding: chunked`` (RFC 9112 §7.1): hex-size lines and
+      chunk CRLFs are parsed away (trailers dropped). Left verbatim they
+      corrupt the text with ``1a3f``-style lines mid-document.
+    - ``Content-Encoding: gzip|x-gzip|deflate`` (RFC 9110 §8.4): the body
+      is decompressed (deflate tried zlib-wrapped then raw, the usual
+      server ambiguity).
+
+    Malformed encodings fall back to the raw body rather than failing the
+    record — crawl junk tolerance, same policy as the JSONL reader."""
     i = payload.find(b"\r\n\r\n")
     if i < 0:
         return payload
-    return payload[i + 4:]
+    head, body = payload[:i], payload[i + 4:]
+    headers: dict[str, str] = {}
+    for line in head.split(b"\r\n")[1:]:  # skip the status line
+        name, _, value = line.decode("latin-1").partition(":")
+        headers[name.strip().lower()] = value.strip().lower()
+    if "chunked" in headers.get("transfer-encoding", ""):
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            pass  # malformed chunking: keep the raw body
+    ce = headers.get("content-encoding", "")
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    elif ce == "deflate":
+        import zlib
+
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):  # wrapped, then raw
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+    return body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo chunked transfer coding: ``chunk-size [;ext] CRLF data CRLF``
+    repeated, ``0``-size chunk terminates (trailer section dropped)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"bad chunk size {size_tok!r}") from e
+        pos = nl + 2
+        if n == 0:
+            return bytes(out)
+        if pos + n > len(body):
+            raise ValueError("truncated chunk data")
+        out += body[pos:pos + n]
+        pos += n
+        if body[pos:pos + 2] != b"\r\n":
+            raise ValueError("missing chunk-data CRLF")
+        pos += 2
 
 
 def write_warc(path: str, records: Iterable[dict]) -> int:

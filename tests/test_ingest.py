@@ -579,3 +579,57 @@ def test_html_to_text_out_col_and_crawl_chain(tmp_path):
                                   got["tokens"].to_pylist())}
     doc0 = ingest.doc_id_for_uri(["https://h/0"]).to_pylist()[0]
     assert by_id[doc0] == want
+
+
+def test_http_body_dechunk_and_decompress(tmp_path):
+    """Archived HTTP bodies keep their wire encodings — http_body undoes
+    chunked transfer coding and gzip/deflate content codings from spec."""
+    import zlib
+
+    text = b"hello chunked world, " * 20
+
+    def chunkify(b, sizes):
+        out, pos = bytearray(), 0
+        for s in sizes:
+            part = b[pos:pos + s]
+            if not part:
+                break
+            out += f"{len(part):x}".encode() + b";ext=1\r\n" + part + b"\r\n"
+            pos += len(part)
+        out += b"0\r\nX-Trailer: t\r\n\r\n"
+        return bytes(out)
+
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: Chunked\r\n\r\n"
+               + chunkify(text, [7, 100, 400]))
+    assert warcmod.http_body(chunked) == text
+
+    gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+          + gzip.compress(text))
+    assert warcmod.http_body(gz) == text
+
+    # chunked THEN gzip (transfer coding wraps the content coding)
+    both = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + chunkify(gzip.compress(text), [11, 1000]))
+    assert warcmod.http_body(both) == text
+
+    # deflate, both zlib-wrapped and raw
+    raw_co = zlib.compressobj(wbits=-15)
+    raw_blob = raw_co.compress(text) + raw_co.flush()
+    for blob in (zlib.compress(text), raw_blob):
+        d = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        assert warcmod.http_body(d) == text
+
+    # malformed chunking / bogus gzip: raw body survives, no crash
+    bad = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-hex\r\nx"
+    assert warcmod.http_body(bad) == b"not-hex\r\nx"
+    badgz = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    assert warcmod.http_body(badgz) == b"not gzip"
+
+    # end-to-end: a WARC response with a chunked+gzip body reads back as
+    # the decoded text through read_warc's http_strip
+    p = str(tmp_path / "enc.warc.gz")
+    warcmod.write_warc(p, [{"warc_type": "response", "uri": "https://e/1",
+                            "payload": both}])
+    t = warcmod.read_warc(p).to_pandas()
+    assert bytes(t.iloc[0]["payload"]) == text
