@@ -185,13 +185,10 @@ def main(argv: list[str] | None = None) -> int:
         if a.warc:
             from ..sources import warc as warcmod
 
-            def add_text(t: pa.Table) -> pa.Table:
-                texts = [bytes(p).decode("utf-8", "replace")
-                         for p in t["payload"].to_pylist()]
-                return t.append_column("text", pa.array(texts, pa.string()))
-
+            # charset-aware decode (BOM → Content-Type charset → UTF-8 →
+            # latin-1); the reader already undid the HTTP wire encodings
             docs = warcmod.read_warc(a.warc).map_batches(
-                add_text, batch_format="pyarrow")
+                warcmod.decoded_text_column, batch_format="pyarrow")
         elif a.tar:
             from ..sources import tar as tarmod
 

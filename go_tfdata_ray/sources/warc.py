@@ -26,6 +26,7 @@ import gzip
 import hashlib
 import io
 import os
+import re
 from typing import Iterable, Iterator
 
 import pyarrow as pa
@@ -33,6 +34,7 @@ import pyarrow as pa
 import ray.data as rd
 
 _CRLF = b"\r\n"
+_CHARSET_RE = re.compile(r"charset=([^;\s]+)", re.IGNORECASE)
 
 #: WARC-Types that carry document content (ISO 28500 §6.2); ``request`` /
 #: ``metadata`` / ``warcinfo`` records are bookkeeping and filtered by
@@ -340,3 +342,40 @@ def write_warc_dataset(
     intents = ds.map_batches(write_shard, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True).take_all()
     return sum(int(r["rows"]) for r in intents)
+
+
+def decode_text(payload: bytes, content_type: str = "") -> str:
+    """Payload bytes → text with charset detection, in precedence order:
+    BOM (UTF-8-sig / UTF-16 LE/BE), ``charset=`` from the Content-Type,
+    strict UTF-8, then latin-1 (total: every byte maps, so junk never
+    raises — the decode-for-curation policy; exotic charsets decode
+    wrong-but-deterministically and fall to the LM quality filter)."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", "replace")
+    if payload.startswith(b"\xff\xfe"):
+        return payload[2:].decode("utf-16-le", "replace")
+    if payload.startswith(b"\xfe\xff"):
+        return payload[2:].decode("utf-16-be", "replace")
+    m = _CHARSET_RE.search(content_type or "")
+    if m:
+        try:
+            return payload.decode(m.group(1).strip("'\" ").lower(), "replace")
+        except LookupError:
+            pass  # unknown charset label: fall through
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
+
+
+def decoded_text_column(t: pa.Table, payload_col: str = "payload",
+                        ct_col: str = "content_type",
+                        out_col: str = "text") -> pa.Table:
+    """Batch helper for ``map_batches``: append ``out_col`` with
+    charset-decoded payloads (the standard step between ``read_warc``
+    and ``ingest.stage_drop`` / ``html_to_text``)."""
+    cts = (t[ct_col].to_pylist() if ct_col in t.column_names
+           else [""] * len(t))
+    texts = [decode_text(bytes(p) if p is not None else b"", c or "")
+             for p, c in zip(t[payload_col].to_pylist(), cts)]
+    return t.append_column(out_col, pa.array(texts, pa.string()))

@@ -633,3 +633,27 @@ def test_http_body_dechunk_and_decompress(tmp_path):
                             "payload": both}])
     t = warcmod.read_warc(p).to_pandas()
     assert bytes(t.iloc[0]["payload"]) == text
+
+
+def test_decode_text_charsets(tmp_path):
+    dt = warcmod.decode_text
+    assert dt("héllo".encode("utf-8")) == "héllo"
+    assert dt(b"\xef\xbb\xbf" + "bom utf8".encode()) == "bom utf8"
+    assert dt(b"\xff\xfe" + "u16".encode("utf-16-le")) == "u16"
+    assert dt(b"\xfe\xff" + "u16b".encode("utf-16-be")) == "u16b"
+    assert dt("héllo".encode("latin-1"),
+              'text/html; charset="ISO-8859-1"') == "héllo"
+    # unknown charset label falls through to utf-8/latin-1
+    assert dt(b"plain", "text/html; charset=bogus-enc") == "plain"
+    # invalid utf-8 with no hint: latin-1 total fallback, never raises
+    assert dt(b"\xe9\xff") == "\xe9\xff".encode("latin-1").decode("latin-1")
+
+    # the batch helper wires content_type per row
+    t = pa.table({
+        "payload": pa.array(["héllo".encode("latin-1"), "ütf".encode()],
+                            pa.large_binary()),
+        "content_type": pa.array(["text/html; charset=iso-8859-1", ""],
+                                 pa.string()),
+    })
+    out = warcmod.decoded_text_column(t)
+    assert out["text"].to_pylist() == ["héllo", "ütf"]
