@@ -130,7 +130,10 @@ def http_body(payload: bytes) -> bytes:
       server ambiguity).
 
     Malformed encodings fall back to the raw body rather than failing the
-    record — crawl junk tolerance, same policy as the JSONL reader."""
+    record — crawl junk tolerance, same policy as the JSONL reader.
+    ``Content-Encoding: br`` (Brotli) is a documented seam: no stdlib
+    decoder and the ``brotli`` package isn't in this container — such
+    bodies pass through compressed (plug the decoder in here)."""
     i = payload.find(b"\r\n\r\n")
     if i < 0:
         return payload
