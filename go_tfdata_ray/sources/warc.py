@@ -149,9 +149,13 @@ def http_body(payload: bytes) -> bytes:
             pass  # malformed chunking: keep the raw body
     ce = headers.get("content-encoding", "")
     if ce in ("gzip", "x-gzip"):
+        # truncated archives raise EOFError, corrupt deflate streams inside
+        # the gzip wrapper raise zlib.error — all fall back to the raw body
+        import zlib
+
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             pass
     elif ce == "deflate":
         import zlib

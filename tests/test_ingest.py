@@ -625,6 +625,15 @@ def test_http_body_dechunk_and_decompress(tmp_path):
     assert warcmod.http_body(bad) == b"not-hex\r\nx"
     badgz = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
     assert warcmod.http_body(badgz) == b"not gzip"
+    # TRUNCATED gzip (EOFError, not OSError) and a valid-header/corrupt-body
+    # stream (zlib.error): the crawl-junk policy still keeps the raw body
+    trunc = gzip.compress(text)[:10]
+    tgz = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + trunc
+    assert warcmod.http_body(tgz) == trunc
+    corrupt = bytearray(gzip.compress(text))
+    corrupt[12] ^= 0xFF  # flip a deflate-stream byte, keep the header
+    cgz = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bytes(corrupt)
+    assert warcmod.http_body(cgz) == bytes(corrupt)
 
     # end-to-end: a WARC response with a chunked+gzip body reads back as
     # the decoded text through read_warc's http_strip
