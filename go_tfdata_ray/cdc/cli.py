@@ -12,7 +12,8 @@ Commands:
   changes       --lake DIR --since VERSION --out DIR [--collapsed]
   delete        --lake DIR (--where col:op:val ... | --ids a,b)  bulk tombstone
   compact       --lake DIR
-  dedup         --lake DIR [--content-col C --dry-run]  exact content dedup
+  dedup         --lake DIR [--method exact|minhash|incremental|
+                incremental-minhash --content-col C --dry-run]  content dedup
   status        --lake DIR                              manifest summary
   profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
   ingest        --wal DIR (--warc F.. | --jsonl F..)    crawl drop → sealed epoch
@@ -105,7 +106,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="content column (default: the index's pinned column "
                         "for incremental, else 'tokens')")
     s.add_argument("--shards", type=int, default=64)
-    s.add_argument("--method", choices=("exact", "minhash", "incremental"),
+    s.add_argument("--method",
+                   choices=("exact", "minhash", "incremental",
+                            "incremental-minhash"),
                    default="exact")
     s.add_argument("--threshold", type=float, default=0.85,
                    help="minhash: estimated-Jaccard near-dup cut")
@@ -353,6 +356,11 @@ def main(argv: list[str] | None = None) -> int:
             out = eng.dedup_incremental(content_col=a.content_col,
                                         num_shards=a.shards,
                                         dry_run=a.dry_run)
+        elif a.method == "incremental-minhash":
+            out = eng.neardup_incremental(content_col=a.content_col,
+                                          num_shards=a.shards,
+                                          threshold=a.threshold,
+                                          dry_run=a.dry_run)
         else:
             out = eng.dedup_lake(
                 content_col=a.content_col or "tokens", num_shards=a.shards,

@@ -910,6 +910,25 @@ class CDCEngine:
                                           compact_over=compact_over,
                                           dry_run=dry_run)
 
+    def neardup_incremental(self, content_col: str | None = None,
+                            num_shards: int = 64, n_perm: int = 64,
+                            k: int = 5, bands: int = 16,
+                            threshold: float = 0.85,
+                            compact_over: int = 8,
+                            dry_run: bool = False) -> dict[str, Any]:
+        """MinHash/LSH NEAR-dup dedup of the docs ingested SINCE THE LAST
+        RUN, against a persisted postings + signature index — the near-dup
+        twin of ``dedup_incremental``: O(new docs) per run, never O(lake).
+        First run bootstraps from a full scan (same contraction semantics
+        as ``dedup_lake(method="minhash")``); later runs consume the net
+        change feed. See ``cdc/neardupidx.py``."""
+        from . import neardupidx
+
+        return neardupidx.neardup_incremental(
+            self, content_col=content_col, num_shards=num_shards,
+            n_perm=n_perm, k=k, bands=bands, threshold=threshold,
+            compact_over=compact_over, dry_run=dry_run)
+
     def tail(
         self,
         wal_dir: str,

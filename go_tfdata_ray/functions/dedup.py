@@ -313,6 +313,46 @@ def jaccard_from_sigs(a: np.ndarray, b: np.ndarray) -> float:
     return float((a == b).mean())
 
 
+_BAND_CONST_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _band_constants(bands: int, rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-(bands, rows) banding constants — drawn in the
+    same order as the original inline math so existing bucket values are
+    bit-identical."""
+    key = (bands, rows)
+    got = _BAND_CONST_CACHE.get(key)
+    if got is None:
+        rng = np.random.default_rng(104729)
+        row_c = (rng.integers(0, 1 << 62, size=rows,
+                              dtype=np.int64).astype(np.uint64) << 1) | 1
+        band_c = rng.integers(0, 1 << 62, size=bands,
+                              dtype=np.int64).astype(np.uint64)
+        got = _BAND_CONST_CACHE[key] = (row_c, band_c)
+    return got
+
+
+def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, n_perm) uint64 signature matrix → (n, bands) int64 LSH bucket
+    keys. The SHARED banding kernel of :func:`minhash_lsh_dedup` and the
+    persisted near-dup index (``cdc/neardupidx.py``) — identical constants,
+    so the two bucket spaces agree and an index built by one is probeable
+    by the other. Band identity is folded into the bucket value via the
+    per-band additive constant; a cross-band collision is merely a spurious
+    candidate pair that signature verification filters."""
+    n, n_perm = sig.shape
+    if n_perm % bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by bands={bands}")
+    rows = n_perm // bands
+    row_c, band_c = _band_constants(bands, rows)
+    chunks = sig.reshape(n, bands, rows)
+    mixed = np.bitwise_xor.reduce(chunks * row_c[None, None, :], axis=2) + band_c[None, :]
+    mixed ^= mixed >> np.uint64(33)
+    mixed *= np.uint64(0xFF51AFD7ED558CCD)
+    mixed ^= mixed >> np.uint64(33)
+    return (mixed & np.uint64((1 << 62) - 1)).astype(np.int64)
+
+
 def minhash_lsh_dedup(
     ds: rd.Dataset,
     text_col: str = "text",
@@ -340,22 +380,12 @@ def minhash_lsh_dedup(
     buckets with numpy group-boundary math) — per-bucket ``map_groups``
     would pay Ray per-group overhead × (docs × bands) tiny groups.
     """
-    rows = n_perm // bands
-    rng = np.random.default_rng(104729)
-    row_c = (rng.integers(0, 1 << 62, size=rows, dtype=np.int64).astype(np.uint64) << 1) | 1
-    band_c = rng.integers(0, 1 << 62, size=bands, dtype=np.int64).astype(np.uint64)
-
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         if n == 0:
             return pd.DataFrame({"shard": [], "band": [], "bucket": [], key_col: [], "sig": []})
         sig = np.frombuffer(b"".join(df["sig"]), dtype=np.int64).reshape(n, -1).astype(np.uint64)
-        chunks = sig.reshape(n, bands, rows)
-        mixed = np.bitwise_xor.reduce(chunks * row_c[None, None, :], axis=2) + band_c[None, :]
-        mixed ^= mixed >> 33
-        mixed *= np.uint64(0xFF51AFD7ED558CCD)
-        mixed ^= mixed >> 33
-        bucket = (mixed & np.uint64((1 << 62) - 1)).astype(np.int64)
+        bucket = band_buckets(sig, bands)
         return pd.DataFrame(
             {
                 "shard": (bucket.reshape(-1) % num_shards).astype(np.int64),
