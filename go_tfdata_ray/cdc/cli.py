@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--auto-dedup", type=int, default=None,
                            help="dedup-on-ingest: run the incremental "
                                 "content dedup every N applied epochs")
+            s.add_argument("--auto-neardup", type=int, default=None,
+                           help="near-dup-on-ingest: run the incremental "
+                                "MinHash/LSH dedup every N applied epochs")
             s.add_argument("--view-checkpoint", default=None,
                            help="maintain a live SourceRollup view, saved "
                                 "atomically to this path after every commit "
@@ -278,6 +281,7 @@ def main(argv: list[str] | None = None) -> int:
                 a.wal, poll_secs=a.poll, idle_limit=a.idle_limit,
                 max_epochs=a.max_epochs, auto_compact=a.auto_compact,
                 auto_dedup=a.auto_dedup,
+                auto_neardup=a.auto_neardup,
                 on_commit=hook,
             )))
         return 0

@@ -937,6 +937,7 @@ class CDCEngine:
         max_epochs: int | None = None,
         auto_compact: int | None = None,
         auto_dedup: int | None = None,
+        auto_neardup: int | None = None,
         on_commit=None,
     ) -> dict[str, Any]:
         """Continuous ingest: poll the WAL directory for new SEALED segments
@@ -948,9 +949,13 @@ class CDCEngine:
 
         ``auto_dedup=N``: dedup-on-ingest — run ``dedup_incremental`` after
         every N applied epochs (O(new docs) per run via the persisted
-        content index). When combined with ``auto_compact``, the dedup runs
-        BEFORE any compaction that is about to fire, because compaction
-        folds the epoch segments the dedup's change feed reads.
+        content index). ``auto_neardup=N``: the MinHash/LSH near-dup twin
+        (``neardup_incremental``); each keeps its own index + feed cursor,
+        so they compose (exact runs first — it's cheaper and shrinks the
+        near-dup's candidate load). When combined with ``auto_compact``,
+        the dedups run BEFORE any compaction that is about to fire,
+        because compaction folds the epoch segments their change feeds
+        read.
 
         ``on_commit``: callable invoked with each applied epoch's commit
         result AFTER the manifest commit — the hook point for live
@@ -1017,6 +1022,16 @@ class CDCEngine:
                             # the delete epoch is a commit like any other:
                             # live views must see dedup tombstones too
                             on_commit(dres)
+                    if auto_neardup and (
+                        applied % auto_neardup == 0
+                        or (auto_compact and self.would_compact(auto_compact))
+                    ):
+                        nres = self.neardup_incremental()
+                        deduped += nres.get("deleted", 0)
+                        idx_probed += nres.get("index_shards_probed", 0)
+                        idx_read += nres.get("index_shards_read", 0)
+                        if nres.get("deleted", 0) and on_commit is not None:
+                            on_commit(nres)
                     if auto_compact:
                         self.maybe_compact(auto_compact)
                 if max_epochs is not None and applied >= max_epochs:

@@ -201,11 +201,12 @@ def vacuum(lake_dir: str, keep_versions: int = 2,
         live |= {os.path.abspath(p) for p in mv.live_files(lake_dir)}
         live |= {os.path.abspath(p) for p in _segment_delta_paths(lake_dir, mv)}
     deleted = []
+    # sidecar state the manifest doesn't reference but that must survive
+    # vacuum: the incremental dedup indexes (exact content + near-dup)
+    sidecars = ("_dedup_index", "_neardup_index", "_ann_index")
     for root, _dirs, names in os.walk(lake_dir):
-        # sidecar state the manifest doesn't reference but that must
-        # survive vacuum: the incremental-dedup content index
-        _dirs[:] = [d for d in _dirs if d != "_dedup_index"]
-        if os.path.basename(root) in ("_manifests", "_dedup_index"):
+        _dirs[:] = [d for d in _dirs if d not in sidecars]
+        if os.path.basename(root) in ("_manifests",) + sidecars:
             continue
         for n in names:
             p = os.path.abspath(os.path.join(root, n))

@@ -170,6 +170,49 @@ def test_neardup_parameter_pinning(tmp_path):
     assert out["deleted"] == 0
 
 
+def test_tail_auto_neardup_with_compaction(tmp_path):
+    """Near-dup-on-ingest: tail(auto_neardup=1) tombstones near-duplicates
+    as epochs land; combined with auto_compact the near-dup drains the
+    change feed BEFORE compaction folds it (no full-resync error); the
+    final state holds exactly one live doc per family."""
+    import pyarrow.parquet as pq
+
+    from go_tfdata_ray.sources import wal as walmod
+
+    wal = str(tmp_path / "wal")
+    seq = 0
+    variant = 1
+    for e in range(5):  # each epoch re-drops near-variants of 4 families
+        d = walmod.open_segment(wal, e)
+        ids = [f"e{e}d{i}" for i in range(4)]
+        toks = []
+        for i in range(4):
+            toks.append(_fam_doc((e + i) % 4, variant))
+            variant += 1
+        t = pa.table({
+            "seq": pa.array(range(seq, seq + 4), pa.int64()),
+            "epoch": pa.array([e] * 4, pa.int32()),
+            "op": pa.array(["I"] * 4),
+            "doc_id": pa.array(ids),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], pa.int32()),
+            "source": pa.array(["s"] * 4),
+        })
+        seq += 4
+        pq.write_table(t, os.path.join(d, "shard-000000.parquet"))
+        walmod.seal_segment(d)
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    m = eng.tail(wal, idle_limit=1, poll_secs=0.01,
+                 auto_neardup=1, auto_compact=3)
+    assert m["epochs_applied"] == 5
+    assert m["rows_deduped"] == 20 - 4  # 20 drops, 4 families
+    alive = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
+    assert len(alive) == 4
+    fams = sorted(int(t[0]) // 1000 for t in alive["tokens"])
+    assert fams == [0, 1, 2, 3]
+
+
 @pytest.mark.parametrize("seed", [17, 99])
 def test_neardup_incremental_family_churn(tmp_path, seed):
     """Randomized insert/update/delete churn over disjoint families with a
