@@ -915,7 +915,8 @@ class CDCEngine:
                             k: int = 5, bands: int = 16,
                             threshold: float = 0.85,
                             compact_over: int = 8,
-                            dry_run: bool = False) -> dict[str, Any]:
+                            dry_run: bool = False,
+                            return_pairs: bool = False) -> dict[str, Any]:
         """MinHash/LSH NEAR-dup dedup of the docs ingested SINCE THE LAST
         RUN, against a persisted postings + signature index — the near-dup
         twin of ``dedup_incremental``: O(new docs) per run, never O(lake).
@@ -927,7 +928,8 @@ class CDCEngine:
         return neardupidx.neardup_incremental(
             self, content_col=content_col, num_shards=num_shards,
             n_perm=n_perm, k=k, bands=bands, threshold=threshold,
-            compact_over=compact_over, dry_run=dry_run)
+            compact_over=compact_over, dry_run=dry_run,
+            return_pairs=return_pairs)
 
     def tail(
         self,

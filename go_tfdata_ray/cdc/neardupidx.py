@@ -226,14 +226,19 @@ def neardup_incremental(engine, content_col: str | None = None,
                         n_perm: int = 64, k: int = 5, bands: int = 16,
                         threshold: float = 0.85,
                         compact_over: int = 8,
-                        dry_run: bool = False) -> dict[str, Any]:
+                        dry_run: bool = False,
+                        return_pairs: bool = False) -> dict[str, Any]:
     """One incremental near-dup run over ``engine``'s lake. See module doc.
 
     The signature-space parameters (content_col, n_perm, k, bands) are
     pinned at index creation — a conflicting explicit value raises (mixing
     signature spaces in one index would corrupt every estimate).
     ``threshold`` is per-run (signatures are threshold-independent).
-    ``dry_run=True`` reports without mutating anything."""
+    ``dry_run=True`` reports without mutating anything.
+    ``return_pairs=True`` adds ``out["pairs"]``, a driver-side
+    ``pa.Table (doc_id, dup_of)`` of the tombstoned docs and their
+    winners — epoch-bounded in steady state, but LAKE-SIZED at a
+    duplicate-heavy bootstrap: leave it off for production runs there."""
     lake = engine.lake_dir
     idx_dir = _index_dir(lake)
     os.makedirs(idx_dir, exist_ok=True)
@@ -412,10 +417,12 @@ def neardup_incremental(engine, content_col: str | None = None,
 
     def split_sure(t: pa.Table) -> pa.Table:
         if "verified" not in t.column_names:
-            return pa.table({"doc_id": pa.array([], pa.string())})
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "dup_of": pa.array([], pa.string())})
         t = t.filter(pc.and_(pc.equal(t["verified"], pa.scalar(True)),
                              pc.is_valid(t["doc_id"])))
-        return t.select(["doc_id"])
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.string()),
+                         "dup_of": pc.cast(t["dup_of"], pa.string())})
 
     def split_stats(t: pa.Table) -> pa.Table:
         if "_idx_read" not in t.column_names:
@@ -434,7 +441,7 @@ def neardup_incremental(engine, content_col: str | None = None,
     n_sure = sure_ds.count()
 
     # -- phase B: verify incumbents (driver, epoch-bounded) -----------------
-    losers: list[str] = []
+    losers: dict[str, str] = {}  # doc -> min winning incumbent
     post_drops: dict[int, list[dict]] = {}  # posting 'D' rows by shard
     sig_drops: dict[int, list[dict]] = {}   # sig 'D' rows by shard
     if len(unverified):
@@ -507,7 +514,9 @@ def neardup_incremental(engine, content_col: str | None = None,
                             {"doc_id": d, "seq": tomb_seq[d],
                              "sig": b"", "op": "D"})
             if matches:
-                losers.append(str(row.doc_id))
+                d = str(row.doc_id)
+                w = min(matches)
+                losers[d] = min(losers.get(d, w), w)
         if not dry_run:
             for sh, rows in post_drops.items():
                 _write_seg(idx_dir, "post", sh, pd.DataFrame(rows))
@@ -516,7 +525,7 @@ def neardup_incremental(engine, content_col: str | None = None,
 
     n_cand = n_sure + len(unverified)
     if dry_run:
-        return {"duplicates": n_sure + len(set(losers)), "dry_run": True,
+        return {"duplicates": n_sure + len(losers), "dry_run": True,
                 "method": "neardup-incremental", "bootstrap": bootstrap,
                 "candidates": int(n_cand), "signed": int(n_signed),
                 "num_shards": num_shards,
@@ -528,7 +537,9 @@ def neardup_incremental(engine, content_col: str | None = None,
     to_delete = sure_ds
     if losers:
         import ray.data as rd
-        extra = pa.table({"doc_id": pa.array(sorted(set(losers)), pa.string())})
+        items = sorted(losers.items())
+        extra = pa.table({"doc_id": pa.array([d for d, _ in items], pa.string()),
+                          "dup_of": pa.array([w for _, w in items], pa.string())})
         to_delete = sure_ds.union(rd.from_arrow(extra))
 
     def flag_shard_col(t: pa.Table) -> pa.Table:
@@ -537,14 +548,26 @@ def neardup_incremental(engine, content_col: str | None = None,
         return t.append_column("_ks", pa.array(ks))
 
     def flag_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates("doc_id")[["doc_id"]]
+        # a doc can lose in several bands/shards: keep the min winner
+        df = df.sort_values(["doc_id", "dup_of"], kind="mergesort")
+        return df.groupby("doc_id", sort=False).head(1)[["doc_id", "dup_of"]]
 
     out: dict[str, Any] = {"deleted": 0}
+    pairs_tab = pa.table({"doc_id": pa.array([], pa.string()),
+                          "dup_of": pa.array([], pa.string())})
     if n_sure or losers:
         uniq = exchange_group_map(
             to_delete.map_batches(flag_shard_col, batch_format="pyarrow"),
-            flag_dedup, num_shards, shard_col="_ks")
+            flag_dedup, num_shards, shard_col="_ks").materialize()
+        if return_pairs:
+            import ray as _ray
+            tabs = [t for t in _ray.get(uniq.to_arrow_refs()) if t.num_rows]
+            if tabs:
+                pairs_tab = pa.concat_tables(
+                    [t.select(["doc_id", "dup_of"]) for t in tabs])
         out = engine.delete_dataset(uniq)
+    if return_pairs:
+        out["pairs"] = pairs_tab
     out.update({
         "method": "neardup-incremental",
         "bootstrap": bootstrap,

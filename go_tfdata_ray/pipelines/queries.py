@@ -1176,7 +1176,7 @@ def _plant_copies(ds, plan: list[tuple[int, int]]):
     return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_minhash_dedup(sf_dir: str):
+def q_minhash_batch(sf_dir: str):
     """MinHash-LSH near-dup (shingle→minhash→band→bucket→verify) over the
     disjoint-token fixture corpus + planted exact copies (every 50th doc →
     +1M; every 100th ALSO → +2M, exercising multi-copy groups): disjoint
@@ -1184,7 +1184,9 @@ def q_minhash_dedup(sf_dir: str):
     0.5-thresholded output is exactly the planted copies, each pointing at
     its group's min-id representative — SQL-closed-form. Behavior on
     natural text (recall/threshold monotonicity, Jaccard estimation error)
-    stays pytest-covered (``test_dedup.py``)."""
+    stays pytest-covered (``test_dedup.py``). This is the bench-timed leg
+    (``bench.py`` calls it directly so the timed number stays comparable
+    across rounds); the registry entry is the legged composite below."""
     ds = _plant_copies(_disjoint_token_docs(sf_dir),
                        [(50, 1_000_000), (100, 2_000_000)])
     out = dedup.minhash_lsh_dedup(ds, threshold=0.5)
@@ -1192,6 +1194,62 @@ def q_minhash_dedup(sf_dir: str):
         lambda t: _i64(t.select(["doc_id", "dup_of"]), "doc_id", "dup_of"),
         batch_format="pyarrow",
     )
+
+
+def _neardup_index_pairs(sf_dir: str) -> pa.Table:
+    """Incremental near-dup INDEX leg: the same planted-copy plan as the
+    batch leg, but reached through a 3-epoch CDC lake with a
+    ``neardup_incremental`` run after each epoch — epoch 1 the originals
+    (bootstrap, deletes nothing: disjoint token families), epoch 2 the +1M
+    copies (each loses to its indexed incumbent), epoch 3 the +2M copies
+    (each collides with its live original AND the now-dead +1M copy,
+    exercising the stale-posting drop). The flagged (doc_id, dup_of) pairs
+    equal the batch leg's closed-form oracle."""
+    import shutil
+
+    from ..cdc.engine import CDCEngine
+
+    ids = pd.read_parquet(_t(sf_dir, "documents"),
+                          columns=["doc_id"])["doc_id"].to_numpy().astype(np.int64)
+    NW = 24
+
+    def tab(id_arr, src_arr):
+        toks = [[int(i) * NW + j for j in range(NW)] for i in src_arr]
+        return pa.table({
+            "doc_id": pa.array([f"{i:09d}" for i in id_arr], pa.string()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "source": pa.array(["s"] * len(id_arr), pa.string()),
+        })
+
+    lake = os.path.join("/tmp/graft_lake",
+                        f"neardupidx-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = CDCEngine(lake, num_partitions=8)
+    eng.upsert(tab(ids, ids))
+    eng.neardup_incremental(content_col="tokens", num_shards=16, threshold=0.5)
+    pairs = []
+    for off, sel in ((1_000_000, ids[ids % 50 == 0]),
+                     (2_000_000, ids[ids % 100 == 0])):
+        eng.upsert(tab(sel + off, sel))
+        out = eng.neardup_incremental(threshold=0.5, return_pairs=True)
+        pairs.append(out["pairs"])
+    t = pa.concat_tables(pairs)
+    return pa.table({
+        "leg": pa.array(["incr"] * t.num_rows, pa.string()),
+        "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        "dup_of": pc.cast(t["dup_of"], pa.int64()),
+    })
+
+
+def q_minhash_dedup(sf_dir: str):
+    """Kind-tagged near-dup composite over one closed-form planted oracle:
+    leg='batch' = the full-corpus ``minhash_lsh_dedup`` sweep
+    (``q_minhash_batch``), leg='incr' = the persisted incremental index
+    (``cdc/neardupidx.py``) flagging the same copies epoch by epoch."""
+    batch = q_minhash_batch(sf_dir).map_batches(
+        lambda t: t.add_column(0, "leg", pa.array(["batch"] * len(t))),
+        batch_format="pyarrow")
+    return batch.union(rd.from_arrow(_neardup_index_pairs(sf_dir)))
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1840,12 +1898,16 @@ ORACLE_SQL = {
     "minhash_dedup": (
         # disjoint-token fixture corpus: the only near-dups are the planted
         # exact copies (+1M every 50th, +2M every 100th), each resolving to
-        # its group's min-id representative = the original
+        # its group's min-id representative = the original — once per leg
+        # (batch sweep / incremental index)
+        "WITH planted AS ("
         "SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, "
         "CAST(doc_id AS BIGINT) AS dup_of FROM documents WHERE doc_id % 50 = 0 "
         "UNION ALL "
         "SELECT CAST(doc_id + 2000000 AS BIGINT), CAST(doc_id AS BIGINT) "
-        "FROM documents WHERE doc_id % 100 = 0"
+        "FROM documents WHERE doc_id % 100 = 0) "
+        "SELECT 'batch' AS leg, doc_id, dup_of FROM planted "
+        "UNION ALL SELECT 'incr' AS leg, doc_id, dup_of FROM planted"
     ),
     "simhash_neardup": (
         # disjoint-token fixture corpus: output = planted copies at Hamming 0
