@@ -489,34 +489,64 @@ def neardup_incremental(engine, content_col: str | None = None,
                 for d, sg in zip(re["doc_id"], re["sig"]):
                     sig_live[str(d)] = bytes(sg)
 
-        for row in unverified.itertuples(index=False):
-            my_sig = np.frombuffer(row.sig, dtype=np.int64)
-            matches = []
-            for d, s in zip(row.incs, row.incseqs):
-                s = int(s)
-                if live_seq.get(d) == s:
-                    sg = sig_live.get(d)
-                    if sg is not None and (np.frombuffer(sg, dtype=np.int64)
-                                           == my_sig).mean() >= threshold:
-                        matches.append(d)
-                else:
-                    # stale posting: doc dead, or updated past this seq
-                    # (its current content has its own newer posting)
-                    sh = int(np.uint64(np.int64(row.bucket))
-                             % np.uint64(num_shards))
-                    post_drops.setdefault(sh, []).append(
-                        {"bucket": int(row.bucket), "doc_id": d,
-                         "seq": s, "op": "D"})
-                    if d in tomb_seq and d not in live_seq:
-                        ssh = int(_stable_hash(np.array([d], dtype=object))[0]
-                                  % np.uint64(num_shards))
-                        sig_drops.setdefault(ssh, []).append(
-                            {"doc_id": d, "seq": tomb_seq[d],
-                             "sig": b"", "op": "D"})
-            if matches:
-                d = str(row.doc_id)
-                w = min(matches)
-                losers[d] = min(losers.get(d, w), w)
+        # explode candidate rows into one flat (doc, inc, seq, bucket) pair
+        # frame and verify with numpy over the whole set — a per-row Python
+        # walk dominated driver time on collision-heavy epochs (measured:
+        # ~5k candidates on the sf0.1 replay lake)
+        n_inc = unverified["incs"].map(len).to_numpy()
+        rix = np.repeat(np.arange(len(unverified)), n_inc)
+        p_doc = unverified["doc_id"].to_numpy()[rix]
+        p_inc = np.concatenate([np.asarray(l, dtype=object)
+                                for l in unverified["incs"]])
+        p_seq = np.concatenate([np.asarray(l, dtype=np.int64)
+                                for l in unverified["incseqs"]])
+        p_bkt = unverified["bucket"].to_numpy()[rix]
+        live_arr = np.array([live_seq.get(d, -(1 << 62)) for d in p_inc],
+                            dtype=np.int64)
+        fresh = live_arr == p_seq
+
+        # stale postings (doc dead or updated past this seq — its current
+        # content has its own newer posting) → deduped 'D' rows
+        seen_pd: set = set()
+        seen_sd: set = set()
+        for bkt, d, s in zip(p_bkt[~fresh].tolist(),
+                             p_inc[~fresh].tolist(),
+                             p_seq[~fresh].tolist()):
+            key = (int(bkt), d, int(s))
+            if key in seen_pd:
+                continue
+            seen_pd.add(key)
+            sh = int(np.uint64(np.int64(bkt)) % np.uint64(num_shards))
+            post_drops.setdefault(sh, []).append(
+                {"bucket": int(bkt), "doc_id": d, "seq": int(s), "op": "D"})
+            if d in tomb_seq and d not in live_seq and d not in seen_sd:
+                seen_sd.add(d)
+                ssh = int(_stable_hash(np.array([d], dtype=object))[0]
+                          % np.uint64(num_shards))
+                sig_drops.setdefault(ssh, []).append(
+                    {"doc_id": d, "seq": tomb_seq[d], "sig": b"", "op": "D"})
+
+        fi = np.flatnonzero(fresh)
+        if len(fi) and sig_live:
+            sig_mat = (np.frombuffer(b"".join(unverified["sig"]),
+                                     dtype=np.int64)
+                       .reshape(len(unverified), -1))
+            inc_mat = (np.frombuffer(b"".join(sig_live.values()),
+                                     dtype=np.int64)
+                       .reshape(len(sig_live), -1))
+            pos = {d: i for i, d in enumerate(sig_live)}
+            iidx = np.array([pos.get(d, -1) for d in p_inc[fi]],
+                            dtype=np.int64)
+            ok = iidx >= 0
+            est = (sig_mat[rix[fi[ok]]] == inc_mat[iidx[ok]]).mean(axis=1)
+            hit = est >= threshold
+            wdoc, winc = p_doc[fi[ok]][hit], p_inc[fi[ok]][hit]
+            if len(wdoc):
+                best = (pd.DataFrame({"d": wdoc, "w": winc})
+                        .groupby("d")["w"].min())
+                for d, w in best.items():
+                    d = str(d)
+                    losers[d] = min(losers.get(d, str(w)), str(w))
         if not dry_run:
             for sh, rows in post_drops.items():
                 _write_seg(idx_dir, "post", sh, pd.DataFrame(rows))
