@@ -385,18 +385,19 @@ def q_join_range(sf_dir: str):
         filter=pc.field("event_type") == "purchase",
     )
 
-    def mk_windows(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"] == "purchase"]
-        return pd.DataFrame(
-            {
-                "purchase_id": df["event_id"],
-                "user_id": df["user_id"],
-                "lo": df["ts"],
-                "hi": df["ts"] + pd.Timedelta(minutes=30),
-            }
-        )
+    def mk_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = t["ts"]
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        return pa.table({
+            "purchase_id": t["event_id"],
+            "user_id": t["user_id"],
+            "lo": ts,
+            "hi": pc.add(ts, pa.scalar(30 * 60 * per_sec,
+                                       pa.duration(ts.type.unit))),
+        })
 
-    windows = pur.map_batches(mk_windows, batch_format="pandas")
+    windows = pur.map_batches(mk_windows, batch_format="pyarrow")
     joined = joins.object_exchange_range_join(
         ev, windows, on="ts", lo="lo", hi="hi", by="user_id")
 
