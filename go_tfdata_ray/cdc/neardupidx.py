@@ -397,8 +397,12 @@ def neardup_incremental(engine, content_col: str | None = None,
             "doc_id": pd.array([None], dtype="string"),
             "seq": np.zeros(1, dtype=np.int64),
             "bucket": np.zeros(1, dtype=np.int64),
-            "sig": [b""], "incs": pd.Series([[]], dtype=object),
-            "incseqs": pd.Series([[]], dtype=object),
+            # non-empty typed sentinels (row is dropped downstream via
+            # is_valid(doc_id)): they pin list<string>/list<int64> so a
+            # shard with no candidates can't infer list<null> and trip
+            # schema unification against its siblings
+            "sig": [b""], "incs": pd.Series([[""]], dtype=object),
+            "incseqs": pd.Series([[np.int64(0)]], dtype=object),
             "dup_of": pd.array([None], dtype="string"),
             "verified": np.ones(1, dtype=bool),
         })
