@@ -103,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("compact")
     s.add_argument("--lake", required=True)
 
+    s = sub.add_parser("clone")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--dest", required=True,
+                   help="branch directory (must not already hold a lake)")
+    s.add_argument("--at-version", type=int, default=None,
+                   help="branch point (default: latest committed version)")
+    s.add_argument("--no-indexes", action="store_true",
+                   help="skip the dedup/near-dup/ANN sidecar indexes")
+
     s = sub.add_parser("dedup")
     s.add_argument("--lake", required=True)
     s.add_argument("--content-col", default=None,
@@ -351,6 +360,14 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         print(json.dumps(eng.compact()))
+        return 0
+
+    if a.cmd == "clone":
+        # pure metadata op: no Ray session needed
+        from ..state import manifest as mf
+        print(json.dumps(mf.clone_lake(a.lake, a.dest,
+                                       at_version=a.at_version,
+                                       include_indexes=not a.no_indexes)))
         return 0
 
     if a.cmd == "dedup":

@@ -1339,6 +1339,25 @@ class CDCEngine:
 
     # -- maintenance -------------------------------------------------------
 
+    def clone(self, dst_dir: str, at_version: int | None = None,
+              include_indexes: bool = True) -> dict[str, int]:
+        """Zero-copy BRANCH of this lake at ``at_version`` (default:
+        latest): hardlink the manifest closure (every retained version ≤
+        the branch point, their bases, intent segments and delta run
+        files) and — by default — the incremental dedup/near-dup/ANN
+        sidecar indexes into ``dst_dir``. Metadata-only cost (no data
+        bytes move on one filesystem), and the branches are fully
+        independent afterwards: every writer in this engine mutates files
+        only via tmp+rename, so ingest / compact / dedup / ``vacuum`` on
+        either side can never corrupt the other (see
+        ``state/manifest.py:clone_lake``). The use case is curation
+        experiments — try an aggressive dedup or filter recipe on a
+        branch of a 100 TB lake without copying it or risking the
+        mainline. Returns ``{"version", "manifests", "linked",
+        "copied"}``."""
+        return mf.clone_lake(self.lake_dir, dst_dir, at_version=at_version,
+                             include_indexes=include_indexes)
+
     def compact(self, row_group_size: int = 32768) -> dict[str, Any]:
         """Fold each partition's base+deltas into a single new base file
         (shuffle-free; one task per partition), then commit a new manifest

@@ -226,3 +226,105 @@ def vacuum(lake_dir: str, keep_versions: int = 2,
             os.unlink(p)
             deleted.append(p)
     return deleted
+
+
+def clone_lake(src_dir: str, dst_dir: str, at_version: int | None = None,
+               include_indexes: bool = True) -> dict[str, int]:
+    """Zero-copy lake BRANCH: materialize ``dst_dir`` as an independent
+    lake whose history ends at ``at_version`` (default: latest), sharing
+    every data file with the source via HARDLINKS.
+
+    Why this is safe: every writer in this engine mutates files only by
+    tmp-write + rename/os.replace (data fragments, intent segments,
+    manifests, index segments, Bloom side-files, state.json — nothing is
+    ever opened for in-place modification), so a shared inode can never
+    be changed under the other branch: a "rewrite" in either lake breaks
+    the link by swapping in a fresh inode, and ``vacuum`` only unlinks
+    directory entries — the inode survives while any branch references
+    it. After the clone the two lakes are fully independent: ingest,
+    compact, dedup and vacuum on one never affect the other.
+
+    What is cloned: every still-on-disk manifest version ≤ ``at_version``
+    (so time travel and the ``changes`` feed keep working on the branch
+    within the source's retention window at clone time) plus the union of
+    those versions' file closures (bases, intent segments, delta run
+    files), plus — with ``include_indexes`` — the ``_dedup_index`` /
+    ``_neardup_index`` / ``_ann_index`` sidecars, so incremental dedup /
+    ANN sync on the branch stay O(change set) instead of re-bootstrapping.
+
+    Cost is O(files) metadata operations — no bytes are copied on a
+    same-filesystem clone (cross-device falls back to copy, counted in
+    ``"copied"``). On an object store the same shape is conditional-PUT
+    of the manifest keys over shared immutable objects.
+
+    ``dst_dir`` must not already contain a lake (no ``_manifests``).
+    Returns ``{"version", "manifests", "linked", "copied"}``."""
+    import shutil
+
+    head = latest_version(src_dir)
+    if head < 0:
+        raise FileNotFoundError(f"no committed manifest under {src_dir}")
+    v = head if at_version is None else int(at_version)
+    if latest_version(dst_dir) >= 0:
+        raise FileExistsError(f"{dst_dir} already holds a lake")
+    # closure over every retained manifest ≤ v (rel paths)
+    rels: set[str] = set()
+    versions: list[int] = []
+    for n in os.listdir(_manifest_dir(src_dir)):
+        m = _MANIFEST_RE.match(n)
+        if not (m and int(m.group(1)) <= v):
+            continue
+        versions.append(int(m.group(1)))
+        mv = load_version(src_dir, int(m.group(1)))
+        for p in mv.live_files(src_dir):
+            rels.add(os.path.relpath(p, src_dir))
+        for p in _segment_delta_paths(src_dir, mv):
+            rels.add(os.path.relpath(p, src_dir))
+    if v not in versions:
+        raise FileNotFoundError(
+            f"manifest v{v} not found (vacuumed or never committed)")
+    if include_indexes:
+        for side in ("_dedup_index", "_neardup_index", "_ann_index"):
+            d = os.path.join(src_dir, side)
+            for root, _dirs, names in os.walk(d):
+                for n in names:
+                    if ".tmp" in n:
+                        continue  # half-written scratch, never state
+                    rels.add(os.path.relpath(os.path.join(root, n), src_dir))
+    linked = copied = 0
+    for rel in sorted(rels):
+        src = os.path.join(src_dir, rel)
+        dst = os.path.join(dst_dir, rel)
+        if not os.path.exists(src):
+            continue  # vacuumed under an old manifest: that version is gone
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.exists(dst):
+            continue  # crashed-clone re-run: already linked
+        try:
+            os.link(src, dst)
+            linked += 1
+        except OSError:  # EXDEV (cross-device) or a filesystem without links
+            # NEVER copyfile onto an existing dst: it would TRUNCATE the
+            # shared inode (the exists-check above guards the re-run path);
+            # tmp+rename keeps a concurrent reader off a half-copied file
+            tmp = dst + f".tmp-{os.getpid()}"
+            shutil.copyfile(src, tmp)
+            os.rename(tmp, dst)
+            copied += 1
+    # manifest JSONs last: a crash mid-clone leaves data files and intent
+    # segments but no manifest-v*.json, so the partial clone is not a lake
+    # (latest_version < 0) and a re-run relinks idempotently over it
+    os.makedirs(_manifest_dir(dst_dir), exist_ok=True)
+    for mv in sorted(versions):
+        src = os.path.join(_manifest_dir(src_dir), f"manifest-v{mv}.json")
+        dst = os.path.join(_manifest_dir(dst_dir), f"manifest-v{mv}.json")
+        if os.path.exists(dst):
+            continue
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device (same truncation guard as above)
+            tmp = dst + f".tmp-{os.getpid()}"
+            shutil.copyfile(src, tmp)
+            os.rename(tmp, dst)
+    return {"version": v, "manifests": len(versions),
+            "linked": linked, "copied": copied}

@@ -1583,3 +1583,98 @@ def test_dedup_incremental_bloom_skips_untouched_shards(tmp_path):
     eng.upsert(_tok_table(["dup01"], [base[1]]))
     out = eng.dedup_incremental()
     assert out["deleted"] == 1
+
+
+def test_clone_lake_branches_are_independent(tmp_path):
+    """Zero-copy branch: the clone equals the source snapshot; writes,
+    compaction and VACUUM on either side never leak into the other
+    (hardlinked inodes survive the other branch's unlink)."""
+    src = str(tmp_path / "src")
+    eng = CDCEngine(src, num_partitions=4)
+    eng.upsert(_tok_table(["a", "b", "c"], [[1], [2], [3]]))
+    eng.upsert(_tok_table(["b", "d"], [[20], [4]]))
+    v_branch = eng.manifest.version
+
+    dst = str(tmp_path / "branch")
+    res = eng.clone(dst)
+    assert res["version"] == v_branch and res["linked"] > 0
+    br = CDCEngine(dst)
+    assert_tables_equal(br.scan_table(), eng.scan_table())
+
+    # diverge both sides; neither sees the other's writes
+    br.upsert(_tok_table(["e"], [[5]]))
+    eng.upsert(_tok_table(["a"], [[100]]))
+    src_ids = set(eng.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    br_ids = set(br.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert "e" not in src_ids and "e" in br_ids
+    src_a = eng.lookup(["a"]).to_pandas()
+    br_a = br.lookup(["a"]).to_pandas()
+    assert src_a["tokens"].iloc[0] == [100] and br_a["tokens"].iloc[0] == [1]
+
+    # the shared-inode survival test: compact+vacuum the SOURCE down to
+    # fresh bases (unlinking every pre-branch fragment from its side),
+    # then full-vacuum the BRANCH too — both must still scan exactly
+    eng.compact()
+    mf.vacuum(src, keep_versions=1)
+    br.compact()
+    mf.vacuum(dst, keep_versions=1)
+    src_after = {r["doc_id"]: r["tokens"]
+                 for r in eng.scan_table().to_pylist()}
+    br_after = {r["doc_id"]: r["tokens"]
+                for r in CDCEngine(dst).scan_table().to_pylist()}
+    assert src_after == {"a": [100], "b": [20], "c": [3], "d": [4]}
+    assert br_after == {"a": [1], "b": [20], "c": [3], "d": [4], "e": [5]}
+
+
+def test_clone_lake_at_version_and_guards(tmp_path):
+    """at_version branches a PAST snapshot; cloning onto an existing lake
+    refuses; a crashed half-clone (no manifest jsons) re-runs clean."""
+    src = str(tmp_path / "src")
+    eng = CDCEngine(src, num_partitions=2)
+    eng.upsert(_tok_table(["a"], [[1]]))
+    v0 = eng.manifest.version
+    eng.upsert(_tok_table(["b"], [[2]]))
+
+    dst = str(tmp_path / "old")
+    eng.clone(dst, at_version=v0)
+    old = CDCEngine(dst)
+    assert set(old.scan(columns=["doc_id"]).to_pandas()["doc_id"]) == {"a"}
+    # the branch's history ends at the branch point
+    assert old.manifest.version == v0
+
+    with pytest.raises(FileExistsError):
+        eng.clone(dst)
+
+    # simulate a crash mid-clone: data linked but no manifest jsons yet
+    crashed = str(tmp_path / "crashed")
+    eng.clone(crashed)
+    for n in os.listdir(os.path.join(crashed, "_manifests")):
+        if n.startswith("manifest-v"):
+            os.unlink(os.path.join(crashed, "_manifests", n))
+    res = eng.clone(crashed)  # re-run: relinks idempotently, commits
+    assert res["version"] == eng.manifest.version
+    assert_tables_equal(CDCEngine(crashed).scan_table(), eng.scan_table())
+
+
+def test_clone_lake_carries_incremental_dedup_index(tmp_path):
+    """include_indexes keeps dedup-on-branch O(change set): the clone's
+    first dedup_incremental is NOT a bootstrap and still catches a new
+    duplicate of a source-era incumbent."""
+    src = str(tmp_path / "src")
+    eng = CDCEngine(src, num_partitions=2)
+    eng.upsert(_tok_table(["orig"], [[7, 8, 9]]))
+    out = eng.dedup_incremental(num_shards=4)
+    assert out["bootstrap"]
+
+    dst = str(tmp_path / "branch")
+    eng.clone(dst)
+    br = CDCEngine(dst)
+    br.upsert(_tok_table(["copycat"], [[7, 8, 9]]))
+    out = br.dedup_incremental()
+    assert not out["bootstrap"] and out["deleted"] == 1
+    alive = set(br.scan(columns=["doc_id"]).to_pandas()["doc_id"])
+    assert alive == {"orig"}
+    # and the SOURCE index is untouched: a source-side dup still resolves
+    eng.upsert(_tok_table(["copysrc"], [[7, 8, 9]]))
+    out = eng.dedup_incremental()
+    assert not out["bootstrap"] and out["deleted"] == 1
