@@ -16,7 +16,9 @@ Commands:
                 incremental-minhash --content-col C --dry-run]  content dedup
   status        --lake DIR                              manifest summary
   profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
-  ingest        --wal DIR (--warc F.. | --jsonl F..)    crawl drop → sealed epoch
+  ingest        --wal DIR (--warc F.. | --jsonl F..) [--expect RULE ..]
+                crawl drop → sealed epoch, quality-gated (quarantine/warn/fail)
+  quarantine    --wal DIR [--epoch N --show K]   inspect quarantined rows
   takedown      --wal DIR (--uris a,b | --uris-file F)  delete epoch by URI
 """
 
@@ -146,6 +148,18 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--canonicalize", action="store_true",
                    help="canonicalize URIs before keying (scheme/host case, "
                         "default ports, fragments, trailing slash)")
+    s.add_argument("--expect", action="append", default=[],
+                   metavar="RULE",
+                   help="data-quality rule 'kind:args[=action]' (repeatable; "
+                        "kinds: nonempty/notnull/url:COL, minlen/maxlen:COL:N, "
+                        "match:COL:REGEX, range:COL:LO:HI; actions: "
+                        "quarantine (default) / warn / fail)")
+
+    s = sub.add_parser("quarantine")
+    s.add_argument("--wal", required=True)
+    s.add_argument("--epoch", type=int, default=None)
+    s.add_argument("--show", type=int, default=0,
+                   help="also print up to N quarantined rows")
 
     s = sub.add_parser("takedown")
     s.add_argument("--wal", required=True)
@@ -225,11 +239,55 @@ def main(argv: list[str] | None = None) -> int:
             docs = jsonlmod.read_jsonl(
                 a.jsonl, columns=[a.uri_col, a.text_col, a.date_col],
                 strict=a.strict)
-        out = ing.stage_drop(docs, a.wal, uri_col=a.uri_col,
-                             text_col=a.text_col, date_col=a.date_col,
-                             source=a.source, vocab=a.vocab,
-                             canonicalize=a.canonicalize)
+        exps = None
+        if a.expect:
+            from .expect import ExpectationFailed, parse_expect_spec
+
+            exps = [parse_expect_spec(s) for s in a.expect]
+            try:
+                out = ing.stage_drop(docs, a.wal, uri_col=a.uri_col,
+                                     text_col=a.text_col, date_col=a.date_col,
+                                     source=a.source, vocab=a.vocab,
+                                     canonicalize=a.canonicalize,
+                                     expectations=exps)
+            except Exception as err:  # surface fail-policy aborts as JSON
+                # Ray re-raises task errors as RayTaskError(UserCodeException)
+                # with the original type only in the embedded traceback text
+                detail = None
+                if isinstance(err, ExpectationFailed):
+                    detail = str(err)
+                else:
+                    for line in str(err).splitlines():
+                        if "ExpectationFailed:" in line:
+                            detail = line.split("ExpectationFailed:", 1)[1].strip()
+                if detail is None:
+                    raise
+                print(json.dumps({"error": "expectation_failed",
+                                  "detail": detail}))
+                return 3
+        else:
+            out = ing.stage_drop(docs, a.wal, uri_col=a.uri_col,
+                                 text_col=a.text_col, date_col=a.date_col,
+                                 source=a.source, vocab=a.vocab,
+                                 canonicalize=a.canonicalize)
         print(json.dumps(out))
+        return 0
+
+    if a.cmd == "quarantine":
+        _ray_up()
+        from .expect import read_quarantine
+
+        qds = read_quarantine(a.wal, epoch=a.epoch)
+        df = qds.to_pandas()
+        by_rule = (df["_violation"].value_counts().to_dict()
+                   if len(df) else {})
+        print(json.dumps({"rows": int(len(df)),
+                          "by_rule": {k: int(v) for k, v in by_rule.items()},
+                          "epochs": sorted(int(x) for x in
+                                           set(df["_epoch"])) if len(df) else []}))
+        if a.show and len(df):
+            cols = [c for c in df.columns if c not in ("payload",)]
+            print(df[cols].head(a.show).to_string())
         return 0
 
     if a.cmd == "wal-vacuum":

@@ -1,0 +1,286 @@
+"""Ingest-time data-quality expectations with quarantine routing.
+
+A crawl drop is untrusted input: empty extractions, truncated payloads,
+junk URIs and absurd outliers all arrive mixed with good pages. The
+production discipline (the Delta-Live-Tables "expectations" shape) is to
+DECLARE row-level quality rules at the ingest front door and route each
+violating row by policy instead of letting it poison the lake:
+
+- ``quarantine`` (default): the row is diverted to a sidecar parquet pile
+  next to the WAL segment (``wal_dir/_quarantine/epoch-N/``), labeled with
+  the violated rule, and never becomes a WAL event. Quarantined rows stay
+  queryable (``read_quarantine``) for triage and re-ingest after a fix.
+- ``warn``: the row is counted but kept — drift telemetry without data loss.
+- ``fail``: any violation aborts the whole drop. Because the abort happens
+  BEFORE the segment seals, the standard completeness barrier guarantees no
+  consumer ever saw a partial drop; ``stage_drop`` abandons its claimed
+  epoch (vacuum-tombstoned so the id is never reused) and re-raises.
+
+Rules evaluate vectorized (pyarrow.compute) per block inside the ingest
+map_batches stage — no extra pass over the data, no shuffle, no driver
+materialization (only per-rule violation COUNTS return with the intent
+rows). Rule order is priority order: a row is charged to the FIRST rule it
+violates, and later rules only see surviving rows.
+
+Reference parity note: NVIDIA/go-tfdata filters rows via predicate
+transformations (``transform/selections_transformations.go`` ByKeyValue /
+FilterEmptySamples — dropped rows simply vanish); this module extends that
+surface with named rules, violation accounting and a quarantine store,
+which a 100 TB crawl operator needs for auditability.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ACTIONS = ("quarantine", "warn", "fail")
+
+
+class ExpectationFailed(RuntimeError):
+    """A ``fail``-policy rule saw a violating row. Raised inside the ingest
+    task (Ray does not retry application exceptions by default, so the
+    stage fails fast) and propagated by ``stage_drop`` after it abandons
+    the claimed epoch."""
+
+
+@dataclass
+class Expectation:
+    """One named row-level rule: ``fn(table) -> boolean array`` where True
+    means the row PASSES. Nulls in the result count as failures (an
+    unevaluable row is not a passing row)."""
+
+    name: str
+    fn: Callable[[pa.Table], Any] = field(repr=False)
+    on_fail: str = "quarantine"
+
+    def __post_init__(self):
+        if self.on_fail not in ACTIONS:
+            raise ValueError(
+                f"on_fail={self.on_fail!r}: expected one of {ACTIONS}")
+
+    def passes(self, t: pa.Table) -> pa.ChunkedArray:
+        ok = self.fn(t)
+        if isinstance(ok, pa.Table):  # tolerate a 1-col table return
+            ok = ok.column(0)
+        if not isinstance(ok, (pa.Array, pa.ChunkedArray)):
+            ok = pa.array(ok)
+        ok = pc.cast(ok, pa.bool_())
+        if len(ok) != len(t):
+            raise ValueError(
+                f"expectation {self.name!r} returned {len(ok)} values "
+                f"for a {len(t)}-row block")
+        return pc.fill_null(ok, False)
+
+
+# -- built-in rule constructors ----------------------------------------------
+
+def _str_col(t: pa.Table, col: str) -> pa.ChunkedArray:
+    return pc.cast(t[col], pa.string())
+
+
+def expect_not_null(col: str, *, on_fail: str = "quarantine",
+                    name: str | None = None) -> Expectation:
+    return Expectation(name or f"not_null:{col}",
+                       lambda t: pc.is_valid(t[col]), on_fail)
+
+
+def expect_nonempty(col: str, *, on_fail: str = "quarantine",
+                    name: str | None = None) -> Expectation:
+    """Non-null and not whitespace-only."""
+    def fn(t: pa.Table):
+        v = _str_col(t, col)
+        return pc.and_kleene(
+            pc.is_valid(v),
+            pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(v)), 0))
+    return Expectation(name or f"nonempty:{col}", fn, on_fail)
+
+
+def expect_min_len(col: str, n: int, *, on_fail: str = "quarantine",
+                   name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"min_len:{col}:{n}",
+        lambda t: pc.greater_equal(pc.utf8_length(_str_col(t, col)), n),
+        on_fail)
+
+
+def expect_max_len(col: str, n: int, *, on_fail: str = "quarantine",
+                   name: str | None = None) -> Expectation:
+    return Expectation(
+        name or f"max_len:{col}:{n}",
+        lambda t: pc.less_equal(pc.utf8_length(_str_col(t, col)), n),
+        on_fail)
+
+
+def expect_matches(col: str, pattern: str, *, on_fail: str = "quarantine",
+                   name: str | None = None) -> Expectation:
+    """Row passes iff the column matches ``pattern`` (RE2 syntax, substring
+    semantics — anchor with ^/$ for a full match)."""
+    return Expectation(
+        name or f"matches:{col}",
+        lambda t: pc.match_substring_regex(_str_col(t, col), pattern),
+        on_fail)
+
+
+def expect_url(col: str = "uri", *, on_fail: str = "quarantine",
+               name: str | None = None) -> Expectation:
+    """A fetchable web URI: http(s) scheme with a non-empty host."""
+    return expect_matches(col, r"^https?://[^/\s]+", on_fail=on_fail,
+                          name=name or f"url:{col}")
+
+
+def expect_in_range(col: str, lo: float, hi: float, *,
+                    on_fail: str = "quarantine",
+                    name: str | None = None) -> Expectation:
+    def fn(t: pa.Table):
+        v = pc.cast(t[col], pa.float64())
+        return pc.and_kleene(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+    return Expectation(name or f"in_range:{col}:{lo}:{hi}", fn, on_fail)
+
+
+def parse_expect_spec(spec: str) -> Expectation:
+    """CLI grammar: ``kind:args[=action]`` —
+
+    - ``nonempty:COL`` / ``notnull:COL`` / ``url:COL``
+    - ``minlen:COL:N`` / ``maxlen:COL:N``
+    - ``match:COL:REGEX`` (regex may itself contain ``:``)
+    - ``range:COL:LO:HI``
+
+    ``=warn`` / ``=fail`` / ``=quarantine`` suffix picks the policy
+    (default quarantine), e.g. ``minlen:text:20=warn``.
+    """
+    body, action = spec, "quarantine"
+    if "=" in spec:
+        body, action = spec.rsplit("=", 1)
+        if action not in ACTIONS:
+            raise ValueError(f"--expect {spec!r}: unknown action {action!r}")
+    parts = body.split(":")
+    kind = parts[0]
+    try:
+        if kind in ("nonempty", "notnull", "url"):
+            (col,) = parts[1:]
+            mk = {"nonempty": expect_nonempty, "notnull": expect_not_null,
+                  "url": expect_url}[kind]
+            return mk(col, on_fail=action)
+        if kind in ("minlen", "maxlen"):
+            col, n = parts[1:]
+            mk = expect_min_len if kind == "minlen" else expect_max_len
+            return mk(col, int(n), on_fail=action)
+        if kind == "match":
+            col = parts[1]
+            pattern = ":".join(parts[2:])
+            if not pattern:
+                raise ValueError("empty pattern")
+            return expect_matches(col, pattern, on_fail=action)
+        if kind == "range":
+            col, lo, hi = parts[1:]
+            return expect_in_range(col, float(lo), float(hi), on_fail=action)
+    except (ValueError, KeyError) as e:
+        if isinstance(e, ValueError) and "unknown action" in str(e):
+            raise
+        raise ValueError(f"--expect {spec!r}: bad arguments for "
+                         f"{kind!r}") from None
+    raise ValueError(f"--expect {spec!r}: unknown rule kind {kind!r}")
+
+
+# -- block-level evaluation ---------------------------------------------------
+
+def apply_expectations(
+    t: pa.Table, expectations: list[Expectation],
+) -> tuple[pa.Table, pa.Table | None, dict[str, int]]:
+    """Evaluate ``expectations`` in order over one block. Returns
+    ``(passing_rows, quarantined_rows_or_None, per_rule_violation_counts)``.
+    Quarantined rows carry a ``_violation`` column naming the (first)
+    violated rule. Raises ``ExpectationFailed`` on a ``fail``-policy hit.
+    """
+    counts: dict[str, int] = {}
+    quar_parts: list[pa.Table] = []
+    for ex in expectations:
+        counts.setdefault(ex.name, 0)
+        if len(t) == 0:
+            continue
+        ok = ex.passes(t)
+        n_bad = len(t) - int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        if n_bad == 0:
+            continue
+        counts[ex.name] += n_bad
+        if ex.on_fail == "fail":
+            raise ExpectationFailed(
+                f"expectation {ex.name!r} (policy=fail): {n_bad} violating "
+                f"row(s) in a {len(t)}-row block — drop aborted before seal")
+        if ex.on_fail == "warn":
+            continue
+        bad = t.filter(pc.invert(ok))
+        quar_parts.append(bad.append_column(
+            "_violation", pa.array([ex.name] * len(bad), pa.string())))
+        t = t.filter(ok)
+    quar = None
+    if quar_parts:
+        quar = pa.concat_tables(quar_parts, promote_options="permissive")
+    return t, quar, counts
+
+
+# -- quarantine store ----------------------------------------------------------
+
+def quarantine_dir(wal_dir: str, epoch: int) -> str:
+    return os.path.join(wal_dir, "_quarantine", f"epoch-{epoch:05d}")
+
+
+def write_quarantine_shard(quar: pa.Table, wal_dir: str, epoch: int,
+                           key_col: str) -> str:
+    """Content-addressed quarantine shard (task retries overwrite the same
+    file with the same bytes, like WAL shards — `cdc/ingest.py:214`)."""
+    d = quarantine_dir(wal_dir, epoch)
+    os.makedirs(d, exist_ok=True)
+    keys = (pc.cast(quar[key_col], pa.string()).to_pylist()
+            if key_col in quar.column_names else [""] * len(quar))
+    ident = "\x00".join(sorted(f"{k}|{v}" for k, v in
+                               zip(keys, quar["_violation"].to_pylist())))
+    name = hashlib.sha1(ident.encode()).hexdigest()[:20]
+    final = os.path.join(d, f"quar-{name}.parquet")
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(quar, tmp, compression="lz4")
+    os.rename(tmp, final)
+    return final
+
+
+def read_quarantine(wal_dir: str, epoch: int | None = None):
+    """The quarantine pile as a Dataset (all epochs, or one), each row
+    labeled with ``_violation`` and ``_epoch``. Empty Dataset if nothing
+    was ever quarantined."""
+    import ray.data as rd
+
+    root = os.path.join(wal_dir, "_quarantine")
+    dirs = ([quarantine_dir(wal_dir, epoch)] if epoch is not None
+            else sorted(glob.glob(os.path.join(root, "epoch-*"))))
+    tabs = []
+    for d in dirs:
+        if not os.path.isdir(d):
+            continue
+        e = int(os.path.basename(d).split("-")[1])
+        for p in sorted(glob.glob(os.path.join(d, "quar-*.parquet"))):
+            t = pq.read_table(p)
+            tabs.append(t.append_column(
+                "_epoch", pa.array([e] * len(t), pa.int32())))
+    if not tabs:
+        return rd.from_arrow(pa.table({
+            "_violation": pa.array([], pa.string()),
+            "_epoch": pa.array([], pa.int32())}))
+    return rd.from_arrow(pa.concat_tables(tabs, promote_options="permissive"))
+
+
+def merge_violation_counts(acc: dict[str, int], one: Any) -> dict[str, int]:
+    """Fold one intent row's JSON violation payload into the run total."""
+    if not one:
+        return acc
+    for k, v in json.loads(one).items():
+        acc[k] = acc.get(k, 0) + int(v)
+    return acc

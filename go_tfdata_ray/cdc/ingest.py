@@ -35,6 +35,7 @@ URI is fetched twice in the same second.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from typing import Any
 
@@ -48,6 +49,7 @@ import ray.data as rd
 
 from ..functions.text import Tokenizer, _worker_cached
 from ..sources import wal as walmod
+from .expect import apply_expectations, write_quarantine_shard
 
 _SEC_BITS = 32  # fetch-time seconds (good through 2106)
 _TIE_BITS = 8
@@ -161,17 +163,45 @@ class _DropNormalizer:
 
     def __init__(self, seg_dir: str, epoch: int, uri_col: str, text_col: str,
                  date_col: str | None, source: str, vocab: int,
-                 keep_uri: bool, canonicalize: bool = False):
+                 keep_uri: bool, canonicalize: bool = False,
+                 expectations_blob: bytes | None = None):
         self.seg_dir, self.epoch = seg_dir, epoch
         self.uri_col, self.text_col, self.date_col = uri_col, text_col, date_col
         self.source, self.keep_uri = source, keep_uri
         self.canonicalize = canonicalize
+        # expectations travel as a cloudpickle blob: the worker-cache key is
+        # (qualname, args) and rule objects (closures) aren't value-hashable
+        if expectations_blob:
+            from ray import cloudpickle
+
+            self.expectations = cloudpickle.loads(expectations_blob)
+        else:
+            self.expectations = []
         self.tok = Tokenizer(text_col=text_col, key_col=uri_col, vocab=vocab)
+
+    @staticmethod
+    def _empty_intent() -> pa.Table:
+        return pa.table({"path": pa.array([], pa.string()),
+                         "rows": pa.array([], pa.int64()),
+                         "violations": pa.array([], pa.string())})
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
+            return self._empty_intent()
+        vio_json = "{}"
+        if self.expectations:
+            # quality gate BEFORE keying/tokenizing: violating rows divert
+            # to the quarantine sidecar (or raise on a fail-policy rule,
+            # aborting the drop pre-seal); only per-rule COUNTS travel back
+            t, quar, counts = apply_expectations(t, self.expectations)
+            if quar is not None and len(quar):
+                write_quarantine_shard(quar, os.path.dirname(self.seg_dir),
+                                       self.epoch, self.uri_col)
+            vio_json = json.dumps(counts)
+            if len(t) == 0:  # whole block quarantined: counts still count
+                return pa.table({"path": pa.array([""], pa.string()),
+                                 "rows": pa.array([0], pa.int64()),
+                                 "violations": pa.array([vio_json], pa.string())})
         n = len(t)
         uris = pc.cast(t[self.uri_col], pa.string())
         uri_list = uris.to_pylist()
@@ -208,7 +238,9 @@ class _DropNormalizer:
             # fragments that predate the declaration
             cols["uri"] = uris
         staged = pa.table(cols)
-        return pa.table(_write_shard(staged, self.seg_dir, "doc"))
+        intent = _write_shard(staged, self.seg_dir, "doc")
+        intent["violations"] = pa.array([vio_json], pa.string())
+        return pa.table(intent)
 
 
 def _write_shard(staged: pa.Table, seg_dir: str, prefix: str) -> dict:
@@ -242,30 +274,87 @@ def stage_drop(
     vocab: int = 50257,
     keep_uri: bool = True,
     canonicalize: bool = False,
+    expectations: list | None = None,
 ) -> dict[str, Any]:
     """Write one document Dataset as one sealed WAL epoch segment.
     ``canonicalize=True`` routes URIs through ``canonicalize_uri`` before
     keying, so cosmetic URL variants of one page share a lake identity.
+    ``expectations`` (a list of `cdc/expect.py:Expectation`) gates rows
+    BEFORE they become events: violating rows quarantine / warn / abort
+    per rule policy; the result gains ``quarantined`` + per-rule
+    ``violations`` counts. A fail-policy abort (or any staging error) on
+    a freshly claimed epoch abandons the claim with a vacuum tombstone,
+    so a dead drop never blocks the consumers' ordering barrier.
 
     With ``epoch=None`` (the normal path) the id is CLAIMED atomically —
     concurrent producers land on distinct segments. An explicit ``epoch``
     re-opens that segment (the retrying-producer path: content-addressed
     shards make the re-stage byte-idempotent). Returns
     ``{"epoch", "rows", "shards", "seg_dir"}``."""
-    if epoch is None:
+    claimed = epoch is None
+    if claimed:
         e, seg_dir = _claim_epoch(wal_dir)
     else:
         e = int(epoch)
         seg_dir = walmod.open_segment(wal_dir, e)
-    intents = ds.map_batches(
-        _worker_cached(_DropNormalizer, seg_dir, e, uri_col, text_col,
-                       date_col, source, vocab, keep_uri, canonicalize),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    ).take_all()  # tiny (path, rows) rows only
-    by_path = {r["path"]: int(r["rows"]) for r in intents}
+    exp_blob = None
+    if expectations:
+        from ray import cloudpickle
+
+        exp_blob = cloudpickle.dumps(list(expectations))
+    try:
+        intents = ds.map_batches(
+            _worker_cached(_DropNormalizer, seg_dir, e, uri_col, text_col,
+                           date_col, source, vocab, keep_uri, canonicalize,
+                           exp_blob),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).take_all()  # tiny (path, rows, violation-counts) rows only
+    except Exception:
+        if claimed:
+            _abandon_claim(seg_dir)
+        raise
+    by_path = {r["path"]: int(r["rows"]) for r in intents if r["path"]}
+    out = {"epoch": e, "rows": sum(by_path.values()),
+           "shards": len(by_path), "seg_dir": seg_dir}
+    if expectations:
+        vio: dict[str, int] = {}
+        for r in intents:
+            for k, v in json.loads(r.get("violations") or "{}").items():
+                vio[k] = vio.get(k, 0) + int(v)
+        quar_rules = {x.name for x in expectations
+                      if x.on_fail == "quarantine"}
+        out["violations"] = vio
+        out["quarantined"] = sum(v for k, v in vio.items() if k in quar_rules)
     walmod.seal_segment(seg_dir)
-    return {"epoch": e, "rows": sum(by_path.values()),
-            "shards": len(by_path), "seg_dir": seg_dir}
+    return out
+
+
+def _abandon_claim(seg_dir: str) -> None:
+    """Tear down a claimed-but-unsealed segment after a failed stage: same
+    rename→tombstone→rmtree dance as ``vacuum_stale_claims`` (the id is
+    pinned against reuse; a sealed segment is restored untouched). The
+    epoch's quarantine sidecar is removed too — its rows belong to a drop
+    that never happened."""
+    import re
+    import shutil
+
+    reaped = f"{seg_dir}.abandoning-{os.getpid()}"
+    try:
+        os.rename(seg_dir, reaped)
+    except OSError:
+        return  # already gone (racing vacuum)
+    if not os.path.exists(os.path.join(reaped, walmod.OPEN_MARKER)):
+        os.rename(reaped, seg_dir)  # sealed under us: complete, keep it
+        return
+    with open(f"{seg_dir}.vacuumed.tmp-{os.getpid()}", "w"):
+        pass
+    os.rename(f"{seg_dir}.vacuumed.tmp-{os.getpid()}", f"{seg_dir}.vacuumed")
+    shutil.rmtree(reaped, ignore_errors=True)
+    m = re.fullmatch(r"epoch-(\d+)", os.path.basename(seg_dir))
+    if m:
+        from .expect import quarantine_dir
+        shutil.rmtree(quarantine_dir(os.path.dirname(seg_dir),
+                                     int(m.group(1))), ignore_errors=True)
 
 
 def stage_tombstones(

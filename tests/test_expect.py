@@ -1,0 +1,173 @@
+"""Ingest-time data-quality expectations: routing, quarantine store, CLI."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from go_tfdata_ray.cdc import expect as ex
+from go_tfdata_ray.cdc import ingest
+from go_tfdata_ray.cdc.engine import CDCEngine
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "uri": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "date": pa.array(["2026-01-01T00:00:00Z"] * len(rows), pa.string()),
+    }))
+
+
+# -- block-level evaluation ---------------------------------------------------
+
+def test_apply_expectations_routing_and_priority():
+    t = pa.table({
+        "uri": ["https://a/1", "ftp://bad", None, "https://a/4", "https://a/5"],
+        "text": ["long enough body", "also long enough", "x", "", "ok body here"],
+    })
+    rules = [ex.expect_url("uri"),           # charges rows 1 (ftp) and 2 (null)
+             ex.expect_min_len("text", 5)]   # then row 3 ("" among survivors)
+    passed, quar, counts = ex.apply_expectations(t, rules)
+    assert passed["uri"].to_pylist() == ["https://a/1", "https://a/5"]
+    assert counts == {"url:uri": 2, "min_len:text:5": 1}
+    # first violated rule wins the label; later rules see only survivors
+    lab = dict(zip(quar["uri"].to_pylist(), quar["_violation"].to_pylist()))
+    assert lab["ftp://bad"] == "url:uri" and lab[None] == "url:uri"
+    assert lab["https://a/4"] == "min_len:text:5"
+
+
+def test_apply_expectations_warn_keeps_rows_and_counts():
+    t = pa.table({"text": ["tiny", "long enough body"]})
+    passed, quar, counts = ex.apply_expectations(
+        t, [ex.expect_min_len("text", 10, on_fail="warn")])
+    assert len(passed) == 2 and quar is None
+    assert counts == {"min_len:text:10": 1}
+
+
+def test_apply_expectations_fail_raises():
+    t = pa.table({"text": ["", "ok"]})
+    with pytest.raises(ex.ExpectationFailed, match="nonempty:text"):
+        ex.apply_expectations(t, [ex.expect_nonempty("text", on_fail="fail")])
+
+
+def test_null_result_counts_as_failure():
+    # in_range over a non-numeric string → cast nulls → fail, not pass
+    t = pa.table({"n": pa.array([1.0, 50.0, None], pa.float64())})
+    passed, quar, counts = ex.apply_expectations(
+        t, [ex.expect_in_range("n", 0, 10)])
+    assert passed["n"].to_pylist() == [1.0]
+    assert counts["in_range:n:0:10"] == 2
+
+
+def test_parse_expect_spec_grammar():
+    r = ex.parse_expect_spec("minlen:text:20")
+    assert r.name == "min_len:text:20" and r.on_fail == "quarantine"
+    r = ex.parse_expect_spec("match:uri:^https://x:8080/=warn")
+    assert r.on_fail == "warn"  # regex keeps its own colons
+    ok = r.passes(pa.table({"uri": ["https://x:8080/a", "https://y/a"]}))
+    assert ok.to_pylist() == [True, False]
+    assert ex.parse_expect_spec("url:uri=fail").on_fail == "fail"
+    assert ex.parse_expect_spec("range:n:0:1").name == "in_range:n:0.0:1.0"
+    for bad in ("minlen:text", "nope:uri", "minlen:text:x", "url:uri=boom",
+                "match:uri:"):
+        with pytest.raises(ValueError):
+            ex.parse_expect_spec(bad)
+
+
+# -- stage_drop integration ---------------------------------------------------
+
+def test_stage_drop_quarantines_and_lake_gets_passing_rows(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    rows = [(f"https://site/{i}", f"document body number {i} with length")
+            for i in range(20)]
+    rows += [("https://site/empty", "   "),          # nonempty violation
+             ("gopher://old/1", "fine body here"),   # url violation
+             ("https://site/short", "tiny")]         # minlen violation
+    out = ingest.stage_drop(
+        _docs(rows), wal_dir,
+        expectations=[ex.expect_url("uri"), ex.expect_nonempty("text"),
+                      ex.expect_min_len("text", 10)])
+    assert out["rows"] == 20 and out["quarantined"] == 3
+    assert out["violations"] == {"url:uri": 1, "nonempty:text": 1,
+                                 "min_len:text:10": 1}
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    got = eng.scan(columns=["doc_id"]).to_pandas()
+    assert len(got) == 20
+
+    q = ex.read_quarantine(wal_dir).to_pandas()
+    assert len(q) == 3 and set(q["_epoch"]) == {out["epoch"]}
+    by_uri = q.set_index("uri")["_violation"]
+    assert by_uri["https://site/empty"] == "nonempty:text"
+    assert by_uri["gopher://old/1"] == "url:uri"
+    assert by_uri["https://site/short"] == "min_len:text:10"
+
+
+def test_stage_drop_fail_policy_abandons_claim(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    bad = _docs([("https://a/1", "good body here"), ("https://a/2", "")])
+    with pytest.raises(Exception, match="nonempty:text"):
+        ingest.stage_drop(bad, wal_dir,
+                          expectations=[ex.expect_nonempty("text",
+                                                           on_fail="fail")])
+    # the claim is tombstoned, not left open to block the ordering barrier
+    names = sorted(os.listdir(wal_dir))
+    assert "epoch-00000.vacuumed" in names and "epoch-00000" not in names
+    assert ex.read_quarantine(wal_dir).count() == 0
+
+    # the next drop claims a FRESH id and applies cleanly
+    ok = ingest.stage_drop(_docs([("https://a/3", "good body three")]), wal_dir)
+    assert ok["epoch"] == 1
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan(columns=["doc_id"]).count() == 1
+
+
+def test_stage_drop_expectations_retry_idempotent(tmp_path):
+    wal_dir = str(tmp_path / "wal")
+    rows = [("https://a/1", "body long enough one"),
+            ("https://a/2", "nope"),
+            ("https://a/3", "body long enough three")]
+    exps = [ex.expect_min_len("text", 10)]
+    r1 = ingest.stage_drop(_docs(rows), wal_dir, epoch=0, expectations=exps)
+    seg1 = sorted(os.listdir(r1["seg_dir"]))
+    q1 = sorted(os.listdir(ex.quarantine_dir(wal_dir, 0)))
+    r2 = ingest.stage_drop(_docs(rows), wal_dir, epoch=0, expectations=exps)
+    assert sorted(os.listdir(r2["seg_dir"])) == seg1
+    assert sorted(os.listdir(ex.quarantine_dir(wal_dir, 0))) == q1
+    assert r1["rows"] == r2["rows"] == 2
+    assert r1["quarantined"] == r2["quarantined"] == 1
+
+
+def test_cli_ingest_expect_and_quarantine(tmp_path, capsys):
+    from go_tfdata_ray.cdc.cli import main
+
+    p = str(tmp_path / "drop.jsonl")
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"uri": f"https://c/{i}",
+                                "text": f"cli body number {i} long enough",
+                                "date": "2026-01-01T00:00:00Z"}) + "\n")
+        f.write(json.dumps({"uri": "https://c/bad", "text": "x",
+                            "date": "2026-01-01T00:00:00Z"}) + "\n")
+    wal_dir = str(tmp_path / "wal")
+    rc = main(["ingest", "--wal", wal_dir, "--jsonl", p,
+               "--expect", "minlen:text:10"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] == 5 and out["quarantined"] == 1
+
+    rc = main(["quarantine", "--wal", wal_dir])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["rows"] == 1
+    assert rep["by_rule"] == {"min_len:text:10": 1}
+
+    # fail policy through the CLI surfaces as structured JSON, exit 3
+    rc = main(["ingest", "--wal", wal_dir, "--jsonl", p,
+               "--expect", "minlen:text:10=fail"])
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and err["error"] == "expectation_failed"
+    assert "min_len:text:10" in err["detail"]
