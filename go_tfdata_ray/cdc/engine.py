@@ -202,6 +202,53 @@ def _prune_row_groups(f: pq.ParquetFile, keys_sorted: list) -> list[int] | None:
     return keep
 
 
+def _prune_row_groups_where(f: pq.ParquetFile, where: list[tuple]) -> list[int] | None:
+    """Row groups whose column [min, max] stats can satisfy a conjunctive
+    ``where`` — the value-predicate analog of ``_prune_row_groups``, valid
+    only on a fragment whose rows can never MASK newer versions (the
+    oldest fragment of a partition plan). A row group is skippable when
+    no non-null value in it can pass some conjunct (null rows fail every
+    conjunct anyway, so nulls never rescue a group). Returns None when
+    pruning isn't possible (single group / no stats / unsupported op)."""
+    md = f.metadata
+    if md.num_row_groups <= 1:
+        return None
+    rg0 = md.row_group(0)
+    ci = {rg0.column(j).path_in_schema: j for j in range(rg0.num_columns)}
+    keep: list[int] = []
+    for i in range(md.num_row_groups):
+        ok = True
+        for col, op, val in where:
+            j = ci.get(col)
+            if j is None:
+                continue  # evolution-absent column: stay conservative, read
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                continue
+            try:
+                if op == "==":
+                    ok = st.min <= val <= st.max
+                elif op == "!=":
+                    ok = not (st.min == st.max == val)
+                elif op == ">":
+                    ok = st.max > val
+                elif op == ">=":
+                    ok = st.max >= val
+                elif op == "<":
+                    ok = st.min < val
+                elif op == "<=":
+                    ok = st.min <= val
+                elif op == "in":
+                    ok = any(st.min <= v <= st.max for v in val)
+            except TypeError:  # stats/value type mismatch: read it
+                ok = True
+            if not ok:
+                break
+        if ok:
+            keep.append(i)
+    return keep
+
+
 def _read_fragment(path: str, rg: int, columns: list[str] | None = None) -> pa.Table:
     """Read a delta/base fragment: a whole file (rg=-1) or one row group of
     a multi-partition run file. ``columns`` prunes at the Parquet reader —
@@ -386,7 +433,18 @@ class PartitionMergeReader:
     ``where``: [(col, op, value), ...] conjunctive predicate applied AFTER
     the merge — value predicates must see the CURRENT row version (an old
     version of a key may pass while its newest fails), so they cannot be
-    pushed below the merge; only key predicates prune fragments (lookup)."""
+    pushed below the merge in general. ONE pushdown is provably safe: the
+    plan's unique MIN-RANK fragment (the compacted base, typically the
+    bulk of a settled partition). Its rows can only ever LOSE the merge —
+    every fragment writer collapses per key (`normalize_events`,
+    `write_delta`, `_streaming_compact_write`), so no in-fragment
+    duplicate exists to resurrect, and any newer version lives at a
+    higher rank and masks regardless. A min-rank row that fails the
+    predicate either loses the merge (pre-dropping it changes nothing) or
+    wins it (the post-merge filter would drop it anyway). So the base
+    gets row-group pruning via parquet min/max stats plus a pre-merge
+    row filter — at 100 TB a selective scan reads only matching base row
+    groups instead of the whole lake. Deltas are always read in full."""
 
     _OPS = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
             ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}
@@ -428,25 +486,47 @@ class PartitionMergeReader:
             rgs = batch["rgs"][row].as_py()
             tabs: list[pa.Table] = []
             eff_ranks: list[int] = []
-            for p, rg, rank in zip(paths, rgs, ranks):
+            # the safe where-pushdown target: the plan's UNIQUE min-rank
+            # fragment (see class doc) — computed over the FULL plan so a
+            # key-pruned base never promotes a delta into the slot
+            base_i = None
+            if self.where and ranks:
+                rmin = min(ranks)
+                if ranks.count(rmin) == 1:
+                    base_i = ranks.index(rmin)
+            for idx, (p, rg, rank) in enumerate(zip(paths, rgs, ranks)):
                 full = os.path.join(self.lake_dir, p)
-                if self._keys_sorted is not None and rg < 0:
+                if rg < 0 and (self._keys_sorted is not None or idx == base_i):
                     # clustered whole-file fragment (compacted base): read
-                    # only the row groups whose key stats match the lookup;
+                    # only the row groups whose key/value stats match;
                     # the open file is reused either way — no second footer
                     # parse when pruning bails (delta files, legacy bases)
                     f = pq.ParquetFile(full)
-                    keep = _prune_row_groups(f, self._keys_sorted)
-                    if keep is not None and not keep:
-                        continue  # no key can live in this fragment
+                    keep = None
+                    if self._keys_sorted is not None:
+                        keep = _prune_row_groups(f, self._keys_sorted)
+                        if keep is not None and not keep:
+                            continue  # no key can live in this fragment
+                    if idx == base_i:
+                        wkeep = _prune_row_groups_where(f, self.where)
+                        if wkeep is not None:
+                            keep = (wkeep if keep is None else
+                                    sorted(set(keep) & set(wkeep)))
+                            if not keep:
+                                continue  # no row group can pass the where
                     cols = (read_cols if read_cols is None else
                             [c for c in read_cols
                              if c in f.schema_arrow.names])
-                    tabs.append(f.read(columns=cols) if keep is None
-                                else f.read_row_groups(keep, columns=cols))
-                    eff_ranks.append(rank)
-                    continue
-                tabs.append(_read_fragment(full, rg, read_cols))
+                    t = (f.read(columns=cols) if keep is None
+                         else f.read_row_groups(keep, columns=cols))
+                else:
+                    t = _read_fragment(full, rg, read_cols)
+                if idx == base_i and all(w[0] in t.column_names
+                                         for w in self.where):
+                    t = self._apply_where(t)  # pre-merge row filter, base only
+                    if len(t) == 0:
+                        continue
+                tabs.append(t)
                 eff_ranks.append(rank)
             if self.key_filter is not None:
                 tabs = [t.filter(pc.is_in(t["doc_id"], value_set=self.key_filter))

@@ -1678,3 +1678,94 @@ def test_clone_lake_carries_incremental_dedup_index(tmp_path):
     eng.upsert(_tok_table(["copysrc"], [[7, 8, 9]]))
     out = eng.dedup_incremental()
     assert not out["bootstrap"] and out["deleted"] == 1
+
+
+def test_scan_where_base_pushdown_semantics(tmp_path):
+    """The where-pushdown on the compacted base (row-group stats pruning +
+    pre-merge row filter of the unique min-rank fragment) never changes
+    results: masking works in BOTH directions across the compaction
+    boundary — an old version that passes must not resurrect under a new
+    version that fails, and a new version that passes must survive an old
+    one that fails. Tombstones still mask."""
+    import pandas as pd
+
+    import ray
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=4)
+    n = 400
+    base_rows = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)], pa.string()),
+        "tokens": pa.array([[i % 7, i % 11] for i in range(n)],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([(i % 50) + 1 for i in range(n)], pa.int32()),
+        "source": pa.array(["web" if i % 3 else "news" for i in range(n)],
+                           pa.string()),
+    })
+    eng.upsert(base_rows)
+    eng.compact()  # → unique-min-rank clustered base: the pushdown target
+
+    # delta 1: flip 100 docs ACROSS the predicate boundary both ways
+    # (old passes/new fails for evens, old fails/new passes for odds)
+    upd = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(0, 200, 2)]
+                           + [f"d{i:05d}" for i in range(1, 200, 2)], pa.string()),
+        "tokens": pa.array([[9]] * 200, pa.list_(pa.int32())),
+        "n_tok": pa.array([3] * 100 + [45] * 100, pa.int32()),
+        "source": pa.array(["web"] * 200, pa.string()),
+    })
+    eng.upsert(upd)
+    # delta 2: tombstone some docs that would pass the predicate
+    eng.delete_where(doc_ids=[f"d{i:05d}" for i in range(300, 320)])
+
+    full = eng.scan_table()
+    for where in ([("n_tok", ">=", 20)],
+                  [("n_tok", "<", 10), ("source", "==", "web")],
+                  [("doc_id", ">=", "d00100"), ("doc_id", "<", "d00250")],
+                  [("n_tok", "in", (3, 45))]):
+        got_ds = eng.scan(where=where)
+        tabs = [t for t in [ray.get(r) for r in got_ds.to_arrow_refs()]
+                if t.num_rows]
+        got = (pa.concat_tables(tabs, promote_options="permissive")
+               if tabs else full.slice(0, 0))
+        df = full.to_pandas()
+        mask = pd.Series(True, index=df.index)
+        for col, op, val in where:
+            if op == "in":
+                mask &= df[col].isin(val)
+            else:
+                mask &= eval(f"df[col] {op if op != '==' else '=='} val",
+                             {"df": df, "col": col, "val": val})
+        want = df[mask]
+        assert sorted(got["doc_id"].to_pylist()) == sorted(want["doc_id"]), where
+        assert got.num_rows > 0, where
+
+
+def test_prune_row_groups_where_stats():
+    """Unit: row groups whose min/max stats exclude the predicate are
+    skipped, for every supported op."""
+    import pyarrow.parquet as pq
+
+    from go_tfdata_ray.cdc.engine import _prune_row_groups_where
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(300)], pa.string()),
+        "v": pa.array(list(range(300)), pa.int64()),
+    })
+    path = "/tmp/prune_where_unit.parquet"
+    pq.write_table(t, path, row_group_size=100)  # groups: [0,99],[100,199],[200,299]
+    f = pq.ParquetFile(path)
+    assert _prune_row_groups_where(f, [("v", ">=", 200)]) == [2]
+    assert _prune_row_groups_where(f, [("v", "<", 100)]) == [0]
+    assert _prune_row_groups_where(f, [("v", "==", 150)]) == [1]
+    assert _prune_row_groups_where(f, [("v", ">", 99), ("v", "<=", 150)]) == [1]
+    assert _prune_row_groups_where(f, [("v", "in", (50, 250))]) == [0, 2]
+    assert _prune_row_groups_where(
+        f, [("doc_id", ">=", "d0100"), ("doc_id", "<", "d0200")]) == [1]
+    # != prunes only a constant group; absent column stays conservative
+    assert _prune_row_groups_where(f, [("v", "!=", 5)]) == [0, 1, 2]
+    assert _prune_row_groups_where(f, [("missing", "==", 1)]) == [0, 1, 2]
+    # single row group: pruning declines
+    pq.write_table(t, path)
+    assert _prune_row_groups_where(pq.ParquetFile(path), [("v", "==", 1)]) is None
+    os.remove(path)
