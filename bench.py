@@ -140,6 +140,20 @@ def run_bench() -> dict:
         eng.dedup_lake(num_shards=max(ncpu, 16))
         timings["dedup_lake"] = time.perf_counter() - t0
 
+        # where-pushdown witness: compact (untimed) clusters bases by
+        # doc_id, then a ~10% key-range scan reads only the matching base
+        # row groups (stats pruning + pre-merge filter) instead of the lake
+        eng.compact()
+        n_keys = walmod.wal_params_for_sf(sf_dir).n_keys
+        lo, hi = f"doc-{int(n_keys * 0.45):08d}", f"doc-{int(n_keys * 0.55):08d}"
+        best = None
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            eng.scan(where=[("doc_id", ">=", lo), ("doc_id", "<", hi)]).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings["cdc_scan_pruned"] = best
+
     query_names = [] if scaling else [
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
         "join_broadcast", "topk_orders", "dedup_exact", "text_features",
