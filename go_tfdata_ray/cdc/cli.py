@@ -275,19 +275,30 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "quarantine":
         _ray_up()
+        import pyarrow as pa
+
         from .expect import read_quarantine
 
         qds = read_quarantine(a.wal, epoch=a.epoch)
-        df = qds.to_pandas()
-        by_rule = (df["_violation"].value_counts().to_dict()
-                   if len(df) else {})
-        print(json.dumps({"rows": int(len(df)),
+
+        # distributed per-batch count partials; only (rule, epoch, n)
+        # rows reach the driver — the pile itself can be huge
+        def vc(t: pa.Table) -> pa.Table:
+            return t.group_by(["_violation", "_epoch"]).aggregate(
+                [("_violation", "count")]).rename_columns(
+                    ["_violation", "_epoch", "n"])
+
+        part = qds.map_batches(vc, batch_format="pyarrow").to_pandas()
+        by_rule = (part.groupby("_violation")["n"].sum().to_dict()
+                   if len(part) else {})
+        print(json.dumps({"rows": int(part["n"].sum()) if len(part) else 0,
                           "by_rule": {k: int(v) for k, v in by_rule.items()},
                           "epochs": sorted(int(x) for x in
-                                           set(df["_epoch"])) if len(df) else []}))
-        if a.show and len(df):
-            cols = [c for c in df.columns if c not in ("payload",)]
-            print(df[cols].head(a.show).to_string())
+                                           set(part["_epoch"])) if len(part) else []}))
+        if a.show and len(part):
+            head = qds.limit(a.show).to_pandas()
+            cols = [c for c in head.columns if c not in ("payload",)]
+            print(head[cols].to_string())
         return 0
 
     if a.cmd == "wal-vacuum":

@@ -604,6 +604,15 @@ class CDCEngine:
 
         t_start = _time.perf_counter()
         wm = _wm_vector(self.num_partitions, self.manifest.watermarks())
+        if not files:
+            # a sealed ZERO-SHARD segment is legitimate: every row of the
+            # drop was quarantined by ingest expectations, or the input
+            # Dataset was empty. Commit it as a zero-row epoch so the feed
+            # advances past it — feeding [] to read_parquet would raise and
+            # wedge every consumer on this epoch forever.
+            intents = []
+            return self._commit_intents(epoch, intents, stats_extra,
+                                        advance_watermark, t_start)
         # one read task per WAL shard file — read-parallel by layout. For the
         # direct path, pin one block per shard so the fused read→normalize→
         # write task handles a whole right-sized shard (Ray's default
@@ -668,6 +677,15 @@ class CDCEngine:
                 batch_format="pyarrow",
             )
         intents = intents_ds.take_all()  # small intent rows (phase 1 output)
+        return self._commit_intents(epoch, intents, stats_extra,
+                                    advance_watermark, t_start)
+
+    def _commit_intents(self, epoch: int, intents: list,
+                        stats_extra: dict[str, Any] | None,
+                        advance_watermark: bool, t_start: float) -> dict[str, Any]:
+        """Phase 2 of apply_epoch: fold intent rows into a new manifest
+        version and commit (fenced)."""
+        import time as _time
 
         m = self.manifest
         new = mf.Manifest(

@@ -7,9 +7,11 @@ DECLARE row-level quality rules at the ingest front door and route each
 violating row by policy instead of letting it poison the lake:
 
 - ``quarantine`` (default): the row is diverted to a sidecar parquet pile
-  next to the WAL segment (``wal_dir/_quarantine/epoch-N/``), labeled with
-  the violated rule, and never becomes a WAL event. Quarantined rows stay
-  queryable (``read_quarantine``) for triage and re-ingest after a fix.
+  INSIDE the WAL segment directory (``epoch-N/quar-*.parquet``, excluded
+  from the consumers' shard listing), labeled with the violated rule, and
+  never becomes a WAL event. Quarantined rows stay queryable
+  (``read_quarantine``) for triage and re-ingest after a fix, and share
+  the segment's lifecycle (abandon/vacuum reap them atomically).
 - ``warn``: the row is counted but kept — drift telemetry without data loss.
 - ``fail``: any violation aborts the whole drop. Because the abort happens
   BEFORE the segment seals, the standard completeness barrier guarantees no
@@ -155,13 +157,21 @@ def parse_expect_spec(spec: str) -> Expectation:
     - ``range:COL:LO:HI``
 
     ``=warn`` / ``=fail`` / ``=quarantine`` suffix picks the policy
-    (default quarantine), e.g. ``minlen:text:20=warn``.
+    (default quarantine), e.g. ``minlen:text:20=warn``. The suffix is
+    recognized only when it is one of those action words, so a ``match``
+    regex may freely contain ``=`` (query strings: ``match:uri:id=\\d+``);
+    a regex that literally ends in an action word needs an explicit
+    ``=quarantine`` appended.
     """
     body, action = spec, "quarantine"
     if "=" in spec:
-        body, action = spec.rsplit("=", 1)
-        if action not in ACTIONS:
-            raise ValueError(f"--expect {spec!r}: unknown action {action!r}")
+        head, tail = spec.rsplit("=", 1)
+        if tail in ACTIONS:
+            body, action = head, tail
+        elif spec.split(":", 1)[0] != "match":
+            # '=' is only meaningful inside a match regex; anywhere else a
+            # non-action suffix is a typo'd policy — fail loudly
+            raise ValueError(f"--expect {spec!r}: unknown action {tail!r}")
     parts = body.split(":")
     kind = parts[0]
     try:
@@ -229,52 +239,56 @@ def apply_expectations(
 
 
 # -- quarantine store ----------------------------------------------------------
+#
+# Quarantine shards live INSIDE the WAL segment directory (quar-*.parquet,
+# excluded from the consumers' shard listing) so their lifecycle is the
+# segment's: an abandoned claim's rmtree removes them atomically (no
+# straggler task can resurrect the pile — writing into a renamed-away
+# directory fails loudly), a vacuumed claim reaps them, and a sealed
+# segment carries its triage rows forever next to the events they were
+# diverted from.
 
-def quarantine_dir(wal_dir: str, epoch: int) -> str:
-    return os.path.join(wal_dir, "_quarantine", f"epoch-{epoch:05d}")
+def write_quarantine_shard(quar: pa.Table, seg_dir: str) -> str:
+    """Content-addressed quarantine shard: the name digests the FULL
+    serialized table (schema + payload), so a task retry overwrites the
+    same file with the same bytes while two blocks with overlapping keys
+    but different payloads never collide."""
+    import pyarrow.ipc as ipc
 
-
-def write_quarantine_shard(quar: pa.Table, wal_dir: str, epoch: int,
-                           key_col: str) -> str:
-    """Content-addressed quarantine shard (task retries overwrite the same
-    file with the same bytes, like WAL shards — `cdc/ingest.py:214`)."""
-    d = quarantine_dir(wal_dir, epoch)
-    os.makedirs(d, exist_ok=True)
-    keys = (pc.cast(quar[key_col], pa.string()).to_pylist()
-            if key_col in quar.column_names else [""] * len(quar))
-    ident = "\x00".join(sorted(f"{k}|{v}" for k, v in
-                               zip(keys, quar["_violation"].to_pylist())))
-    name = hashlib.sha1(ident.encode()).hexdigest()[:20]
-    final = os.path.join(d, f"quar-{name}.parquet")
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, quar.schema) as w:
+        w.write_table(quar)
+    name = hashlib.sha1(sink.getvalue().to_pybytes()).hexdigest()[:20]
+    final = os.path.join(seg_dir, f"quar-{name}.parquet")
     tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(quar, tmp, compression="lz4")
-    os.rename(tmp, final)
+    os.rename(tmp, final)  # ENOENT here = the claim was abandoned under us
     return final
 
 
 def read_quarantine(wal_dir: str, epoch: int | None = None):
     """The quarantine pile as a Dataset (all epochs, or one), each row
-    labeled with ``_violation`` and ``_epoch``. Empty Dataset if nothing
-    was ever quarantined."""
+    labeled with ``_violation`` and ``_epoch``. A distributed parquet read
+    (one heavy-junk drop can quarantine millions of full-text rows — the
+    pile must never concat on the driver); ``_epoch`` derives from the
+    shard's segment directory. Empty Dataset if nothing was quarantined."""
     import ray.data as rd
 
-    root = os.path.join(wal_dir, "_quarantine")
-    dirs = ([quarantine_dir(wal_dir, epoch)] if epoch is not None
-            else sorted(glob.glob(os.path.join(root, "epoch-*"))))
-    tabs = []
-    for d in dirs:
-        if not os.path.isdir(d):
-            continue
-        e = int(os.path.basename(d).split("-")[1])
-        for p in sorted(glob.glob(os.path.join(d, "quar-*.parquet"))):
-            t = pq.read_table(p)
-            tabs.append(t.append_column(
-                "_epoch", pa.array([e] * len(t), pa.int32())))
-    if not tabs:
+    pat = (f"epoch-{epoch:05d}" if epoch is not None else "epoch-*")
+    paths = sorted(glob.glob(os.path.join(wal_dir, pat, "quar-*.parquet")))
+    if not paths:
         return rd.from_arrow(pa.table({
             "_violation": pa.array([], pa.string()),
             "_epoch": pa.array([], pa.int32())}))
-    return rd.from_arrow(pa.concat_tables(tabs, promote_options="permissive"))
+
+    def tag_epoch(t: pa.Table) -> pa.Table:
+        es = [int(os.path.basename(os.path.dirname(p)).split("-")[1])
+              for p in t["path"].to_pylist()]
+        return t.drop_columns(["path"]).append_column(
+            "_epoch", pa.array(es, pa.int32()))
+
+    return rd.read_parquet(paths, include_paths=True).map_batches(
+        tag_epoch, batch_format="pyarrow")
 
 
 def merge_violation_counts(acc: dict[str, int], one: Any) -> dict[str, int]:

@@ -195,8 +195,7 @@ class _DropNormalizer:
             # aborting the drop pre-seal); only per-rule COUNTS travel back
             t, quar, counts = apply_expectations(t, self.expectations)
             if quar is not None and len(quar):
-                write_quarantine_shard(quar, os.path.dirname(self.seg_dir),
-                                       self.epoch, self.uri_col)
+                write_quarantine_shard(quar, self.seg_dir)
             vio_json = json.dumps(counts)
             if len(t) == 0:  # whole block quarantined: counts still count
                 return pa.table({"path": pa.array([""], pa.string()),
@@ -317,10 +316,11 @@ def stage_drop(
     out = {"epoch": e, "rows": sum(by_path.values()),
            "shards": len(by_path), "seg_dir": seg_dir}
     if expectations:
+        from .expect import merge_violation_counts
+
         vio: dict[str, int] = {}
         for r in intents:
-            for k, v in json.loads(r.get("violations") or "{}").items():
-                vio[k] = vio.get(k, 0) + int(v)
+            merge_violation_counts(vio, r.get("violations"))
         quar_rules = {x.name for x in expectations
                       if x.on_fail == "quarantine"}
         out["violations"] = vio
@@ -333,9 +333,9 @@ def _abandon_claim(seg_dir: str) -> None:
     """Tear down a claimed-but-unsealed segment after a failed stage: same
     rename→tombstone→rmtree dance as ``vacuum_stale_claims`` (the id is
     pinned against reuse; a sealed segment is restored untouched). The
-    epoch's quarantine sidecar is removed too — its rows belong to a drop
-    that never happened."""
-    import re
+    epoch's quarantine shards live inside the directory and die with it —
+    a straggler task's write into the renamed-away path fails loudly, so
+    no ghost quarantine rows can outlive the abandonment."""
     import shutil
 
     reaped = f"{seg_dir}.abandoning-{os.getpid()}"
@@ -350,11 +350,6 @@ def _abandon_claim(seg_dir: str) -> None:
         pass
     os.rename(f"{seg_dir}.vacuumed.tmp-{os.getpid()}", f"{seg_dir}.vacuumed")
     shutil.rmtree(reaped, ignore_errors=True)
-    m = re.fullmatch(r"epoch-(\d+)", os.path.basename(seg_dir))
-    if m:
-        from .expect import quarantine_dir
-        shutil.rmtree(quarantine_dir(os.path.dirname(seg_dir),
-                                     int(m.group(1))), ignore_errors=True)
 
 
 def stage_tombstones(

@@ -317,7 +317,10 @@ def segments_with_barrier(wal_dir: str) -> tuple[list[tuple[int, list[str]]], in
             shards = sorted(
                 os.path.join(wal_dir, name, s)
                 for s in os.listdir(os.path.join(wal_dir, name))
-                if s.endswith(".parquet")
+                # quar-* sidecars are expectation-quarantined rows living
+                # WITH their segment (same claim/abandon/vacuum lifecycle)
+                # — triage data, never WAL events
+                if s.endswith(".parquet") and not s.startswith("quar-")
             )
             segs.append((e, shards))
             continue

@@ -69,10 +69,15 @@ def test_parse_expect_spec_grammar():
     assert r.on_fail == "warn"  # regex keeps its own colons
     ok = r.passes(pa.table({"uri": ["https://x:8080/a", "https://y/a"]}))
     assert ok.to_pylist() == [True, False]
+    # '=' INSIDE a match regex is data, not a policy suffix (query strings)
+    r = ex.parse_expect_spec(r"match:uri:[?&]id=\d+")
+    assert r.on_fail == "quarantine"
+    ok = r.passes(pa.table({"uri": ["https://x/p?id=7", "https://x/p?id=x"]}))
+    assert ok.to_pylist() == [True, False]
     assert ex.parse_expect_spec("url:uri=fail").on_fail == "fail"
     assert ex.parse_expect_spec("range:n:0:1").name == "in_range:n:0.0:1.0"
     for bad in ("minlen:text", "nope:uri", "minlen:text:x", "url:uri=boom",
-                "match:uri:"):
+                "match:uri:", "minlen:text:20=wrn"):
         with pytest.raises(ValueError):
             ex.parse_expect_spec(bad)
 
@@ -134,13 +139,54 @@ def test_stage_drop_expectations_retry_idempotent(tmp_path):
             ("https://a/3", "body long enough three")]
     exps = [ex.expect_min_len("text", 10)]
     r1 = ingest.stage_drop(_docs(rows), wal_dir, epoch=0, expectations=exps)
-    seg1 = sorted(os.listdir(r1["seg_dir"]))
-    q1 = sorted(os.listdir(ex.quarantine_dir(wal_dir, 0)))
+    seg1 = sorted(os.listdir(r1["seg_dir"]))  # includes the quar-* sidecars
+    assert any(f.startswith("quar-") for f in seg1)
     r2 = ingest.stage_drop(_docs(rows), wal_dir, epoch=0, expectations=exps)
     assert sorted(os.listdir(r2["seg_dir"])) == seg1
-    assert sorted(os.listdir(ex.quarantine_dir(wal_dir, 0))) == q1
     assert r1["rows"] == r2["rows"] == 2
     assert r1["quarantined"] == r2["quarantined"] == 1
+
+
+def test_quarantine_shard_names_digest_payload(tmp_path):
+    """Two blocks with the SAME (key, violation) pairs but different
+    payloads must land in distinct shards (a later block must not silently
+    overwrite an earlier one); identical tables stay retry-idempotent."""
+    seg = str(tmp_path / "seg")
+    os.makedirs(seg)
+    a = pa.table({"uri": ["u1"], "text": ["payload A"],
+                  "_violation": ["nonempty:text"]})
+    b = pa.table({"uri": ["u1"], "text": ["payload B"],
+                  "_violation": ["nonempty:text"]})
+    p1 = ex.write_quarantine_shard(a, seg)
+    p2 = ex.write_quarantine_shard(b, seg)
+    p3 = ex.write_quarantine_shard(a, seg)  # retry: same bytes, same file
+    assert p1 != p2 and p1 == p3
+    assert len([f for f in os.listdir(seg) if f.startswith("quar-")]) == 2
+
+
+def test_all_quarantined_drop_does_not_wedge_consumers(tmp_path):
+    """A drop whose rows are ALL quarantined seals a zero-shard segment;
+    the consumer must commit it as a zero-row epoch and keep advancing
+    (feeding [] to the reader used to wedge the feed forever)."""
+    wal_dir = str(tmp_path / "wal")
+    bad = _docs([("https://a/1", "  "), ("https://a/2", "")])
+    out = ingest.stage_drop(bad, wal_dir,
+                            expectations=[ex.expect_nonempty("text")])
+    assert out["rows"] == 0 and out["quarantined"] == 2
+    ok = ingest.stage_drop(_docs([("https://a/3", "good body three")]), wal_dir)
+    assert ok["epoch"] == out["epoch"] + 1
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.scan(columns=["doc_id"]).count() == 1
+    assert eng.manifest.committed_epoch == ok["epoch"]
+    # the quarantined rows stay queryable under the sealed empty epoch
+    q = ex.read_quarantine(wal_dir, epoch=out["epoch"]).to_pandas()
+    assert len(q) == 2 and set(q["_violation"]) == {"nonempty:text"}
+    # idempotent re-tail
+    before = eng.manifest.version
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    assert eng.manifest.version == before
 
 
 def test_cli_ingest_expect_and_quarantine(tmp_path, capsys):
