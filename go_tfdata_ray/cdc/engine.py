@@ -540,7 +540,14 @@ class PartitionMergeReader:
             if self.where:
                 merged = self._apply_where(merged)
             if self.columns:
-                merged = merged.select([c for c in self.columns if c in merged.column_names])
+                # add-column evolution contract: a requested column absent
+                # from every fragment of this partition reads back as null
+                # (NOT silently dropped — dropping all columns would yield a
+                # 0-row table and a scan that quietly loses the partition)
+                merged = pa.table({
+                    c: (merged[c] if c in merged.column_names
+                        else pa.nulls(len(merged)))
+                    for c in self.columns})
             out.append(merged)
         if not out:
             return pa.table({c: pa.array([]) for c in (self.columns or [])})
@@ -1210,9 +1217,11 @@ class CDCEngine:
 
         ``where``: conjunctive [(col, op, value), ...] with op in
         {==, !=, >, >=, <, <=, in} — evaluated against the CURRENT row
-        version inside each partition's merge task (a value predicate
-        cannot prune fragments: an old version may pass while the newest
-        fails; use ``lookup()`` for key-predicate pruning).
+        version inside each partition's merge task. The compacted base
+        additionally gets row-group stats pruning + a pre-merge filter
+        (safe — see ``PartitionMergeReader``); deltas are filtered only
+        after the merge (an old version may pass while the newest fails).
+        Use ``lookup()`` for key-predicate pruning.
 
         ``with_deleted=True`` returns the INTERNAL row view: tombstone rows
         (op='D') retained and the engine columns (seq/op/part_id) kept —
@@ -1234,6 +1243,21 @@ class CDCEngine:
             batch_format="pyarrow",
             batch_size=1,  # one partition per task — full merge parallelism
         ).randomize_block_order(seed=0)
+
+    def audit(self, expectations: list, columns: list[str] | None = None,
+              at_version: int | None = None,
+              where: list[tuple] | None = None) -> rd.Dataset:
+        """Lake-wide data-quality audit: violation counts per rule over the
+        merged live view (or a time-traveled / filtered snapshot). Pure
+        counting — nothing is quarantined, no ``fail`` rule aborts; the
+        drift-telemetry twin of the ingest gate
+        (`cdc/expect.py:audit_expectations`). Returns a tiny Dataset
+        ``(rule, violations)`` in declared rule order."""
+        from .expect import audit_expectations
+
+        return audit_expectations(
+            self.scan(columns=columns, at_version=at_version, where=where),
+            expectations)
 
     def export_tfrecord(self, out_dir: str, columns: list[str] | None = None,
                         at_version: int | None = None,

@@ -291,6 +291,62 @@ def read_quarantine(wal_dir: str, epoch: int | None = None):
         tag_epoch, batch_format="pyarrow")
 
 
+def count_expectations(t: pa.Table,
+                       expectations: list[Expectation]) -> dict[str, int]:
+    """Counting-only evaluation of one block: per-rule violation counts
+    with the same priority semantics as ``apply_expectations`` (a
+    quarantine/fail rule's violators leave the view of later rules; warn
+    violators stay) — but nothing is written and nothing raises."""
+    counts: dict[str, int] = {}
+    for ex in expectations:
+        counts.setdefault(ex.name, 0)
+        if len(t) == 0:
+            continue
+        ok = ex.passes(t)
+        n_bad = len(t) - int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+        counts[ex.name] += n_bad
+        if n_bad and ex.on_fail != "warn":
+            t = t.filter(ok)
+    return counts
+
+
+_AUDIT_CACHE: dict[bytes, list] = {}
+
+
+def audit_expectations(ds, expectations: list[Expectation]):
+    """Distributed data-quality audit: violation counts per rule over any
+    document Dataset (or a lake ``scan()``). Pure counting — no rows are
+    quarantined, no ``fail`` rule aborts. Per-batch partial counts carry
+    only (rule, n) rows; the tiny partials coalesce in one final task
+    (`stages/exchange.py:exchange_coalesce_map`). Returns a Dataset
+    ``(rule: string, violations: int64)`` in declared rule order."""
+    import pandas as pd
+
+    from ray import cloudpickle
+
+    from ..stages.exchange import exchange_coalesce_map
+
+    blob = cloudpickle.dumps(list(expectations))
+    names = [x.name for x in expectations]
+
+    def partial(t: pa.Table) -> pa.Table:
+        rules = _AUDIT_CACHE.get(blob)
+        if rules is None:
+            rules = _AUDIT_CACHE.setdefault(blob, cloudpickle.loads(blob))
+        c = count_expectations(t, rules)
+        return pa.table({"rule": pa.array(list(c), pa.string()),
+                         "n": pa.array([c[k] for k in c], pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("rule", sort=False)["n"].sum()
+        return pd.DataFrame({
+            "rule": names,
+            "violations": [int(s.get(r, 0)) for r in names]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return exchange_coalesce_map(partials, fold)
+
+
 def merge_violation_counts(acc: dict[str, int], one: Any) -> dict[str, int]:
     """Fold one intent row's JSON violation payload into the run total."""
     if not one:

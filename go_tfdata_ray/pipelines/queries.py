@@ -531,7 +531,10 @@ def q_inverted_index(sf_dir: str):
     'hh' = top-20 tokens by document frequency via the count-min
     heavy-hitters sketch (candidate generation + exact recount,
     ``functions/sketch.py:heavy_hitters``) — counts are exact, so the leg
-    is SQL-closed-form."""
+    is SQL-closed-form; 'expect' = the distributed data-quality audit
+    (`cdc/expect.py:audit_expectations` — per-rule violation counts, the
+    counting twin of the ingest quarantine gate), warn-policy rules so
+    each count is an independent SQL aggregate."""
     import re as _re
 
     from ..functions import sketch
@@ -566,7 +569,23 @@ def q_inverted_index(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    return idx.union(hh)
+    from ..cdc.expect import (audit_expectations, expect_matches,
+                              expect_max_len, expect_min_len)
+
+    aud = audit_expectations(
+        _read_docs(sf_dir, columns=["text"]),
+        [expect_min_len("text", 200, on_fail="warn"),
+         expect_max_len("text", 2000, on_fail="warn"),
+         expect_matches("text", "[0-9]", on_fail="warn")])
+    exp = aud.map_batches(
+        lambda t: pa.table({
+            "token": t["rule"],
+            "payload": pc.cast(t["violations"], pa.string()),
+            "kind": pa.array(["expect"] * len(t)),
+        }),
+        batch_format="pyarrow",
+    )
+    return idx.union(hh).union(exp)
 
 
 def _big_order_custkeys(sf_dir: str):
@@ -1699,7 +1718,19 @@ ORACLE_SQL = {
         "FROM t GROUP BY token "
         "UNION ALL "
         "(SELECT 'hh' AS kind, token, CAST(COUNT(*) AS VARCHAR) AS payload "
-        " FROM t GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 20)"
+        " FROM t GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 20) "
+        "UNION ALL "
+        "SELECT 'expect' AS kind, 'min_len:text:200' AS token, "
+        "CAST(COUNT(*) - COUNT(CASE WHEN length(text) >= 200 THEN 1 END) "
+        "AS VARCHAR) AS payload FROM documents "
+        "UNION ALL "
+        "SELECT 'expect' AS kind, 'max_len:text:2000' AS token, "
+        "CAST(COUNT(*) - COUNT(CASE WHEN length(text) <= 2000 THEN 1 END) "
+        "AS VARCHAR) AS payload FROM documents "
+        "UNION ALL "
+        "SELECT 'expect' AS kind, 'matches:text' AS token, "
+        "CAST(COUNT(*) - COUNT(CASE WHEN regexp_matches(text, '[0-9]') "
+        "THEN 1 END) AS VARCHAR) AS payload FROM documents"
     ),
     "topk_orders": (
         "(SELECT 'global' AS kind, o_orderkey, o_orderpriority, o_totalprice "

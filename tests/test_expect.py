@@ -217,3 +217,63 @@ def test_cli_ingest_expect_and_quarantine(tmp_path, capsys):
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 3 and err["error"] == "expectation_failed"
     assert "min_len:text:10" in err["detail"]
+
+
+# -- lake-wide audit ----------------------------------------------------------
+
+def test_count_expectations_priority_semantics():
+    """Counting twin of apply_expectations: a quarantine rule's violators
+    leave the view of later rules; warn violators stay visible."""
+    t = pa.table({
+        "uri": ["https://a/1", "ftp://bad", "https://a/3"],
+        "text": ["x", "y", "long enough body"],
+    })
+    # quarantine url first: ftp row leaves before min_len sees it
+    c = ex.count_expectations(
+        t, [ex.expect_url("uri"), ex.expect_min_len("text", 5)])
+    assert c == {"url:uri": 1, "min_len:text:5": 1}
+    # warn url first: ftp row STAYS, so min_len charges both short rows
+    c = ex.count_expectations(
+        t, [ex.expect_url("uri", on_fail="warn"),
+            ex.expect_min_len("text", 5)])
+    assert c == {"url:uri": 1, "min_len:text:5": 2}
+    # empty block: every rule still reports a zero
+    c = ex.count_expectations(t.slice(0, 0), [ex.expect_url("uri")])
+    assert c == {"url:uri": 0}
+
+
+def test_audit_expectations_distributed_and_engine_surface(tmp_path):
+    rows = [(f"https://a/{i}",
+             "short" if i % 7 == 0 else f"document body number {i} padded out")
+            for i in range(200)]
+    ds = _docs(rows).repartition(8)
+    rules = [ex.expect_min_len("text", 10, on_fail="warn"),
+             ex.expect_matches("text", "padded", on_fail="warn")]
+    out = ex.audit_expectations(ds, rules).to_pandas()
+    n_short = sum(1 for i in range(200) if i % 7 == 0)
+    # declared rule order, exact distributed counts
+    assert list(out["rule"]) == ["min_len:text:10", "matches:text"]
+    assert list(out["violations"]) == [n_short, n_short]
+
+    # engine.audit() runs the same counts over the merged live view.
+    # stage_drop TOKENIZES text away (lake columns: doc_id/tokens/n_tok/
+    # source/uri), so lake-side rules target the stored columns.
+    wal_dir = str(tmp_path / "wal")
+    ingest.stage_drop(_docs(rows), wal_dir)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+    lake_rules = [ex.expect_in_range("n_tok", 2, 100, on_fail="warn"),
+                  ex.expect_min_len("uri", 12, on_fail="warn")]
+    got = eng.audit(lake_rules, columns=["n_tok", "uri"]).to_pandas()
+    n_short_uri = sum(1 for i in range(200) if len(f"https://a/{i}") < 12)
+    assert list(got["violations"]) == [n_short, n_short_uri]
+    # filtered snapshot audits the filtered view only
+    got = eng.audit([ex.expect_in_range("n_tok", 2, 100, on_fail="warn")],
+                    columns=["n_tok"],
+                    where=[("n_tok", "<", 2)]).to_pandas()
+    assert list(got["violations"]) == [n_short]
+    # a requested column absent from EVERY fragment reads back as nulls
+    # with the full row count (add-column evolution contract) — never a
+    # silent 0-row scan
+    t = eng.scan_table(columns=["doc_id", "text"])
+    assert t.num_rows == 200 and t["text"].null_count == 200
