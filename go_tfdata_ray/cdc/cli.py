@@ -20,6 +20,8 @@ Commands:
                 crawl drop → sealed epoch, quality-gated (quarantine/warn/fail)
   quarantine    --wal DIR [--epoch N --show K]   inspect quarantined rows
   takedown      --wal DIR (--uris a,b | --uris-file F)  delete epoch by URI
+  audit         --lake DIR --expect RULE .. [--columns a,b --at-version V
+                --where col:op:val ..]   lake-wide rule-violation counts
 """
 
 from __future__ import annotations
@@ -176,6 +178,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="remove ABANDONED producer claims (open segments "
                         "whose _OPEN marker is older than this) — the "
                         "unblock for the consumers' ordering barrier")
+
+    s = sub.add_parser("audit")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--expect", action="append", required=True,
+                   metavar="RULE",
+                   help="data-quality rule 'kind:args' (repeatable; same "
+                        "grammar as ingest --expect; policies are ignored — "
+                        "an audit only counts)")
+    s.add_argument("--columns", default=None,
+                   help="comma-separated scan columns (default: the "
+                        "columns the rules declare)")
+    s.add_argument("--at-version", type=int, default=None,
+                   help="audit an older committed snapshot (time travel)")
+    s.add_argument("--where", action="append", default=[],
+                   help="col:op:val predicate, repeatable — audit only the "
+                        "matching live rows")
 
     s = sub.add_parser("status")
     s.add_argument("--lake", required=True)
@@ -456,6 +474,37 @@ def main(argv: list[str] | None = None) -> int:
                 content_col=a.content_col or "tokens", num_shards=a.shards,
                 method=a.method, threshold=a.threshold, dry_run=a.dry_run)
         print(json.dumps(out))
+        return 0
+
+    if a.cmd == "audit":
+        _ray_up()
+        from .expect import parse_expect_spec
+
+        eng = CDCEngine(a.lake)
+        rules = [parse_expect_spec(s) for s in a.expect]
+        cols = [c.strip() for c in a.columns.split(",")] if a.columns else None
+        where = None
+        if a.where:
+            def _parse(w: str):
+                col, op, val = w.split(":", 2)
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+                return (col, op, val)
+
+            where = [_parse(w) for w in a.where]
+        out = eng.audit(rules, columns=cols, at_version=a.at_version,
+                        where=where).to_pandas()
+        print(json.dumps({
+            "violations": {r: int(n) for r, n in
+                           zip(out["rule"], out["violations"])},
+            "at_version": (a.at_version if a.at_version is not None
+                           else eng.manifest.version),
+        }))
         return 0
 
     if a.cmd == "profile":

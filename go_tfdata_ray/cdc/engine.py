@@ -1252,8 +1252,17 @@ class CDCEngine:
         counting — nothing is quarantined, no ``fail`` rule aborts; the
         drift-telemetry twin of the ingest gate
         (`cdc/expect.py:audit_expectations`). Returns a tiny Dataset
-        ``(rule, violations)`` in declared rule order."""
+        ``(rule, violations)`` in declared rule order.
+
+        With ``columns=None`` the scan is pruned to the columns the rules
+        declare (built-in rules carry their column; a custom rule without
+        one falls back to the full lake schema)."""
         from .expect import audit_expectations
+
+        if columns is None:
+            cols = [x.col for x in expectations]
+            if all(cols):
+                columns = list(dict.fromkeys(cols))
 
         return audit_expectations(
             self.scan(columns=columns, at_version=at_version, where=where),

@@ -63,6 +63,9 @@ class Expectation:
     name: str
     fn: Callable[[pa.Table], Any] = field(repr=False)
     on_fail: str = "quarantine"
+    # the single column a built-in rule reads (None for custom multi-column
+    # fns) — lets audit()/CLI derive a pruned scan column set from the rules
+    col: str | None = None
 
     def __post_init__(self):
         if self.on_fail not in ACTIONS:
@@ -92,7 +95,7 @@ def _str_col(t: pa.Table, col: str) -> pa.ChunkedArray:
 def expect_not_null(col: str, *, on_fail: str = "quarantine",
                     name: str | None = None) -> Expectation:
     return Expectation(name or f"not_null:{col}",
-                       lambda t: pc.is_valid(t[col]), on_fail)
+                       lambda t: pc.is_valid(t[col]), on_fail, col=col)
 
 
 def expect_nonempty(col: str, *, on_fail: str = "quarantine",
@@ -103,7 +106,7 @@ def expect_nonempty(col: str, *, on_fail: str = "quarantine",
         return pc.and_kleene(
             pc.is_valid(v),
             pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(v)), 0))
-    return Expectation(name or f"nonempty:{col}", fn, on_fail)
+    return Expectation(name or f"nonempty:{col}", fn, on_fail, col=col)
 
 
 def expect_min_len(col: str, n: int, *, on_fail: str = "quarantine",
@@ -111,7 +114,7 @@ def expect_min_len(col: str, n: int, *, on_fail: str = "quarantine",
     return Expectation(
         name or f"min_len:{col}:{n}",
         lambda t: pc.greater_equal(pc.utf8_length(_str_col(t, col)), n),
-        on_fail)
+        on_fail, col=col)
 
 
 def expect_max_len(col: str, n: int, *, on_fail: str = "quarantine",
@@ -119,7 +122,7 @@ def expect_max_len(col: str, n: int, *, on_fail: str = "quarantine",
     return Expectation(
         name or f"max_len:{col}:{n}",
         lambda t: pc.less_equal(pc.utf8_length(_str_col(t, col)), n),
-        on_fail)
+        on_fail, col=col)
 
 
 def expect_matches(col: str, pattern: str, *, on_fail: str = "quarantine",
@@ -129,7 +132,7 @@ def expect_matches(col: str, pattern: str, *, on_fail: str = "quarantine",
     return Expectation(
         name or f"matches:{col}",
         lambda t: pc.match_substring_regex(_str_col(t, col), pattern),
-        on_fail)
+        on_fail, col=col)
 
 
 def expect_url(col: str = "uri", *, on_fail: str = "quarantine",
@@ -145,7 +148,7 @@ def expect_in_range(col: str, lo: float, hi: float, *,
     def fn(t: pa.Table):
         v = pc.cast(t[col], pa.float64())
         return pc.and_kleene(pc.greater_equal(v, lo), pc.less_equal(v, hi))
-    return Expectation(name or f"in_range:{col}:{lo}:{hi}", fn, on_fail)
+    return Expectation(name or f"in_range:{col}:{lo}:{hi}", fn, on_fail, col=col)
 
 
 def parse_expect_spec(spec: str) -> Expectation:

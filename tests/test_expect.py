@@ -277,3 +277,33 @@ def test_audit_expectations_distributed_and_engine_surface(tmp_path):
     # silent 0-row scan
     t = eng.scan_table(columns=["doc_id", "text"])
     assert t.num_rows == 200 and t["text"].null_count == 200
+
+
+def test_cli_audit_counts_and_derived_columns(tmp_path, capsys):
+    """CLI audit: rule-violation counts over the merged live view, scan
+    columns derived from the rule specs (n_tok/uri are lake columns)."""
+    from go_tfdata_ray.cdc.cli import main
+
+    rows = [(f"https://a/{i}", "tiny" if i % 4 == 0
+             else f"cli audit body number {i} padded")
+            for i in range(40)]
+    wal_dir, lake = str(tmp_path / "wal"), str(tmp_path / "lake")
+    ingest.stage_drop(_docs(rows), wal_dir)
+    eng = CDCEngine(lake, num_partitions=2)
+    eng.tail(wal_dir, idle_limit=1, poll_secs=0.01)
+
+    rc = main(["audit", "--lake", lake,
+               "--expect", "range:n_tok:2:99",
+               "--expect", "url:uri"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_tiny = sum(1 for i in range(40) if i % 4 == 0)
+    assert rc == 0
+    assert out["violations"] == {"in_range:n_tok:2.0:99.0": n_tiny,
+                                 "url:uri": 0}
+    assert out["at_version"] == eng.manifest.version
+
+    # where-filtered audit counts only the matching live rows
+    rc = main(["audit", "--lake", lake, "--expect", "range:n_tok:2:99",
+               "--where", "n_tok:<:2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and list(out["violations"].values()) == [n_tiny]
