@@ -103,6 +103,30 @@ def train_char_lm(source, text_col: str = "text", sample_n: int = 512,
     return logp.astype(np.float32)
 
 
+def _batch_ppl(logp: np.ndarray, texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """One batch's perplexities: one batch-wide gather — concatenate
+    [BOS,BOS]+codes per doc so each doc's trigram windows stay inside its
+    own padded segment, mask the two BOS-position rows out and reduce per
+    segment. Returns (ppl, n_chars); empty docs score NaN."""
+    codes = [_doc_codes(s or "") for s in texts]
+    lens = np.array([len(c) for c in codes], dtype=np.int64)
+    padded = [np.concatenate(([_BOS, _BOS], c)) for c in codes]
+    if padded:
+        flat = np.concatenate(padded)
+        lp = np.zeros(len(flat), dtype=np.float64)
+        lp[2:] = logp[flat[:-2], flat[1:-1], flat[2:]]
+        seg = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
+        # zero the first two positions of every segment (BOS pads and,
+        # equivalently, the stale windows crossing doc boundaries)
+        lp[seg] = 0.0
+        lp[seg + 1] = 0.0
+        sums = np.add.reduceat(lp, seg)
+    else:
+        sums = np.zeros(0, dtype=np.float64)
+    ppl = np.where(lens > 0, np.exp(-sums / np.maximum(lens, 1)), np.nan)
+    return ppl, lens
+
+
 class PerplexityScorer:
     """Distributed scoring stage (worker-cached): text → trigram
     perplexity. One vectorized log-prob gather per document."""
@@ -113,28 +137,7 @@ class PerplexityScorer:
         self.text_col, self.key_col = text_col, key_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        codes = [_doc_codes(s or "") for s in texts]
-        lens = np.array([len(c) for c in codes], dtype=np.int64)
-        # one batch-wide gather: concatenate [BOS,BOS]+codes per doc, so
-        # each doc's windows stay inside its own padded segment, then
-        # mask the two BOS-position rows out and reduce per segment
-        padded = [np.concatenate(([_BOS, _BOS], c)) for c in codes]
-        if padded:
-            flat = np.concatenate(padded)
-            lp = np.zeros(len(flat), dtype=np.float64)
-            lp[2:] = self.logp[flat[:-2], flat[1:-1], flat[2:]]
-            seg = np.concatenate(([0], np.cumsum(lens + 2)))[:-1]
-            # zero the first two positions of every segment (BOS pads and,
-            # equivalently, the stale windows crossing doc boundaries)
-            lp[seg] = 0.0
-            lp[seg + 1] = 0.0
-            sums = np.add.reduceat(lp, seg)
-        else:
-            sums = np.zeros(0, dtype=np.float64)
-        ppl = np.where(lens > 0,
-                       np.exp(-sums / np.maximum(lens, 1)),
-                       np.nan)
+        ppl, lens = _batch_ppl(self.logp, t[self.text_col].to_pylist())
         return pa.table({
             self.key_col: t[self.key_col],
             "ppl": pa.array(ppl, pa.float64()),
@@ -148,4 +151,36 @@ def perplexity_score(ds: rd.Dataset, logp: np.ndarray,
     return ds.map_batches(
         _worker_cached(PerplexityScorer,
                        logp.astype(np.float32).tobytes(), text_col, key_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+class PerplexityFilter:
+    """Worker-cached filter stage: keep rows whose trigram perplexity is
+    at or below ``cutoff``, ALL input columns intact. The scale-correct
+    twin of ``PerplexityScorer`` for a known cutoff: the score is a cheap
+    stateless per-row function, so the filter recomputes it inline instead
+    of materializing a corpus-sized key set on the driver and broadcasting
+    it back (the pattern `pipelines/curate.py` streams through). Empty
+    docs score NaN and are dropped — identical to ``ppl <= cutoff`` over
+    the scorer's output (NaN fails the comparison)."""
+
+    def __init__(self, logp_bytes: bytes, cutoff: float,
+                 text_col: str = "text"):
+        self.logp = np.frombuffer(logp_bytes, dtype=np.float32).reshape(V, V, V)
+        self.cutoff, self.text_col = float(cutoff), text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ppl, _ = _batch_ppl(self.logp, t[self.text_col].to_pylist())
+        keep = np.nan_to_num(ppl, nan=np.inf) <= self.cutoff
+        return t.filter(pa.array(keep))
+
+
+def perplexity_filter(ds: rd.Dataset, logp: np.ndarray, cutoff: float,
+                      text_col: str = "text",
+                      batch_size: int = 1024) -> rd.Dataset:
+    """Streaming quality gate: drop rows scoring above ``cutoff``."""
+    return ds.map_batches(
+        _worker_cached(PerplexityFilter,
+                       logp.astype(np.float32).tobytes(), float(cutoff),
+                       text_col),
         batch_format="pyarrow", batch_size=batch_size)

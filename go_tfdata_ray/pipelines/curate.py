@@ -7,10 +7,17 @@ materialization between stages — one lazy Dataset plan end to end):
                               email/phone/IPv4 → typed placeholders)
       → LM quality filter    (functions/lm.py — char-trigram perplexity
                               against a model trained on a bounded clean
-                              sample; drop docs above the cutoff)
-      → exact dedup          (functions/dedup.py:exact_dedup — 128-bit
-                              content-hash shuffle, text never moves;
-                              survivors kept via broadcast semi-join)
+                              sample; the cutoff derives from a histogram
+                              sketch over the tiny score projection, then
+                              the gate RECOMPUTES the score inline per
+                              row — no key set ever touches the driver)
+      → exact dedup          (functions/dedup.py:duplicate_keys — 128-bit
+                              content-hash shuffle enumerates LOSERS, the
+                              text never moves; losers are removed with
+                              stages/joins.py:anti_join_keys, which
+                              auto-switches from an exact broadcast set to
+                              a distributed Bloom + exact-rescue resolve
+                              past ``dedup_broadcast_max`` ids)
       → tokenize             (functions/text.py — hash-vocab, or
                               functions/bpe.py for a trained BPE)
       → chunk                (functions/pack.py:chunk_documents —
@@ -18,11 +25,13 @@ materialization between stages — one lazy Dataset plan end to end):
       → pack                 (functions/pack.py:pack_sequences — fixed
                               context_len training rows)
 
-Scale notes: the only all-to-all is dedup's 32 B/doc signature shuffle;
-the LM and PII stages are embarrassingly parallel map_batches; the
-survivor set ships as ONE broadcast (`ray.put`) — swap for the Bloom
-prefilter (`functions/sketch.py`) when survivors outgrow driver memory,
-the same escape hatch `ngram_verified_dedup` wires automatically.
+Scale notes: the only payload-free all-to-all is dedup's 32 B/doc hash
+shuffle; the LM and PII stages are embarrassingly parallel map_batches;
+NOTHING corpus-proportional is ever collected on the driver — the quality
+gate recomputes its per-row score instead of round-tripping survivor
+keys, and the dedup anti join holds at most a fixed-size Bloom plus an
+FP-rate-sized rescue set past the broadcast threshold (below it, an
+exact loser-id set — losers are the duplicate fraction, not the corpus).
 """
 
 from __future__ import annotations
@@ -30,11 +39,11 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..functions import lm as lmmod
-from ..functions.dedup import exact_dedup
+from ..functions.dedup import duplicate_keys
 from ..functions.sketch import approx_quantiles
 from ..functions.pack import chunk_documents, pack_sequences
 from ..functions.text import redact_pii, tokenize
-from ..stages.joins import semi_join_filter
+from ..stages.joins import anti_join_keys
 
 
 def curate_corpus(
@@ -48,11 +57,18 @@ def curate_corpus(
     overlap: int = 0,
     eod_token: int = 50256,
     html: bool = False,
+    dedup_broadcast_max: int = 1_000_000,
 ) -> tuple[rd.Dataset, dict]:
     """→ (packed training sequences, stats). ``ppl_cutoff=None`` derives
     the cutoff as the ``ppl_quantile`` of the scored corpus (one extra
-    pass over the tiny (key, ppl) projection, not the texts).
-    ``html=True`` prepends HTML→text extraction (crawl payloads)."""
+    pass over the tiny ppl projection, not the texts).
+    ``html=True`` prepends HTML→text extraction (crawl payloads).
+    ``dedup_broadcast_max`` is the loser-count threshold where the dedup
+    anti join switches from an exact broadcast set to the distributed
+    Bloom + rescue path (`stages/joins.py:anti_join_keys`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     if html:
         from ..functions.text import html_to_text
 
@@ -67,24 +83,38 @@ def curate_corpus(
 
     logp = lmmod.train_char_lm(scrubbed, text_col=text_col,
                                sample_n=lm_sample_n)
-    # materialize ONLY the tiny (key, ppl) projection — texts stay lazy
+    # materialize ONLY the tiny ppl projection (8 B/doc, object-store
+    # resident, spillable) — it feeds the cutoff sketch and the n_clean
+    # stat; keys never round-trip through the driver
     scored = lmmod.perplexity_score(
         scrubbed, logp, text_col=text_col, key_col=key_col
-    ).select_columns([key_col, "ppl"]).materialize()
+    ).select_columns(["ppl"]).materialize()
     if ppl_cutoff is None:  # histogram sketch, O(n_bins) driver state
         ppl_cutoff = approx_quantiles(
             scored, "ppl", {"cut": ppl_quantile})["cut"]
     cutoff = float(ppl_cutoff)
-    keep_keys = [r[key_col] for r in scored.filter(
-        lambda r: r["ppl"] <= cutoff).select_columns([key_col]).take_all()]
-    clean = semi_join_filter(scrubbed, keep_keys, on=key_col)
-    n_clean = len(keep_keys)
+    # n_clean: per-block count partials over the materialized projection
+    # (one small row per block to the driver; NaN ppl = empty doc = drop)
+    n_clean = int(sum(
+        r["n"] for r in scored.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pc.sum(pc.less_equal(t["ppl"], cutoff)).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").take_all()))
+    # the gate itself recomputes the cheap stateless score inline — the
+    # scale-correct shape (a survivor-key semi join would materialize
+    # O(corpus) keys on the driver)
+    clean = lmmod.perplexity_filter(scrubbed, logp, cutoff,
+                                    text_col=text_col)
 
-    survivors = exact_dedup(clean, content_col=text_col, key_col=key_col)
-    surv_keys = [r[key_col] for r in
-                 survivors.select_columns([key_col]).take_all()]
-    unique = semi_join_filter(clean, surv_keys, on=key_col)
-    n_unique = len(surv_keys)
+    # exact dedup: enumerate LOSERS (id-only, distributed) and anti-join
+    # them out; n_unique is arithmetic, not a key drain
+    losers = duplicate_keys(clean, content_col=text_col,
+                            key_col=key_col).materialize()
+    n_losers = losers.count()
+    unique = anti_join_keys(clean, losers, on=key_col,
+                            max_broadcast=dedup_broadcast_max)
+    n_unique = n_clean - n_losers
 
     toks = tokenize(unique, text_col=text_col, key_col=key_col)
     chunked = chunk_documents(toks, context_len=context_len,

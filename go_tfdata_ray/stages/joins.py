@@ -110,6 +110,117 @@ def semi_join_filter(big: rd.Dataset, keys, on: str, anti: bool = False) -> rd.D
     return big.map_batches(filt, batch_format="pandas", batch_size=16384)
 
 
+def anti_join_keys(
+    big: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    num_shards: int = 64,
+    max_broadcast: int = 1_000_000,
+    n_bits: int | None = None,
+) -> rd.Dataset:
+    """Distributed EXACT anti join: drop from ``big`` every row whose
+    ``on`` value appears in the ``keys`` Dataset (id rows, same column
+    name). Ids are compared stringified, so the sides may differ in
+    physical key type (e.g. ``duplicate_keys``'s string casts).
+
+    Auto-switches on |keys| — the ``ngram_verified_dedup`` narrow pattern
+    (`functions/dedup.py`): at or below ``max_broadcast`` the ids drain
+    to an exact driver set (cheapest at typical counts). Above it nothing
+    key-proportional touches the driver:
+
+    1. a Bloom filter over the keys is built DISTRIBUTIVELY
+       (`functions/sketch.py:build_bloom` — OR-fold of fixed-size bit
+       arrays) and broadcast once; rows missing the Bloom are keepers
+       outright (a Bloom has no false negatives);
+    2. the Bloom-HIT ids (true members + false positives) are resolved
+       exactly with one ID-ONLY key-sharded exchange against the key
+       set — row payloads never shuffle;
+    3. the surviving FALSE-POSITIVE ids (≈ FP-rate × |big|, bounded by
+       the 16-bits-per-key Bloom sizing, <1% at the 1 GiB cap up to
+       ~4×10^9 keys) broadcast as the tiny rescue set.
+
+    keep = not-in-Bloom OR rescued — exact under any FP rate, one
+    streaming filter pass over ``big`` at apply time plus one id-only
+    projection pass for step 2 (``big``'s upstream plan executes for
+    both, like every multi-consumer Dataset). ``n_bits`` overrides the
+    Bloom size (tests force FP floods to exercise the rescue path)."""
+    import pyarrow.compute as pc
+
+    ids = keys.map_batches(
+        lambda t: pa.table({"_k": pc.cast(t[on], pa.string())}),
+        batch_format="pyarrow").materialize()
+    n = ids.count()
+    if n == 0:
+        return big
+
+    def _stringified(t: pa.Table) -> np.ndarray:
+        return pc.cast(t[on], pa.string()).to_numpy(zero_copy_only=False)
+
+    if n <= max_broadcast:
+        kset: set = set()
+        for b in ids.iter_batches(batch_format="pyarrow"):
+            kset.update(b["_k"].to_pylist())
+        ref = ray.put(kset)
+
+        def filt(t: pa.Table) -> pa.Table:
+            m = pd.Series(_stringified(t)).isin(_cached_get(ref)).to_numpy()
+            return t.filter(pa.array(~m))
+
+        filt.__name__ = "anti_join_keys_small"
+        return big.map_batches(filt, batch_format="pyarrow")
+
+    from ..functions.sketch import bloom_contains, build_bloom
+
+    if n_bits is None:
+        n_bits = 1 << min(33, max(20, int(np.ceil(np.log2(16 * n)))))
+    bloom_ref = ray.put(build_bloom(ids, "_k", n_bits=n_bits))
+
+    def hit_ids(t: pa.Table) -> pa.Table:
+        v = _stringified(t)
+        m = bloom_contains(_cached_get(bloom_ref), v)
+        return pa.table({"_k": pa.array(v[m], pa.string())})
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["_k"].to_numpy(zero_copy_only=False)
+            sh = (pd.util.hash_array(np.asarray(v, dtype=object),
+                                     categorize=False)
+                  % np.uint64(num_shards)).astype(np.int64)
+            return pa.table({
+                "_k": t["_k"],
+                "_side": pa.array(np.full(len(t), side, np.int8)),
+                "_s": pa.array(sh)})
+        f.__name__ = f"tag_side{side}"
+        return f
+
+    def fp_shard(g: pd.DataFrame) -> pd.DataFrame:
+        members = set(g.loc[g["_side"] == 1, "_k"])
+        h = g.loc[g["_side"] == 0, "_k"]
+        return pd.DataFrame(
+            {"_k": pd.array(h[~h.isin(members)].unique(), dtype="string")})
+
+    tagged = big.map_batches(hit_ids, batch_format="pyarrow").map_batches(
+        tag(0), batch_format="pyarrow").union(
+        ids.map_batches(tag(1), batch_format="pyarrow"))
+    fp_set: set = set()
+    for b in exchange_group_map(tagged, fp_shard, num_shards,
+                                shard_col="_s").iter_batches(
+                                    batch_format="pyarrow"):
+        fp_set.update(b["_k"].to_pylist())
+    fp_ref = ray.put(fp_set)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = _stringified(t)
+        mask = ~bloom_contains(_cached_get(bloom_ref), v)
+        fps = _cached_get(fp_ref)
+        if fps:
+            mask |= pd.Series(v).isin(fps).to_numpy()
+        return t.filter(pa.array(mask))
+
+    keep.__name__ = "anti_join_keys_bloom"
+    return big.map_batches(keep, batch_format="pyarrow")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

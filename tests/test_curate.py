@@ -59,3 +59,26 @@ def test_curate_pii_never_reaches_output():
     assert not red["redacted"].str.contains(r"\(555\)").any()
     assert (red[red["doc_id"] >= "d0100"][["n_email", "n_phone"]]
             .to_numpy().sum(axis=1) > 0).all()
+
+
+def test_curate_corpus_large_dedup_path_matches_small():
+    """Force the Bloom anti-join path (dedup_broadcast_max=0 puts every
+    loser past the broadcast threshold) — stats and packed content must
+    match the default exact-set path row for row."""
+    from go_tfdata_ray.pipelines.curate import curate_corpus
+
+    ids, texts, _ = _corpus()
+    def mk():
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                       "text": pa.array(texts)}))
+
+    kw = dict(ppl_quantile=0.88, context_len=64, lm_sample_n=80)
+    packed_a, stats_a = curate_corpus(mk(), **kw)
+    packed_b, stats_b = curate_corpus(mk(), dedup_broadcast_max=0, **kw)
+    assert stats_a == stats_b
+    da, db = packed_a.to_pandas(), packed_b.to_pandas()
+    # content multiset equality (pack order may differ across runs only
+    # if inputs differ — they must not)
+    ca = sorted(tuple(t) for t in da["tokens"])
+    cb = sorted(tuple(t) for t in db["tokens"])
+    assert ca == cb

@@ -365,3 +365,56 @@ def test_object_exchange_left_join_schema_stable():
     assert len(schemas) == 1
     df = j.to_pandas()
     assert len(df) == 50 and df["rv"].isna().sum() == 25
+
+
+def test_anti_join_keys_small_and_bloom_paths_agree():
+    # corpus with string keys (the curate shape); drop a planted id set
+    n = 500
+    big = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    }))
+    drop = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([f"d{i:04d}" for i in range(0, n, 7)])}))
+    want = sorted(f"d{i:04d}" for i in range(n) if i % 7 != 0)
+
+    small = joins.anti_join_keys(big, drop, on="doc_id").to_pandas()
+    assert sorted(small["doc_id"]) == want
+
+    # force the distributed Bloom path (threshold below the key count)
+    bloom = joins.anti_join_keys(big, drop, on="doc_id",
+                                 max_broadcast=1).to_pandas()
+    assert sorted(bloom["doc_id"]) == want
+    assert list(bloom.columns) == ["doc_id", "v"]
+
+
+def test_anti_join_keys_exact_under_fp_flood():
+    # a deliberately tiny Bloom (64 bits for 72 keys) false-positives on
+    # nearly every probe — the exact rescue resolve must still yield the
+    # exact anti join
+    n = 500
+    big = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    }))
+    drop = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([f"d{i:04d}" for i in range(0, n, 7)])}))
+    out = joins.anti_join_keys(big, drop, on="doc_id",
+                               max_broadcast=1, n_bits=64).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(
+        f"d{i:04d}" for i in range(n) if i % 7 != 0)
+
+
+def test_anti_join_keys_type_tolerant_and_empty():
+    # int-keyed big side vs string loser ids (duplicate_keys casts):
+    # membership is stringified on both sides
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 10, 11],
+                                                pa.int64())}))
+    drop = rd.from_arrow(pa.table({"k": pa.array(["2", "10"])}))
+    out = joins.anti_join_keys(big, drop, on="k").to_pandas()
+    assert sorted(out["k"]) == [1, 3, 11]
+    # empty key set: pass-through
+    none = joins.anti_join_keys(
+        big, rd.from_arrow(pa.table({"k": pa.array([], pa.string())})),
+        on="k").to_pandas()
+    assert sorted(none["k"]) == [1, 2, 3, 10, 11]
