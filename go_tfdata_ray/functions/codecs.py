@@ -538,10 +538,12 @@ def sniff_image_format(buf: bytes) -> str:
         return "mp4"
     if buf[:4] == b"\x1aE\xdf\xa3":
         return "mkv"
+    if buf[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xba"):
+        return "mpeg"  # MPEG-1 video ES / MPEG-1 program stream
     raise NotImplementedError(
         "unrecognized image payload (PNG, baseline JPEG, GIF, MJPEG-AVI, "
-        "MJPEG-MP4 and MJPEG-MKV have from-spec codecs in this container; "
-        "other media plugs in at this seam)")
+        "MJPEG-MP4, MJPEG-MKV and MPEG-1 video have from-spec codecs in "
+        "this container; other media plugs in at this seam)")
 
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -564,6 +566,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from .mkv import extract_mkv_frames
 
         return decode_jpeg(extract_mkv_frames(buf, [0])[0])
+    if fmt == "mpeg":  # first I picture of an MPEG-1 clip (ES or PS)
+        from .mpeg import extract_mpeg_frames
+
+        return extract_mpeg_frames(buf, [0])[0]
     return decode_gif_first(buf)
 
 

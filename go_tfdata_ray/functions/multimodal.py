@@ -6,10 +6,12 @@ Image and audio kernels are REAL — PNG, baseline JPEG, GIF and WAV via
 mirroring the reference's use of Go stdlib codecs at
 /root/reference/tfdata/core/example.go:131-146): ``mode="real"`` sniffs
 the payload magic and decodes actual pixels/samples/frames. Frame
-sampling is real over animated GIF, MJPEG, MJPEG-in-AVI, MJPEG-in-MP4
-and MJPEG-in-MKV (container walks — GIF descriptor/sub-block, JPEG
-marker, RIFF idx1, ISO-BMFF sample tables, EBML cluster/block headers —
-no pixel decode); other video codecs raise
+sampling is real over animated GIF, MJPEG, MJPEG-in-AVI, MJPEG-in-MP4,
+MJPEG-in-MKV and MPEG-1 video (container walks — GIF
+descriptor/sub-block, JPEG marker, RIFF idx1, ISO-BMFF sample tables,
+EBML cluster/block headers, MPEG picture start codes — no pixel
+decode); MPEG-1 I pictures also pixel-decode from spec
+(``functions/mpeg.py``); other video codecs raise
 ``NotImplementedError`` at the same seam (they need ffmpeg, absent in
 this container); ``mode="fake"``
 keeps the deterministic bytes-derived path for plumbing tests and for
@@ -32,6 +34,7 @@ from . import codecs
 from .avi import count_avi_frames, encode_avi_mjpeg
 from .mkv import count_mkv_frames, encode_mkv_mjpeg
 from .mp4 import count_mp4_frames, encode_fmp4_mjpeg, encode_mp4_mjpeg
+from .mpeg import count_mpeg_frames, encode_mpeg1, mux_mpeg_ps
 from .gif import count_gif_frames
 from .text import _worker_cached
 
@@ -82,16 +85,19 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
                       payload: str = "raw") -> pa.Table:
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
-    / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"wav"`` /
+    / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"mpeg"`` /
+    ``"mpegps"`` / ``"wav"`` /
     ``"wav_adpcm"`` / ``"wav_ulaw"`` / ``"wav_alaw"`` = REAL
     encoded payloads for the real decode kernels (the video payloads are
     n_frames-frame clips at 16×16, so the width/height columns report 16;
-    ``"mkv"`` cycles no/Xiph/EBML lacing and ``"wav_adpcm"`` cycles
-    block_align across clips)."""
+    ``"mkv"`` cycles no/Xiph/EBML lacing, ``"mpeg"``/``"mpegps"`` are
+    all-I MPEG-1 elementary / program streams, and ``"wav_adpcm"``
+    cycles block_align across clips)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
-    if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4", "mkv"):
+    if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4", "mkv", "mpeg",
+                   "mpegps"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -129,6 +135,14 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             frames_per_cluster=4,
             lacing=(None, "xiph", "ebml")[i % 3])
             for i in range(n)]
+    elif payload in ("mpeg", "mpegps"):
+        # all-I MPEG-1: RGB frames -> 4:2:0 intra ES (optionally wrapped
+        # in an ISO 11172-1 program stream), qscale cycling 1/2/4
+        def _clip(i: int) -> bytes:
+            frames = synth_gif_frames(i + seed, nf[i]).astype(np.uint8)
+            es = encode_mpeg1(frames, fps=10, qscale=(1, 2, 4)[i % 3])
+            return mux_mpeg_ps(es) if payload == "mpegps" else es
+        payloads = [_clip(i) for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]
     elif payload == "wav_adpcm":
@@ -249,10 +263,12 @@ class FrameSampler:
                     n_frames = count_mp4_frames(buf)
                 elif fmt == "mkv":  # EBML cluster walk, O(block headers)
                     n_frames = count_mkv_frames(buf)
+                elif fmt == "mpeg":  # picture-start-code scan, O(bytes)
+                    n_frames = count_mpeg_frames(buf)
                 else:
                     raise NotImplementedError(
-                        "frame extraction beyond GIF/MJPEG/AVI/MP4/MKV "
-                        "requires ffmpeg — seam")
+                        "frame extraction beyond GIF/MJPEG/AVI/MP4/MKV/"
+                        "MPEG-1 requires ffmpeg — seam")
                 for f in range(0, n_frames, self.every_n):
                     ids.append(mid)
                     frames.append(f)

@@ -1461,7 +1461,7 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
-    """REAL frame sampling over five video containers / six layouts
+    """REAL frame sampling over six video formats / eight layouts
     (flat-map shape: one row per sampled frame index), stage-tagged
     union: 'gif' = each
     clip is a true (i%30)+1-frame GIF89a animation decoded from-spec (LZW
@@ -1515,8 +1515,20 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="mkv"))
     mkv_out = multimodal.sample_frames(mk, every_n=10, mode="real").map_batches(
         tag("mkv"), batch_format="pyarrow")
+    # 'mpeg' / 'mpegps' = the same clips as all-I MPEG-1 video (from-spec
+    # ISO 11172-2 intra codec, ``functions/mpeg.py``), frames counted by
+    # the exact picture-start-code scan — the elementary-stream leg and
+    # the ISO 11172-1 program-stream (PES demux) leg
+    mpg = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mpeg"))
+    mpg_out = multimodal.sample_frames(mpg, every_n=10, mode="real").map_batches(
+        tag("mpeg"), batch_format="pyarrow")
+    mps = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mpegps"))
+    mps_out = multimodal.sample_frames(mps, every_n=10, mode="real").map_batches(
+        tag("mpegps"), batch_format="pyarrow")
     return (gif_out.union(mjp_out).union(avi_out).union(mp4_out)
-            .union(fmp4_out).union(mkv_out))
+            .union(fmp4_out).union(mkv_out).union(mpg_out).union(mps_out))
 
 
 def q_audio_features(sf_dir: str):
@@ -2007,7 +2019,9 @@ ORACLE_SQL = {
         "UNION ALL SELECT 'avi' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mp4' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'fmp4' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'mkv' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'mkv' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mpeg' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mpegps' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + sample-count

@@ -1,0 +1,178 @@
+"""MPEG-1 video codec (functions/mpeg.py): from-spec ISO 11172-2 intra
+encode/decode, Annex B VLC tables, systems-layer mux/demux."""
+
+import numpy as np
+import pytest
+
+from go_tfdata_ray.functions import mpeg
+from go_tfdata_ray.functions.multimodal import synth_image
+
+
+def _clips(n, w, h):
+    return np.stack([synth_image(i, w, h) for i in range(n)])
+
+
+def test_roundtrip_mae_and_shape():
+    frames = _clips(4, 32, 32)
+    es = mpeg.encode_mpeg1(frames, qscale=2)
+    dec = mpeg.decode_mpeg1(es)
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(float) - frames).mean() < 4.0
+
+
+def test_non_mb_aligned_dims_crop():
+    frames = _clips(3, 50, 38)
+    dec = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=4))
+    assert dec.shape == (3, 38, 50, 3)
+    assert np.abs(dec.astype(float) - frames).mean() < 8.0
+
+
+def test_flat_gray_is_lossless_and_tiny():
+    flat = np.full((2, 16, 16, 3), 128, np.uint8)
+    es = mpeg.encode_mpeg1(flat, qscale=8)
+    assert len(es) < 100
+    assert np.array_equal(mpeg.decode_mpeg1(es), flat)
+
+
+def test_count_and_dims_without_decode():
+    frames = _clips(7, 16, 16)
+    es = mpeg.encode_mpeg1(frames, gop_size=3)
+    assert mpeg.count_mpeg_frames(es) == 7
+    assert mpeg.mpeg_dims(es) == (16, 16)
+
+
+def test_escape_coding_matches_table_coding():
+    # every AC coefficient through the 6-bit-run escape path must decode
+    # to the same stream the Table B.5 codes produce — cross-checks the
+    # table against the spec's escape definition over real coefficients
+    frames = _clips(3, 32, 32)
+    a = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=1))
+    b = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=1,
+                                            force_escape=True))
+    assert np.array_equal(a, b)
+
+
+def test_ac_table_is_prefix_free():
+    codes = [c for _, _, c in mpeg._AC_TABLE] + [mpeg._AC_EOB,
+                                                 mpeg._AC_ESCAPE]
+    assert len(set(codes)) == len(codes)
+    for i, a in enumerate(codes):
+        for j, b in enumerate(codes):
+            if i != j:
+                assert not b.startswith(a), (a, b)
+    # and the run/level domain is unique
+    keys = [(r, lv) for r, lv, _ in mpeg._AC_TABLE]
+    assert len(set(keys)) == len(keys) == 111
+
+
+def test_mba_table_is_prefix_free():
+    codes = list(mpeg._MBA.values()) + [mpeg._MBA_ESCAPE, mpeg._MBA_STUFFING]
+    for i, a in enumerate(codes):
+        for j, b in enumerate(codes):
+            if i != j:
+                assert not b.startswith(a)
+
+
+def test_escape_level_extremes_roundtrip():
+    # drive the 16-bit double-byte escape forms directly through the
+    # writer/reader pair: levels past ±127 use the 0x00/0x80 marker byte
+    from go_tfdata_ray.functions.jpeg import _BitReader
+
+    for level in (1, -1, 127, -127, 128, -128, 200, -200, 255, -255):
+        bw = mpeg._BW()
+        mpeg._enc_ac(bw, 5, level, force_escape=True)
+        bw.align()
+        br = _BitReader(bytes(bw.buf))
+        assert br.peek16() >> 10 == 0b000001
+        br.skip(6)
+        assert br.read(6) == 5
+        b = br.read(8)
+        if b == 0x00:
+            got = br.read(8)
+        elif b == 0x80:
+            got = br.read(8) - 256
+        else:
+            got = b if b < 128 else b - 256
+        assert got == level
+
+
+def test_ps_mux_demux_roundtrip():
+    es = mpeg.encode_mpeg1(_clips(5, 16, 16), qscale=4)
+    ps = mpeg.mux_mpeg_ps(es, packet_size=256)
+    assert ps[:4] == b"\x00\x00\x01\xba"
+    assert mpeg.demux_mpeg_ps(ps) == es
+    # every top-level entry point accepts PS directly
+    assert mpeg.count_mpeg_frames(ps) == 5
+    assert mpeg.mpeg_dims(ps) == (16, 16)
+    assert np.array_equal(mpeg.decode_mpeg1(ps), mpeg.decode_mpeg1(es))
+
+
+def test_extract_is_seek_shaped():
+    frames = _clips(9, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2)
+    full = mpeg.decode_mpeg1(es)
+    some = mpeg.extract_mpeg_frames(es, [0, 4, 8])
+    assert np.array_equal(some[0], full[0])
+    assert np.array_equal(some[1], full[4])
+    assert np.array_equal(some[2], full[8])
+    with pytest.raises(IndexError):
+        mpeg.extract_mpeg_frames(es, [9])
+
+
+def test_p_picture_counts_but_raises_on_pixel_decode():
+    es = mpeg.encode_mpeg1(_clips(2, 16, 16))
+    # splice a P-picture header (type=010) before the sequence end code
+    p_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0x97, 0xFF, 0xF8, 0x00])
+    es_p = es[:-4] + p_hdr + b"\x00\x00\x01\xb7"
+    assert mpeg.count_mpeg_frames(es_p) == 3
+    assert len(mpeg.extract_mpeg_frames(es_p, [0, 1])) == 2  # I pictures fine
+    with pytest.raises(NotImplementedError):
+        mpeg.extract_mpeg_frames(es_p, [2])
+
+
+def test_custom_intra_matrix_stream_decodes():
+    # build a sequence header carrying load_intra_quantizer_matrix=1 with
+    # a flat all-16 matrix and splice it onto an encoded stream's pictures
+    import struct
+
+    flat = np.full((2, 16, 16, 3), 128, np.uint8)
+    es = mpeg.encode_mpeg1(flat, qscale=8)
+    bw = mpeg._BW()
+    bw.buf += struct.pack(">I", 0x000001B3)
+    bw.write(16, 12)
+    bw.write(16, 12)
+    bw.write(1, 4)
+    bw.write(3, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(1, 1)  # load_intra_quantizer_matrix
+    for _ in range(64):
+        bw.write(16, 8)
+    bw.write(0, 1)
+    es_cm = bytes(bw.buf) + es[12:]  # original header is 4+8 bytes
+    dec = mpeg.decode_mpeg1(es_cm)
+    assert np.array_equal(dec, flat)  # DC-only stream: matrix-insensitive
+
+
+def test_decoder_survives_corruption():
+    # a flipped byte may still parse as SOME valid VLC sequence — the
+    # contract is no crash/hang: either a clean error or a decoded frame
+    # of the declared dimensions
+    es = mpeg.encode_mpeg1(_clips(1, 16, 16), qscale=1)
+    slice_off = es.find(b"\x00\x00\x01\x01")
+    for k in range(6, 14):
+        bad = bytearray(es)
+        bad[slice_off + k] ^= 0xFF
+        try:
+            dec = mpeg.decode_mpeg1(bytes(bad))
+            assert dec.shape[1:] == (16, 16, 3)
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+
+    # hard truncation mid-entropy must error cleanly, not hang
+    with pytest.raises((ValueError, IndexError)):
+        mpeg._decode_picture(
+            1, [(1, es[slice_off + 4:slice_off + 7])],
+            type("S", (), {"w": 16, "h": 16, "intra_q": None})())
