@@ -107,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("compact")
     s.add_argument("--lake", required=True)
 
+    s = sub.add_parser("reshard")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--partitions", type=int, required=True,
+                   help="new hash-partition count (prefer multiplicative "
+                        "hops: N*k or N/k)")
+
     s = sub.add_parser("clone")
     s.add_argument("--lake", required=True)
     s.add_argument("--dest", required=True,
@@ -447,6 +453,12 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         print(json.dumps(eng.compact()))
+        return 0
+
+    if a.cmd == "reshard":
+        _ray_up()
+        eng = CDCEngine(a.lake)
+        print(json.dumps(eng.reshard(a.partitions)))
         return 0
 
     if a.cmd == "clone":

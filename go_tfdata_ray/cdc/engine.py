@@ -309,14 +309,16 @@ def _conform(t: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.table(dict(zip(schema.names, cols)))
 
 
-def _streaming_compact_write(
+def _merge_chunk_plan(
     lake_dir: str,
     bases: list[tuple[str, int, int]],
     deltas: list[tuple[str, int, int]],
-    tmp_path: str,
-    row_group_size: int = 32768,
-) -> tuple[int, int]:
-    """One partition's compaction fold as a bounded-memory streaming merge.
+):
+    """One partition's fold as a bounded-memory streaming merge plan:
+    returns ``(target_schema, chunk_iter)`` where ``chunk_iter`` yields
+    (conformed_chunk, raw_rows) of collapsed, tombstone-dropped,
+    doc_id-sorted rows — the shared core of ``compact()`` and
+    ``reshard()``.
 
     Bases (previous compaction output) are doc_id-sorted with UNIQUE keys
     and bounded row groups; deltas (epoch fragments since that compact)
@@ -325,12 +327,10 @@ def _streaming_compact_write(
     the deltas once (O(deltas)), then walk the base ROW GROUP BY ROW GROUP:
     each base chunk merges with its key-range slice of the sorted delta
     (no key spans two base row groups — keys are unique), collapses,
-    drops tombstones, and is written immediately. Peak memory is
+    drops tombstones, and is yielded immediately. Peak memory is
     O(row group + deltas), never O(partition).
 
-    ``bases``/``deltas``: (path, rank, rg) triples. Returns
-    (rows_written, max_chunk_rows) — the latter is the memory-bound
-    witness asserted in tests."""
+    ``bases``/``deltas``: (path, rank, rg) triples."""
     ranked = []
     for p, r, g in deltas:
         t = _read_fragment(os.path.join(lake_dir, p), g)
@@ -374,53 +374,211 @@ def _streaming_compact_write(
     target = pa.unify_schemas(schemas, promote_options="permissive")
     target = pa.schema([f for f in target if f.name != "_rank"])
 
+    def _finish(chunk: pa.Table) -> tuple[pa.Table, int]:
+        raw = len(chunk)
+        chunk = collapse_latest(chunk, order_cols=("_rank", "seq"))
+        if "op" in chunk.column_names:
+            chunk = chunk.filter(pc.not_equal(chunk["op"], pa.scalar("D")))
+        # collapse_latest emits winners in key-sorted order — the chunk
+        # is already doc_id-clustered for the row-group write
+        return _conform(chunk, target), raw
+
+    def chunk_iter():
+        if base is None:
+            if delta is not None and len(delta):
+                yield _finish(delta)
+            return
+        bpath, brank, brg = base
+        pf = pq.ParquetFile(os.path.join(lake_dir, bpath))
+        rg_list = (list(range(pf.metadata.num_row_groups))
+                   if brg < 0 else [brg])
+        dk = (delta["doc_id"].to_numpy(zero_copy_only=False)
+              if delta is not None else None)
+        pos = 0
+        for j, rgi in enumerate(rg_list):
+            bt = pf.read_row_group(rgi)
+            parts = [bt.append_column(
+                "_rank", pa.array(np.full(len(bt), brank, dtype=np.int64)))]
+            if dk is not None:
+                if j == len(rg_list) - 1:
+                    hi = len(dk)  # the tail: delta keys past the base
+                else:
+                    last = bt["doc_id"][len(bt) - 1].as_py()
+                    hi = int(np.searchsorted(dk, last, side="right"))
+                if hi > pos:
+                    parts.append(delta.slice(pos, hi - pos))
+                    pos = hi
+            yield _finish(
+                pa.concat_tables(parts, promote_options="permissive")
+                if len(parts) > 1 else parts[0])
+
+    return target, chunk_iter()
+
+
+def _streaming_compact_write(
+    lake_dir: str,
+    bases: list[tuple[str, int, int]],
+    deltas: list[tuple[str, int, int]],
+    tmp_path: str,
+    row_group_size: int = 32768,
+) -> tuple[int, int]:
+    """Write one partition's streaming fold (``_merge_chunk_plan``) to a
+    single clustered base file. Returns (rows_written, max_chunk_rows) —
+    the latter is the memory-bound witness asserted in tests."""
+    target, chunks = _merge_chunk_plan(lake_dir, bases, deltas)
     total = 0
     max_chunk = 0
     writer = pq.ParquetWriter(tmp_path, target, use_dictionary=False,
                               compression="lz4")
     try:
-        def emit(chunk: pa.Table) -> None:
-            nonlocal total, max_chunk
-            max_chunk = max(max_chunk, len(chunk))
-            chunk = collapse_latest(chunk, order_cols=("_rank", "seq"))
-            if "op" in chunk.column_names:
-                chunk = chunk.filter(pc.not_equal(chunk["op"], pa.scalar("D")))
-            # collapse_latest emits winners in key-sorted order — the chunk
-            # is already doc_id-clustered for the row-group write
-            chunk = _conform(chunk, target)
+        for chunk, raw in chunks:
+            max_chunk = max(max_chunk, raw)
             if len(chunk):
                 writer.write_table(chunk, row_group_size=row_group_size)
                 total += len(chunk)
-
-        if base is None:
-            if delta is not None and len(delta):
-                emit(delta)
-        else:
-            bpath, brank, brg = base
-            pf = pq.ParquetFile(os.path.join(lake_dir, bpath))
-            rg_list = (list(range(pf.metadata.num_row_groups))
-                       if brg < 0 else [brg])
-            dk = (delta["doc_id"].to_numpy(zero_copy_only=False)
-                  if delta is not None else None)
-            pos = 0
-            for j, rgi in enumerate(rg_list):
-                bt = pf.read_row_group(rgi)
-                parts = [bt.append_column(
-                    "_rank", pa.array(np.full(len(bt), brank, dtype=np.int64)))]
-                if dk is not None:
-                    if j == len(rg_list) - 1:
-                        hi = len(dk)  # the tail: delta keys past the base
-                    else:
-                        last = bt["doc_id"][len(bt) - 1].as_py()
-                        hi = int(np.searchsorted(dk, last, side="right"))
-                    if hi > pos:
-                        parts.append(delta.slice(pos, hi - pos))
-                        pos = hi
-                emit(pa.concat_tables(parts, promote_options="permissive")
-                     if len(parts) > 1 else parts[0])
     finally:
         writer.close()
     return total, max_chunk
+
+
+def _reshard_split(
+    lake_dir: str,
+    bases: list[tuple[str, int, int]],
+    deltas: list[tuple[str, int, int]],
+    old_part: int,
+    new_num: int,
+    tmp_rel: str,
+    row_group_size: int = 32768,
+) -> list[tuple[int, str, int]]:
+    """Reshard stage 1, one task per OLD partition: stream the
+    partition's fold (``_merge_chunk_plan`` — same bounded-memory merge
+    as compaction) and split each chunk by the NEW doc_id hash into
+    per-new-partition fragment files. A stable grouping sort preserves
+    chunk order inside each run, so every output fragment stays
+    doc_id-sorted. Buffered rows flush as full row groups; peak memory is
+    O(row group × live buffers), and the open-writer fan-out per task is
+    ``gcd``-bounded when the partition counts divide (grow N→kN touches
+    exactly k targets per task; shrink kN→N exactly one) — the scale path
+    is multiplicative resharding.
+
+    Returns (new_part, rel_path, rows) intents. Deterministic names +
+    tmp/rename make task retries idempotent."""
+    target, chunks = _merge_chunk_plan(lake_dir, bases, deltas)
+    pid_type = (target.field("part_id").type
+                if "part_id" in target.names else pa.int32())
+    state: dict[int, dict[str, Any]] = {}
+
+    def _flush(p: int) -> None:
+        st = state[p]
+        if not st["buf"]:
+            return
+        t = pa.concat_tables(st["buf"], promote_options="permissive")
+        idx = t.column_names.index("part_id")
+        t = t.set_column(idx, "part_id", pa.array(
+            np.full(len(t), p, dtype=np.int64)).cast(pid_type))
+        if st["writer"] is None:
+            st["writer"] = pq.ParquetWriter(
+                st["tmp"], target, use_dictionary=False, compression="lz4")
+        st["writer"].write_table(t, row_group_size=row_group_size)
+        st["rows"] += len(t)
+        st["buf"], st["buf_rows"] = [], 0
+
+    for chunk, _raw in chunks:
+        if not len(chunk):
+            continue
+        new_ids = hash_partition(chunk["doc_id"], new_num)
+        order = np.argsort(new_ids, kind="stable")
+        grouped = chunk.take(pa.array(order))
+        sorted_ids = new_ids[order]
+        bounds = np.flatnonzero(np.diff(sorted_ids)) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(sorted_ids)]])
+        for lo, hi in zip(starts, stops):
+            p = int(sorted_ids[lo])
+            st = state.get(p)
+            if st is None:
+                rel = os.path.join(tmp_rel, f"to={p:04d}",
+                                   f"from-{old_part:04d}.parquet")
+                final = os.path.join(lake_dir, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                st = state[p] = {
+                    "writer": None, "rel": rel, "final": final,
+                    "tmp": final + f".tmp-{uuid.uuid4().hex}",
+                    "rows": 0, "buf": [], "buf_rows": 0,
+                }
+            st["buf"].append(grouped.slice(int(lo), int(hi - lo)))
+            st["buf_rows"] += int(hi - lo)
+            if st["buf_rows"] >= row_group_size:
+                _flush(p)
+
+    out = []
+    for p, st in sorted(state.items()):
+        _flush(p)
+        if st["writer"] is None:
+            continue  # no rows ever flushed for this target
+        st["writer"].close()
+        os.rename(st["tmp"], st["final"])
+        out.append((p, st["rel"], st["rows"]))
+    return out
+
+
+def _kway_disjoint_merge(
+    lake_dir: str,
+    rel_paths: list[str],
+    tmp_path: str,
+    row_group_size: int = 32768,
+) -> tuple[int, int]:
+    """Reshard stage 2, one task per NEW partition: k-way merge its
+    doc_id-sorted, key-DISJOINT stage-1 fragments into one clustered
+    base. Walks row group by row group: each round gathers every
+    cursor's rows up to the smallest current chunk-tail key (the cursor
+    owning that tail drains, guaranteeing progress), so peak memory is
+    O(k × row group) worst case and ~O(row group) for hash-scattered
+    keys. Returns (rows_written, max_gather_rows) — the memory witness."""
+    pfs = [pq.ParquetFile(os.path.join(lake_dir, r)) for r in rel_paths]
+    target = pa.unify_schemas([pf.schema_arrow for pf in pfs],
+                              promote_options="permissive")
+    cursors = [{"pf": pf, "rg": 0, "chunk": None, "off": 0} for pf in pfs]
+
+    def _load(c) -> bool:
+        while c["chunk"] is None or c["off"] >= len(c["chunk"]):
+            if c["rg"] >= c["pf"].metadata.num_row_groups:
+                c["chunk"] = None
+                return False
+            c["chunk"] = c["pf"].read_row_group(c["rg"])
+            c["off"] = 0
+            c["rg"] += 1
+        return True
+
+    total = 0
+    max_gather = 0
+    writer = pq.ParquetWriter(tmp_path, target, use_dictionary=False,
+                              compression="lz4")
+    try:
+        while True:
+            act = [c for c in cursors if _load(c)]
+            if not act:
+                break
+            bound = min(c["chunk"]["doc_id"][len(c["chunk"]) - 1].as_py()
+                        for c in act)
+            gather = []
+            for c in act:
+                dk = c["chunk"]["doc_id"].to_numpy(zero_copy_only=False)
+                hi = int(np.searchsorted(dk[c["off"]:], bound,
+                                         side="right")) + c["off"]
+                if hi > c["off"]:
+                    gather.append(_conform(
+                        c["chunk"].slice(c["off"], hi - c["off"]), target))
+                    c["off"] = hi
+            t = pa.concat_tables(gather, promote_options="permissive")
+            t = t.sort_by("doc_id")
+            max_gather = max(max_gather, len(t))
+            if len(t):
+                writer.write_table(t, row_group_size=row_group_size)
+                total += len(t)
+    finally:
+        writer.close()
+    return total, max_gather
 
 
 class PartitionMergeReader:
@@ -1332,7 +1490,10 @@ class CDCEngine:
         if not ids:
             return pa.table({})
         m = None if at_version is None else mf.load_version(self.lake_dir, at_version)
-        parts = set(int(p) for p in hash_partition(pa.array(ids), self.num_partitions))
+        # route with the TARGET version's partition count — a reshard()
+        # between versions changes the key→partition map
+        n_parts = (m or self.manifest).num_partitions
+        parts = set(int(p) for p in hash_partition(pa.array(ids), n_parts))
         desc = [d for d in self._descriptors(m) if d["part_id"] in parts]
         cols = columns or LAKE_COLUMNS
         if not desc:
@@ -1564,6 +1725,136 @@ class CDCEngine:
                 # task materialized (≤ row_group_size + delta rows)
                 "max_chunk_rows": max((int(i["max_chunk"]) for i in intents),
                                       default=0)}
+
+    def reshard(self, new_num_partitions: int,
+                row_group_size: int = 32768) -> dict[str, Any]:
+        """Change the lake's hash-partition count — the maintenance op a
+        growing lake needs when the layout chosen at creation stops
+        fitting (too-fat partitions at 100 TB, or too many tiny ones).
+
+        Two storage-mediated stages, NO Ray all-to-all: stage 1 runs one
+        task per OLD partition (the same bounded-memory streaming fold as
+        ``compact()``, split by the new hash into per-new-partition
+        sorted fragments); stage 2 runs one task per NEW partition (k-way
+        merge of its key-disjoint fragments into a single clustered
+        base). A fenced manifest commit publishes the new layout
+        atomically; older retained versions keep their own partition map,
+        so time travel and version-pinned ``lookup``/``scan`` keep
+        working across the boundary. Like compaction, resharding folds
+        the epoch segments (``changes()`` consumers behind this version
+        must full-resync).
+
+        New-partition watermarks take the GLOBAL max of the old ones:
+        reshard runs at a committed-epoch boundary and WAL seqs are
+        contiguous per epoch, so any not-yet-applied event carries a seq
+        above every committed one; the global max can only classify
+        ALREADY-APPLIED events as replays. Scale note: prefer
+        multiplicative hops (N→kN or kN→N) — then each stage-1 task
+        writes exactly k (or 1) fragment files; an arbitrary count is
+        correct but fans out to min(new, rows) open writers per task."""
+        new_n = int(new_num_partitions)
+        if new_n < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        m = self.manifest
+        if new_n == m.num_partitions:
+            return {"resharded": False, "num_partitions": new_n,
+                    "version": m.version}
+        import shutil
+
+        # sweep intermediates from crashed prior reshards (never
+        # referenced by any manifest — invisible to readers, pure litter)
+        for d in os.listdir(self.lake_dir):
+            if d.startswith("_reshard-tmp-"):
+                shutil.rmtree(os.path.join(self.lake_dir, d),
+                              ignore_errors=True)
+        tmp_rel = f"_reshard-tmp-{m.version + 1}"
+        epoch = m.committed_epoch
+        lake = self.lake_dir
+        desc = self._descriptors()
+
+        def split_part(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(len(batch)):
+                part = int(batch["part_id"][i].as_py())
+                frags = list(zip(batch["paths"][i].as_py(),
+                                 batch["ranks"][i].as_py(),
+                                 batch["rgs"][i].as_py(),
+                                 batch["kinds"][i].as_py()))
+                bases = [(p, r, g) for p, r, g, kd in frags if kd == "base"]
+                deltas = [(p, r, g) for p, r, g, kd in frags if kd == "delta"]
+                rows += _reshard_split(lake, bases, deltas, part, new_n,
+                                       tmp_rel, row_group_size)
+            return pa.table({
+                "part_id": pa.array([r[0] for r in rows], pa.int32()),
+                "path": pa.array([r[1] for r in rows]),
+                "rows": pa.array([r[2] for r in rows], pa.int64()),
+            })
+
+        intents = []
+        if desc:
+            intents = rd.from_items(desc).map_batches(
+                split_part, batch_format="pyarrow", batch_size=1
+            ).take_all()  # tiny: one intent row per (old, new) pair
+
+        groups: dict[int, list[str]] = {}
+        for it in intents:
+            groups.setdefault(int(it["part_id"]), []).append(it["path"])
+        items = [{"part_id": p, "paths": rels}
+                 for p, rels in sorted(groups.items())]
+
+        def merge_part(batch: pa.Table) -> pa.Table:
+            rows = []
+            for i in range(len(batch)):
+                p = int(batch["part_id"][i].as_py())
+                rels = batch["paths"][i].as_py()
+                rel = os.path.join(f"part={p:04d}",
+                                   f"base-{epoch:06d}-rs{m.version + 1:04d}"
+                                   ".parquet")
+                final = os.path.join(lake, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                tmp = final + f".tmp-{uuid.uuid4().hex}"
+                n, mg = _kway_disjoint_merge(lake, rels, tmp, row_group_size)
+                os.rename(tmp, final)
+                rows.append((p, rel, n, mg))
+            return pa.table({
+                "part_id": pa.array([r[0] for r in rows], pa.int32()),
+                "path": pa.array([r[1] for r in rows]),
+                "rows": pa.array([r[2] for r in rows], pa.int64()),
+                "max_gather": pa.array([r[3] for r in rows], pa.int64()),
+            })
+
+        finals = []
+        if items:
+            finals = rd.from_items(items).map_batches(
+                merge_part, batch_format="pyarrow", batch_size=1
+            ).take_all()
+
+        gwm = max((ps.watermark_seq for ps in m.partitions.values()),
+                  default=-1)
+        new = mf.Manifest(
+            version=m.version + 1, num_partitions=new_n,
+            committed_epoch=epoch, fence_token=self.fence_token,
+            schema=m.schema, stats=dict(m.stats), epochs=[],
+        )
+        new.stats["folded_epoch"] = epoch
+        for k in range(new_n):
+            # every new partition gets a state row even when empty — the
+            # watermark must exist to replay-filter future events
+            new.partitions[str(k)] = mf.PartitionState(gwm, [])
+        for it in finals:
+            new.part(int(it["part_id"])).files = [
+                {"path": it["path"], "kind": "base", "epoch": epoch,
+                 "rows": int(it["rows"])}]
+        mf.commit(self.lake_dir, new)
+        self.manifest = new
+        self.num_partitions = new_n
+        shutil.rmtree(os.path.join(self.lake_dir, tmp_rel),
+                      ignore_errors=True)
+        return {"resharded": True, "num_partitions": new_n,
+                "version": new.version,
+                "rows": sum(int(i["rows"]) for i in finals),
+                "max_gather_rows": max(
+                    (int(i["max_gather"]) for i in finals), default=0)}
 
     def would_compact(self, max_fragments: int = 8) -> bool:
         """The compaction-policy predicate, exposed so pre-compaction work
