@@ -778,10 +778,11 @@ def _digest_ds(ds, extra_cols: tuple[str, ...] = ()):
 def q_cdc_replay_digest(sf_dir: str):
     """Full WAL replay → merged final state, PLUS the same state after
     COMPACT (deltas folded into per-partition bases, tombstones physically
-    dropped) + vacuum on a second lake — stage-tagged union with per-row
-    token digests. Both stages must carry identical rows, so the oracle is
-    the same digest twice (exact token-list equality is asserted in
-    pytest)."""
+    dropped) + vacuum on a second lake, PLUS the same state after RESHARD
+    (partition-count change) on a third — stage-tagged union with per-row
+    token digests. All three stages must carry identical rows, so the
+    oracle is the same digest three times (exact token-list equality is
+    asserted in pytest)."""
 
     def tag(stage):
         def f(t: pa.Table) -> pa.Table:
@@ -800,7 +801,18 @@ def q_cdc_replay_digest(sf_dir: str):
         eng.vacuum()
     compacted = _digest_ds(eng.scan()).map_batches(tag("compacted"),
                                                    batch_format="pyarrow")
-    return replay.union(compacted)
+
+    # third leg: the same state after RESHARD (hash-partition-count change
+    # as a 2-stage storage exchange). The target ping-pongs 16↔24 so every
+    # run performs a REAL reshard on the cached lake, not a no-op.
+    lake_rs = os.path.join("/tmp/graft_lake",
+                           f"sf{walmod.sf_from_dir(sf_dir):g}-resharded")
+    eng_rs = CDCEngine(lake_rs, num_partitions=16)
+    eng_rs.apply_wal(wal_dir)
+    eng_rs.reshard(24 if eng_rs.num_partitions == 16 else 16)
+    resharded = _digest_ds(eng_rs.scan()).map_batches(tag("resharded"),
+                                                      batch_format="pyarrow")
+    return replay.union(compacted).union(resharded)
 
 
 def q_cdc_changes_digest(sf_dir: str):
@@ -1842,7 +1854,9 @@ ORACLE_SQL = {
     "cdc_replay_digest": _CDC_LAST + (
         f"SELECT 'replay' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D' "
         "UNION ALL "
-        f"SELECT 'compacted' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D'"
+        f"SELECT 'compacted' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D' "
+        "UNION ALL "
+        f"SELECT 'resharded' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D'"
     ),
     "cdc_changes_digest": (
         f"WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')), "
