@@ -1,22 +1,30 @@
-"""From-spec MPEG-1 video (ISO/IEC 11172-2) intra codec + systems demux.
+"""From-spec MPEG-1 video (ISO/IEC 11172-2) I+P codec + systems demux.
 
 Closes the "general video" seam left by the MJPEG container walks: a real
-motion-video bitstream format with its own entropy layer (the Annex B VLC
-tables), quantizer matrix, DC prediction and slice/macroblock structure —
-not JPEG in a box. Scope is the honest keyframe subset a frame-sampling
-data pipeline needs:
+motion-video bitstream format with temporal prediction, its own entropy
+layer (the Annex B VLC tables), quantizer matrices, DC/vector prediction
+and slice/macroblock structure — not JPEG in a box.
 
-- ``encode_mpeg1``: all-I-picture 4:2:0 elementary stream (sequence /
-  GOP / picture / one-slice-per-MB-row), full Table B.5 run-level VLC
-  with escape fallback, DC-predicted size coding, default intra
-  quantizer matrix, selectable quantizer_scale.
+- ``encode_mpeg1``: 4:2:0 elementary stream (sequence / GOP / picture /
+  one-slice-per-MB-row), full Table B.5 run-level VLC with escape
+  fallback, DC-predicted size coding, selectable quantizer_scale.
+  ``mode="intra"`` emits all-I pictures (the keyframe-sampling shape);
+  ``mode="ip"`` emits real temporal compression — GOPs of I + forward-
+  predicted P pictures with ±1 full-pel motion search against the
+  locally RECONSTRUCTED reference (bit-exact with the decoder, no
+  drift), skipped zero-residual macroblocks, coded_block_pattern
+  residual coding and an optional intra-macroblock scene-change
+  fallback.
 - ``decode_mpeg1`` / ``extract_mpeg_frames``: parses any MPEG-1 video
-  ES (custom quant matrices, intra+quant macroblock type, extension /
-  user-data codes, MB address escapes), pixel-decodes I pictures;
-  P/B pictures are counted and *skipped* structurally but raise
-  ``NotImplementedError`` if their pixels are requested — motion
-  compensation is the documented seam (keyframe sampling never needs
-  it: extract the nearest I picture instead).
+  ES (custom quant matrices, quant macroblock types, extension /
+  user-data codes, MB address escapes) and pixel-decodes I and P
+  pictures — differential motion vectors with f-scaled residuals and
+  wraparound, half-pel interpolation, skipped-MB reference copy,
+  intra-in-P. Extraction decodes only each wanted picture's reference
+  chain (back to its nearest I). B pictures are counted and skipped
+  structurally but raise ``NotImplementedError`` if their pixels are
+  requested — bidirectional prediction is the remaining documented
+  seam (sample I/P pictures instead).
 - ``count_mpeg_frames``: O(bytes) picture-start-code scan — exact,
   because the VLC design forbids start-code emulation (23 consecutive
   zero bits cannot occur inside valid entropy data).
@@ -63,6 +71,40 @@ _DC_LUM = {0: "100", 1: "00", 2: "01", 3: "101", 4: "110", 5: "1110",
            6: "11110", 7: "111110", 8: "1111110"}
 _DC_CHROM = {0: "00", 1: "01", 2: "10", 3: "110", 4: "1110", 5: "11110",
              6: "111110", 7: "1111110", 8: "11111110"}
+
+# default non-intra quantizer matrix: flat 16 (§2.4.2.3)
+_NON_INTRA_Q = np.full(64, 16, dtype=np.int64)
+
+# macroblock_type (Tables B.2a/B.2b): code -> (quant, motion_fwd,
+# coded_pattern, intra)
+_MBT_I = {"1": (0, 0, 0, 1), "01": (1, 0, 0, 1)}
+_MBT_P = {
+    "1": (0, 1, 1, 0), "01": (0, 0, 1, 0), "001": (0, 1, 0, 0),
+    "00011": (0, 0, 0, 1), "00010": (1, 1, 1, 0), "00001": (1, 0, 1, 0),
+    "000001": (1, 0, 0, 1),
+}
+
+# coded_block_pattern VLC (Table B.3); cbp 0 is not coded (the not-coded
+# macroblock types carry it implicitly)
+_CBP = {
+    60: "111",
+    4: "1101", 8: "1100", 16: "1011", 32: "1010",
+    12: "10011", 48: "10010", 20: "10001", 40: "10000",
+    28: "01111", 44: "01110", 52: "01101", 56: "01100",
+    1: "01011", 61: "01010", 2: "01001", 62: "01000",
+    24: "001111", 36: "001110", 3: "001101", 63: "001100",
+    5: "0010111", 9: "0010110", 17: "0010101", 33: "0010100",
+    6: "0010011", 10: "0010010", 18: "0010001", 34: "0010000",
+    7: "00011111", 11: "00011110", 19: "00011101", 35: "00011100",
+    13: "00011011", 49: "00011010", 21: "00011001", 41: "00011000",
+    14: "00010111", 50: "00010110", 22: "00010101", 42: "00010100",
+    15: "00010011", 51: "00010010", 23: "00010001", 43: "00010000",
+    25: "00001111", 37: "00001110", 26: "00001101", 38: "00001100",
+    29: "00001011", 45: "00001010", 53: "00001001", 57: "00001000",
+    30: "00000111", 46: "00000110", 54: "00000101", 58: "00000100",
+    31: "000000111", 47: "000000110", 55: "000000101", 59: "000000100",
+    27: "000000011", 39: "000000010",
+}
 
 # macroblock_address_increment (Table B.1); escape adds 33, stuffing skips
 _MBA = {
@@ -152,6 +194,19 @@ _MBA_DEC = _prefix_decoder({**{c: n for n, c in _MBA.items()},
                             _MBA_ESCAPE: "escape",
                             _MBA_STUFFING: "stuffing"})
 _AC_DEC = _prefix_decoder({c: (r, lv) for r, lv, c in _AC_TABLE})
+_MBT_I_DEC = _prefix_decoder(_MBT_I)
+_MBT_P_DEC = _prefix_decoder(_MBT_P)
+_CBP_DEC = _prefix_decoder({c: v for v, c in _CBP.items()})
+
+# motion_code VLC (Table B.4) — the universal-VLC pairing with Table B.1:
+# code n>0 is MBA[2n+1], n<0 is MBA[2n], 0 is '1'. The encoder emits only
+# |n|<=2 (full-pel ±1 search, f_code 1); the decoder accepts the full
+# ±16 domain with f-scaled residuals.
+_MV = {0: "1"}
+for _n in range(1, 17):
+    _MV[_n] = _MBA[2 * _n + 1]
+    _MV[-_n] = _MBA[2 * _n]
+_MV_DEC = _prefix_decoder({c: n for n, c in _MV.items()})
 
 
 def _read_vlc(br: _BitReader, dec) -> object:
@@ -247,14 +302,262 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
     return coef.reshape(h // 8, w // 8, 64)[..., _ZZ]
 
 
+def _frame_planes(frame: np.ndarray, mb_w: int, mb_h: int):
+    """RGB frame -> [Y, Cb, Cr] float planes at MB-padded 4:2:0 dims."""
+    h, w = frame.shape[:2]
+    ycc = _rgb_to_ycbcr(frame)
+    planes = []
+    for ci in range(3):
+        p = ycc[..., ci]
+        ph, pw = mb_h * 16 - h, mb_w * 16 - w
+        if ph or pw:
+            p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        if ci:  # 4:2:0 chroma: 2x2 box mean
+            p = p.reshape(mb_h * 8, 2, mb_w * 8, 2).mean(axis=(1, 3))
+        planes.append(p)
+    return planes
+
+
+def _enc_intra_block(bw: _BW, zz: np.ndarray, qscale: int, pred: int,
+                     table: dict[int, str], force_escape: bool) -> tuple:
+    """Quantize + write one intra block; returns (dc_q, quantized levels)
+    so the caller can locally reconstruct the reference picture."""
+    q = _quant_block(zz, qscale)
+    _enc_dc(bw, int(q[0]) - pred, table)
+    nz = np.nonzero(q[1:])[0]
+    last = -1
+    for pos in nz:
+        _enc_ac(bw, int(pos - last - 1), int(q[1 + pos]), force_escape)
+        last = pos
+    bw.write_code(_AC_EOB)
+    return int(q[0]), q
+
+
+def _encode_I_picture(bw: _BW, planes, mb_w: int, mb_h: int, qscale: int,
+                      force_escape: bool):
+    """Write the slices of one intra picture; returns the locally
+    reconstructed (y, cb, cr) reference planes (exactly what a decoder
+    produces — P prediction must reference the DECODED picture, not the
+    source, or the chain drifts)."""
+    zz_planes = [_plane_blocks(p) for p in planes]
+    q_all = np.zeros((mb_w * mb_h * 6, 64), dtype=np.int64)
+    for row in range(mb_h):
+        bw.start_code(row + 1)  # slice_vertical_position
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        pred = [128, 128, 128]  # quantized-DC predictors (1024/8)
+        for col in range(mb_w):
+            bw.write_code(_MBA[1])  # address increment 1
+            bw.write_code("1")      # macroblock_type: intra
+            addr = row * mb_w + col
+            for b in range(6):
+                if b < 4:  # Y blocks raster order within the MB
+                    zz = zz_planes[0][row * 2 + b // 2, col * 2 + b % 2]
+                    comp, table = 0, _DC_LUM
+                else:
+                    zz = zz_planes[b - 3][row, col]
+                    comp, table = b - 3, _DC_CHROM
+                pred[comp], q = _enc_intra_block(bw, zz, qscale, pred[comp],
+                                                 table, force_escape)
+                q_all[addr * 6 + b] = q
+    px = _dequant_idct(q_all, np.full(mb_w * mb_h * 6, qscale,
+                                      dtype=np.int64))
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    for m in range(mb_w * mb_h):
+        r, c = divmod(m, mb_w)
+        blk = px[m * 6:(m + 1) * 6]
+        for b, (oy, ox) in enumerate(_MB_OFF):
+            y[r * 16 + oy:r * 16 + oy + 8,
+              c * 16 + ox:c * 16 + ox + 8] = blk[b]
+        cb[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[4]
+        cr[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[5]
+    return y, cb, cr
+
+
+def _mb_residual(cur_planes, prev, px: int, py: int, mv: tuple[int, int]):
+    """(prediction blocks, residual float blocks) for one MB at a
+    full-pel forward vector."""
+    hx, hy = mv[0] * 2, mv[1] * 2
+    pred_y = _mc_pred(prev[0], px, py, 16, hx, hy)
+    pred_cb = _mc_pred(prev[1], px // 2, py // 2, 8, mv[0], mv[1])
+    pred_cr = _mc_pred(prev[2], px // 2, py // 2, 8, mv[0], mv[1])
+    res = np.zeros((6, 8, 8), dtype=np.float64)
+    for b, (oy, ox) in enumerate(_MB_OFF):
+        res[b] = (cur_planes[0][py + oy:py + oy + 8, px + ox:px + ox + 8]
+                  - pred_y[oy:oy + 8, ox:ox + 8])
+    res[4] = cur_planes[1][py // 2:py // 2 + 8, px // 2:px // 2 + 8] - pred_cb
+    res[5] = cur_planes[2][py // 2:py // 2 + 8, px // 2:px // 2 + 8] - pred_cr
+    return (pred_y, pred_cb, pred_cr), res
+
+
+def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
+                      qscale: int, force_escape: bool,
+                      p_intra_sad: float | None = None):
+    """Write the slices of one forward-predicted picture: ±1 full-pel
+    motion search on the reconstructed reference, zero-residual MBs
+    skipped, coded_block_pattern over the nonzero residual blocks,
+    differential zero-residual motion via the 'MC, not coded' type.
+    ``p_intra_sad``: best-SAD threshold above which a macroblock is
+    intra-coded instead of predicted (scene-change shape). Returns the
+    locally reconstructed planes."""
+    y = prev[0].copy()
+    cb = prev[1].copy()
+    cr = prev[2].copy()
+    cur_y = cur_planes[0]
+    for row in range(mb_h):
+        bw.start_code(row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)
+        mv_pred = [0, 0]  # full-pel units (full_pel_forward_vector = 1)
+        dc_pred = [128, 128, 128]
+        pending = 1  # address increment owed to the next coded MB
+        for col in range(mb_w):
+            px, py = col * 16, row * 16
+            # ±1 full-pel search on luma SAD against the reconstruction
+            cand = [(0, 0)]
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if (dx or dy) and 0 <= px + dx and 0 <= py + dy and \
+                            px + dx + 16 <= mb_w * 16 and \
+                            py + dy + 16 <= mb_h * 16:
+                        cand.append((dx, dy))
+            cur_blk = cur_y[py:py + 16, px:px + 16]
+            best, best_sad = (0, 0), None
+            for mv in cand:
+                ref = prev[0][py + mv[1]:py + mv[1] + 16,
+                              px + mv[0]:px + mv[0] + 16]
+                sad = float(np.abs(cur_blk - ref).sum())
+                if best_sad is None or sad < best_sad - 1e-9:
+                    best, best_sad = mv, sad
+            if p_intra_sad is not None and best_sad > p_intra_sad:
+                # scene-change fallback: intra-code this MB (Table B.2b
+                # '00011'), resetting the vector predictor like a decoder
+                _write_mba(bw, pending)
+                pending = 1
+                bw.write_code("00011")
+                zzi = np.zeros((6, 64), dtype=np.int64)
+                for b in range(6):
+                    if b < 4:
+                        oy, ox = _MB_OFF[b]
+                        blk = cur_planes[0][py + oy:py + oy + 8,
+                                            px + ox:px + ox + 8]
+                        comp, table = 0, _DC_LUM
+                    else:
+                        blk = cur_planes[b - 3][py // 2:py // 2 + 8,
+                                                px // 2:px // 2 + 8]
+                        comp, table = b - 3, _DC_CHROM
+                    coef = np.einsum("ku,uv,lv->kl", _DCT, blk, _DCT,
+                                     optimize=True).ravel()[_ZZ]
+                    dc_pred[comp], zzi[b] = _enc_intra_block(
+                        bw, coef, qscale, dc_pred[comp], table, force_escape)
+                mv_pred = [0, 0]
+                blkpx = _dequant_idct(zzi, np.full(6, qscale, dtype=np.int64))
+                for b, (oy, ox) in enumerate(_MB_OFF):
+                    y[py + oy:py + oy + 8, px + ox:px + ox + 8] = blkpx[b]
+                cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blkpx[4]
+                cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blkpx[5]
+                continue
+            preds, res = _mb_residual(cur_planes, prev, px, py, best)
+            zz6 = np.zeros((6, 64), dtype=np.int64)
+            cbp = 0
+            for b in range(6):
+                coef = np.einsum("ku,uv,lv->kl", _DCT, res[b], _DCT,
+                                 optimize=True).ravel()[_ZZ]
+                q = _quant_block_nonintra(coef, qscale)
+                if q.any():
+                    zz6[b] = q
+                    cbp |= 1 << (5 - b)
+            first_or_last = col == 0 or col == mb_w - 1
+            if cbp == 0 and best == (0, 0) and not first_or_last:
+                pending += 1  # skipped MB: decoder copies the reference
+                mv_pred = [0, 0]
+                dc_pred = [128, 128, 128]
+                continue
+            dc_pred = [128, 128, 128]  # non-intra MB resets DC prediction
+            _write_mba(bw, pending)
+            pending = 1
+            if best == (0, 0) and mv_pred == [0, 0] and cbp:
+                bw.write_code("01")  # no-MC, coded (vector implicitly 0)
+            else:
+                bw.write_code("1" if cbp else "001")  # MC coded / not coded
+                for k in (0, 1):
+                    _enc_mv_component(bw, best[k] - mv_pred[k])
+                mv_pred = [best[0], best[1]]
+            if cbp:
+                bw.write_code(_CBP[cbp])
+                for b in range(6):
+                    if cbp & (1 << (5 - b)):
+                        _enc_block_nonintra(bw, zz6[b], force_escape)
+            # local reconstruction mirrors the decoder exactly
+            resr = np.round(_idct(_dequant_nonintra_zz(
+                zz6, np.full(6, qscale, dtype=np.int64)))).astype(np.int64)
+            pred_y, pred_cb, pred_cr = preds
+            for b, (oy, ox) in enumerate(_MB_OFF):
+                y[py + oy:py + oy + 8, px + ox:px + ox + 8] = np.clip(
+                    pred_y[oy:oy + 8, ox:ox + 8] + resr[b], 0, 255
+                ).astype(np.uint8)
+            cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cb + resr[4], 0, 255).astype(np.uint8)
+            cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cr + resr[5], 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
+def _write_mba(bw: _BW, increment: int) -> None:
+    while increment > 33:
+        bw.write_code(_MBA_ESCAPE)
+        increment -= 33
+    bw.write_code(_MBA[increment])
+
+
+def _enc_mv_component(bw: _BW, delta: int) -> None:
+    """f_code = 1: the motion code IS the delta (wrap past ±16 into the
+    [-16, 15] coded range)."""
+    if delta > 15:
+        delta -= 32
+    elif delta < -16:
+        delta += 32
+    if delta == -16:  # -16 has no VLC; wraps to +16
+        delta = 16
+    bw.write_code(_MV[delta])
+
+
+def _enc_block_nonintra(bw: _BW, q: np.ndarray, force_escape: bool) -> None:
+    nz = np.nonzero(q)[0]
+    first = True
+    last = -1
+    for pos in nz:
+        run = int(pos - last - 1)
+        level = int(q[pos])
+        if first and run == 0 and abs(level) == 1 and not force_escape:
+            bw.write_code("1")  # dct_coeff_first 0,±1
+            bw.write(1 if level < 0 else 0, 1)
+        else:
+            _enc_ac(bw, run, level, force_escape)
+        first = False
+        last = pos
+    bw.write_code(_AC_EOB)
+
+
 def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
-                 gop_size: int = 0, force_escape: bool = False) -> bytes:
+                 gop_size: int = 0, force_escape: bool = False,
+                 mode: str = "intra",
+                 p_intra_sad: float | None = None) -> bytes:
     """uint8 (N,H,W,3) RGB (or list of (H,W,3)) -> MPEG-1 video
-    elementary stream, every picture intra-coded, 4:2:0, one slice per
-    macroblock row. ``force_escape`` routes every AC coefficient through
-    the escape coding (a legal stream; used to cross-check the VLC
-    table). ``gop_size`` > 0 starts a new GOP header every that many
-    pictures (all pictures are I either way)."""
+    elementary stream, 4:2:0, one slice per macroblock row.
+
+    ``mode="intra"``: every picture is I (the keyframe-sampling shape).
+    ``mode="ip"``: real temporal compression — each GOP opens with an I
+    picture followed by P pictures (±1 full-pel motion search against
+    the locally reconstructed reference, skipped zero-residual MBs,
+    coded_block_pattern residuals); gop_size defaults to 12.
+    ``force_escape`` routes every AC coefficient through the escape
+    coding (a legal stream; used to cross-check the VLC tables).
+    ``gop_size`` > 0 starts a new GOP header every that many pictures."""
+    if mode not in ("intra", "ip"):
+        raise ValueError("mode must be 'intra' or 'ip'")
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[np.newaxis]
@@ -264,6 +567,8 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     qscale = min(max(int(qscale), 1), 31)
     rate_code = min(_PICTURE_RATES, key=lambda k: abs(_PICTURE_RATES[k] - fps))
+    if mode == "ip" and gop_size <= 0:
+        gop_size = 12
 
     bw = _BW()
     # sequence header
@@ -279,54 +584,31 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     bw.write(0, 1)   # load_intra_quantizer_matrix (default)
     bw.write(0, 1)   # load_non_intra_quantizer_matrix
 
+    recon = None
     for idx in range(n):
-        if idx == 0 or (gop_size and idx % gop_size == 0):
+        in_gop = idx % gop_size if gop_size else idx
+        is_p = mode == "ip" and in_gop != 0 and recon is not None
+        if idx == 0 or (gop_size and in_gop == 0):
             bw.start_code(0xB8)  # group_of_pictures
             bw.write(0, 25)  # time_code
             bw.write(1, 1)   # closed_gop
             bw.write(0, 1)   # broken_link
         bw.start_code(0x00)  # picture
         bw.write(idx % (gop_size or 1024), 10)  # temporal_reference
-        bw.write(1, 3)       # picture_coding_type: I
+        bw.write(2 if is_p else 1, 3)  # picture_coding_type
         bw.write(0xFFFF, 16)  # vbv_delay: variable
+        if is_p:
+            bw.write(1, 1)  # full_pel_forward_vector
+            bw.write(1, 3)  # forward_f_code
         bw.write(0, 1)       # extra_bit_picture
 
-        ycc = _rgb_to_ycbcr(frames[idx])
-        planes = []
-        for ci in range(3):
-            p = ycc[..., ci]
-            ph, pw = mb_h * 16 - h, mb_w * 16 - w
-            if ph or pw:
-                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
-            if ci:  # 4:2:0 chroma: 2x2 box mean
-                p = p.reshape(mb_h * 8, 2, mb_w * 8, 2).mean(axis=(1, 3))
-            planes.append(_plane_blocks(p))
-
-        for row in range(mb_h):
-            bw.start_code(row + 1)  # slice_vertical_position
-            bw.write(qscale, 5)
-            bw.write(0, 1)  # extra_bit_slice
-            pred = [128, 128, 128]  # quantized-DC predictors (1024/8)
-            for col in range(mb_w):
-                bw.write_code(_MBA[1])  # address increment 1
-                bw.write_code("1")      # macroblock_type: intra
-                for b in range(6):
-                    if b < 4:  # Y blocks raster order within the MB
-                        zz = planes[0][row * 2 + b // 2, col * 2 + b % 2]
-                        comp, table = 0, _DC_LUM
-                    else:
-                        zz = planes[b - 3][row, col]
-                        comp, table = b - 3, _DC_CHROM
-                    q = _quant_block(zz, qscale)
-                    _enc_dc(bw, int(q[0]) - pred[comp], table)
-                    pred[comp] = int(q[0])
-                    nz = np.nonzero(q[1:])[0]
-                    last = -1
-                    for pos in nz:
-                        _enc_ac(bw, int(pos - last - 1), int(q[1 + pos]),
-                                force_escape)
-                        last = pos
-                    bw.write_code(_AC_EOB)
+        planes = _frame_planes(frames[idx], mb_w, mb_h)
+        if is_p:
+            recon = _encode_P_picture(bw, planes, recon, mb_w, mb_h,
+                                      qscale, force_escape, p_intra_sad)
+        else:
+            recon = _encode_I_picture(bw, planes, mb_w, mb_h, qscale,
+                                      force_escape)
     bw.align()
     bw.buf += struct.pack(">I", 0x000001B7)  # sequence_end
     return bytes(bw.buf)
@@ -380,24 +662,147 @@ def _dec_block(br: _BitReader, table_dec, pred: int) -> tuple[np.ndarray, int]:
     return zz, dc
 
 
-def _dequant_idct(zz: np.ndarray, qscales: np.ndarray,
-                  intra_q: np.ndarray | None = None) -> np.ndarray:
-    """(n,64) quantized zigzag levels + per-block quantizer_scale ->
-    (n,8,8) uint8 samples. Intra dequant per §2.4.4.2: truncating
-    division, oddification mismatch control (AC only — the DC overwrite
-    comes after the loop), ±2048 clamp."""
-    qz = (_INTRA_Q if intra_q is None else intra_q)[_ZZ]
-    rec = (2 * zz * qscales[:, None] * qz[None, :]) / 16.0
-    rec = np.trunc(rec).astype(np.int64)
+def _dec_block_nonintra(br: _BitReader) -> np.ndarray:
+    """One coded non-intra block -> 64 quantized zigzag levels. The first
+    coefficient uses the dct_coeff_first form ('1'+s means 0,±1; EOB
+    cannot appear first — a coded block has at least one coefficient)."""
+    zz = np.zeros(64, dtype=np.int64)
+    i = -1
+    first = True
+    while True:
+        if not first and br.peek16() >> 14 == 0b10:  # EOB
+            br.skip(2)
+            break
+        if br.peek16() >> 10 == 0b000001:  # escape
+            br.skip(6)
+            run = br.read(6)
+            b = br.read(8)
+            if b == 0x00:
+                level = br.read(8)
+            elif b == 0x80:
+                level = br.read(8) - 256
+            else:
+                level = b if b < 128 else b - 256
+        elif first and br.peek16() >> 15 == 1:  # dct_coeff_first 0,±1
+            br.skip(1)
+            level = -1 if br.read(1) else 1
+            run = 0
+        else:
+            run, alevel = _read_vlc(br, _AC_DEC)
+            level = -alevel if br.read(1) else alevel
+        first = False
+        i += run + 1
+        if i > 63:
+            raise ValueError("DCT coefficient run past block end")
+        zz[i] = level
+    return zz
+
+
+def _read_mv_component(br: _BitReader, f_code: int, pred: int) -> int:
+    """One motion vector component (§2.4.4.2 reconstruction): VLC code +
+    f-scaled residual, differential vs ``pred``, wrapped into the
+    [-16f, 16f-1] range. Units are the coded domain (full pels when
+    full_pel_forward_vector is set, else half pels)."""
+    f = 1 << (f_code - 1)
+    code = _read_vlc(br, _MV_DEC)
+    if f == 1 or code == 0:
+        delta = code
+    else:
+        residual = br.read(f_code - 1)
+        delta = 1 + (abs(code) - 1) * f + residual
+        if code < 0:
+            delta = -delta
+    v = pred + delta
+    if v > 16 * f - 1:
+        v -= 32 * f
+    elif v < -16 * f:
+        v += 32 * f
+    return v
+
+
+def _idct(raster: np.ndarray) -> np.ndarray:
+    """(n,64) raster coefficients -> (n,8,8) float samples."""
+    blocks = raster.reshape(-1, 8, 8).astype(np.float64)
+    return np.einsum("uk,xkl,vl->xuv", _DCT.T, blocks, _DCT.T, optimize=True)
+
+
+def _oddify_clamp(rec: np.ndarray) -> np.ndarray:
+    """§2.4.4 mismatch control: force nonzero even values odd, ±2048
+    clamp."""
     even = (rec != 0) & (rec % 2 == 0)
     rec[even] -= np.sign(rec[even])
-    rec = np.clip(rec, -2048, 2047)
+    return np.clip(rec, -2048, 2047)
+
+
+def _dequant_intra_zz(zz: np.ndarray, qscales: np.ndarray,
+                      intra_q: np.ndarray | None = None) -> np.ndarray:
+    """(n,64) intra quantized zigzag levels -> (n,64) raster coefficients
+    (§2.4.4.2: truncating division, oddification on AC — the DC overwrite
+    comes after the loop and is exact at step 8)."""
+    qz = (_INTRA_Q if intra_q is None else intra_q)[_ZZ]
+    rec = np.trunc((2 * zz * qscales[:, None] * qz[None, :]) / 16.0
+                   ).astype(np.int64)
+    rec = _oddify_clamp(rec)
     rec[:, 0] = np.clip(zz[:, 0] * 8, -2048, 2047)
     raster = np.zeros_like(rec)
     raster[:, _ZZ] = rec
-    blocks = raster.reshape(-1, 8, 8).astype(np.float64)
-    px = np.einsum("uk,xkl,vl->xuv", _DCT.T, blocks, _DCT.T, optimize=True)
+    return raster
+
+
+def _dequant_nonintra_zz(zz: np.ndarray, qscales: np.ndarray,
+                         non_intra_q: np.ndarray | None = None) -> np.ndarray:
+    """(n,64) non-intra quantized zigzag levels -> (n,64) raster residual
+    coefficients (§2.4.4.3: (2*level + sign) scaling, truncation,
+    oddification, ±2048 clamp — applied to every coefficient incl. DC)."""
+    qz = (_NON_INTRA_Q if non_intra_q is None else non_intra_q)[_ZZ]
+    rec = np.trunc(((2 * zz + np.sign(zz)) * qscales[:, None] * qz[None, :])
+                   / 16.0).astype(np.int64)
+    rec = _oddify_clamp(rec)
+    raster = np.zeros_like(rec)
+    raster[:, _ZZ] = rec
+    return raster
+
+
+def _dequant_idct(zz: np.ndarray, qscales: np.ndarray,
+                  intra_q: np.ndarray | None = None) -> np.ndarray:
+    """(n,64) intra levels -> (n,8,8) uint8 samples (the vectorized
+    whole-picture I path)."""
+    px = _idct(_dequant_intra_zz(zz, qscales, intra_q))
     return np.clip(px.round(), 0, 255).astype(np.uint8)
+
+
+def _quant_block_nonintra(coef_zz: np.ndarray, qscale: int,
+                          non_intra_q: np.ndarray | None = None) -> np.ndarray:
+    """Zigzagged residual DCT coefficients -> non-intra quantized levels
+    (truncating, the inverse of §2.4.4.3's reconstruction)."""
+    qz = (_NON_INTRA_Q if non_intra_q is None else non_intra_q)[_ZZ]
+    return np.clip(np.trunc(8.0 * coef_zz / (qscale * qz)),
+                   -255, 255).astype(np.int64)
+
+
+def _mc_pred(plane: np.ndarray, x: int, y: int, size: int,
+             half_x: int, half_y: int) -> np.ndarray:
+    """Motion-compensated prediction of a size×size block at (x, y) with
+    a half-pel-unit vector (floor pel + fraction flag; 2- and 4-point
+    averages use truncating division, mirrored by the encoder)."""
+    ix = x + (half_x >> 1)
+    iy = y + (half_y >> 1)
+    fx = half_x & 1
+    fy = half_y & 1
+    h, w = plane.shape
+    if ix < 0 or iy < 0 or ix + size + fx > w or iy + size + fy > h:
+        raise ValueError("motion vector outside picture")
+    p = plane.astype(np.int32)
+    a = p[iy:iy + size, ix:ix + size]
+    if fx and fy:
+        return (a + p[iy:iy + size, ix + 1:ix + 1 + size]
+                + p[iy + 1:iy + 1 + size, ix:ix + size]
+                + p[iy + 1:iy + 1 + size, ix + 1:ix + 1 + size]) // 4
+    if fx:
+        return (a + p[iy:iy + size, ix + 1:ix + 1 + size]) // 2
+    if fy:
+        return (a + p[iy + 1:iy + 1 + size, ix:ix + size]) // 2
+    return a
 
 
 class _SeqState:
@@ -405,6 +810,7 @@ class _SeqState:
         self.w = self.h = 0
         self.fps = 25.0
         self.intra_q: np.ndarray | None = None  # custom matrix, raster order
+        self.non_intra_q: np.ndarray | None = None
 
 
 def _parse_sequence_header(payload: bytes, st: _SeqState) -> None:
@@ -422,14 +828,16 @@ def _parse_sequence_header(payload: bytes, st: _SeqState) -> None:
         raster = np.zeros(64, dtype=np.int64)
         raster[_ZZ] = zz_vals
         st.intra_q = raster
-    if br.read(1):  # load_non_intra_quantizer_matrix (unused by intra)
-        for _ in range(64):
-            br.read(8)
+    if br.read(1):  # load_non_intra_quantizer_matrix
+        zz_vals = np.array([br.read(8) for _ in range(64)], dtype=np.int64)
+        raster = np.zeros(64, dtype=np.int64)
+        raster[_ZZ] = zz_vals
+        st.non_intra_q = raster
 
 
 def _iter_pictures(es: bytes):
-    """Yield (pic_index, coding_type, [(slice_code, payload), ...], seq)
-    per picture. Extension/user-data codes are skipped."""
+    """Yield (coding_type, header_payload, [(slice_code, payload), ...],
+    seq) per picture. Extension/user-data codes are skipped."""
     codes = _start_codes(es)
     seq = _SeqState()
     cur = None
@@ -444,18 +852,46 @@ def _iter_pictures(es: bytes):
             br = _BitReader(payload)
             br.read(10)
             ptype = br.read(3)
-            cur = (ptype, [], seq)
+            cur = (ptype, payload, [], seq)
         elif 0x01 <= code <= 0xAF and cur is not None:
-            cur[1].append((code, payload))
+            cur[2].append((code, payload))
     if cur is not None:
         yield cur
 
 
-def _decode_picture(ptype: int, slices, seq: _SeqState) -> np.ndarray:
-    if ptype != 1:
-        raise NotImplementedError(
-            "inter-coded (P/B) picture pixel decode needs motion "
-            "compensation — seam; sample the nearest I picture instead")
+def _slice_exhausted(br: _BitReader) -> bool:
+    """Slice payloads are framed by byte-aligned start codes, so
+    end-of-slice == only zero padding bits remain (valid VLC data cannot
+    contain 23 zero bits, so a zero tail is exact)."""
+    rest = br.nbits + (len(br.data) - br.pos) * 8
+    if rest < 2:
+        return True
+    if br.peek16() == 0:
+        return ((br.acc & ((1 << br.nbits) - 1)) == 0
+                and not any(br.data[br.pos:]))
+    return False
+
+
+def _read_mba(br: _BitReader) -> int:
+    inc = _read_vlc(br, _MBA_DEC)
+    while inc == "stuffing":
+        inc = _read_vlc(br, _MBA_DEC)
+    total = 0
+    while inc == "escape":
+        total += 33
+        inc = _read_vlc(br, _MBA_DEC)
+    return total + inc
+
+
+def _planes_to_rgb(planes, seq: _SeqState) -> np.ndarray:
+    y, cb, cr = planes
+    cbu = cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
+    cru = cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
+    rgb = _ycbcr_to_rgb(y.astype(np.float64), cbu, cru)
+    return rgb[:seq.h, :seq.w]
+
+
+def _decode_I(slices, seq: _SeqState):
     mb_w, mb_h = -(-seq.w // 16), -(-seq.h // 16)
     n_mb = mb_w * mb_h
     zz_all = np.zeros((n_mb * 6, 64), dtype=np.int64)
@@ -468,26 +904,8 @@ def _decode_picture(ptype: int, slices, seq: _SeqState) -> np.ndarray:
             br.read(8)
         addr = (code - 1) * mb_w - 1
         pred = [128, 128, 128]
-        while True:
-            # slice payloads are framed by byte-aligned start codes, so
-            # end-of-slice == only zero padding bits remain (valid VLC
-            # data cannot contain 23 zero bits, so a zero tail is exact)
-            rest = br.nbits + (len(br.data) - br.pos) * 8
-            if rest < 2:
-                break
-            if br.peek16() == 0:
-                tail_zero = (br.acc & ((1 << br.nbits) - 1)) == 0 and not any(
-                    br.data[br.pos:])
-                if tail_zero:
-                    break
-            inc = _read_vlc(br, _MBA_DEC)
-            while inc == "stuffing":
-                inc = _read_vlc(br, _MBA_DEC)
-            total = 0
-            while inc == "escape":
-                total += 33
-                inc = _read_vlc(br, _MBA_DEC)
-            total += inc
+        while not _slice_exhausted(br):
+            total = _read_mba(br)
             addr += total
             if total > 1:
                 pred = [128, 128, 128]  # skipped MBs reset DC prediction
@@ -522,10 +940,110 @@ def _decode_picture(ptype: int, slices, seq: _SeqState) -> np.ndarray:
         y[r * 16 + 8:r * 16 + 16, c * 16 + 8:c * 16 + 16] = blk[3]
         cb[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[4]
         cr[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[5]
-    cb = cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-    cr = cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64)
-    rgb = _ycbcr_to_rgb(y.astype(np.float64), cb, cr)
-    return rgb[:seq.h, :seq.w]
+    return y, cb, cr
+
+
+_MB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))  # Y block offsets within a MB
+
+
+def _decode_P(hdr_payload: bytes, slices, seq: _SeqState, prev):
+    """Forward-predicted picture: differential motion vectors, skipped-MB
+    copy, non-intra residual blocks per coded_block_pattern, intra MBs
+    allowed. ``prev`` = the reference (y, cb, cr) planes."""
+    if prev is None:
+        raise ValueError("P picture with no preceding reference picture")
+    br = _BitReader(hdr_payload)
+    br.read(10)
+    if br.read(3) != 2:
+        raise ValueError("not a P picture")
+    br.read(16)  # vbv_delay
+    full_pel = br.read(1)
+    f_code = br.read(3)
+    if not 1 <= f_code <= 7:
+        raise ValueError("invalid forward_f_code")
+    mb_w, mb_h = -(-seq.w // 16), -(-seq.h // 16)
+    n_mb = mb_w * mb_h
+    # skipped / never-coded MBs copy the co-located reference block
+    y = prev[0].copy()
+    cb = prev[1].copy()
+    cr = prev[2].copy()
+    for code, payload in slices:
+        br = _BitReader(payload)
+        qscale = br.read(5)
+        while br.read(1):  # extra_information_slice
+            br.read(8)
+        addr = (code - 1) * mb_w - 1
+        dc_pred = [128, 128, 128]
+        mv_pred = [0, 0]  # coded-domain units (full or half pel)
+        while not _slice_exhausted(br):
+            total = _read_mba(br)
+            addr += total
+            if addr >= n_mb:
+                raise ValueError("macroblock address past picture end")
+            if total > 1:  # skipped MBs reset both predictors
+                dc_pred = [128, 128, 128]
+                mv_pred = [0, 0]
+            quant, mfwd, cpat, intra = _read_vlc(br, _MBT_P_DEC)
+            if quant:
+                qscale = br.read(5)
+            if mfwd:
+                mv_pred[0] = _read_mv_component(br, f_code, mv_pred[0])
+                mv_pred[1] = _read_mv_component(br, f_code, mv_pred[1])
+                mv = (mv_pred[0], mv_pred[1])
+            else:
+                mv_pred = [0, 0]
+                mv = (0, 0)
+            if intra:
+                mv_pred = [0, 0]
+            cbp = (_read_vlc(br, _CBP_DEC) if cpat else (63 if intra else 0))
+            r, c = divmod(addr, mb_w)
+            px, py = c * 16, r * 16
+            if intra:
+                zz6 = np.zeros((6, 64), dtype=np.int64)
+                for b in range(6):
+                    comp = 0 if b < 4 else b - 3
+                    table = _DC_LUM_DEC if b < 4 else _DC_CHROM_DEC
+                    zz6[b], dc_pred[comp] = _dec_block(br, table,
+                                                       dc_pred[comp])
+                blk = np.clip(_idct(_dequant_intra_zz(
+                    zz6, np.full(6, qscale, dtype=np.int64),
+                    seq.intra_q)).round(), 0, 255).astype(np.uint8)
+                for b, (oy, ox) in enumerate(_MB_OFF):
+                    y[py + oy:py + oy + 8, px + ox:px + ox + 8] = blk[b]
+                cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blk[4]
+                cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blk[5]
+                continue
+            dc_pred = [128, 128, 128]  # non-intra MB resets DC prediction
+            hx = mv[0] * 2 if full_pel else mv[0]
+            hy = mv[1] * 2 if full_pel else mv[1]
+            # chrominance vector = half the luminance vector (§2.4.4.2,
+            # integer division toward zero), in half-pel chroma units
+            chx = int(hx / 2) if hx >= 0 else -(-hx // 2)
+            chy = int(hy / 2) if hy >= 0 else -(-hy // 2)
+            pred_y = _mc_pred(prev[0], px, py, 16, hx, hy)
+            pred_cb = _mc_pred(prev[1], px // 2, py // 2, 8, chx, chy)
+            pred_cr = _mc_pred(prev[2], px // 2, py // 2, 8, chx, chy)
+            res = np.zeros((6, 8, 8), dtype=np.int64)
+            if cbp:
+                zz6 = np.zeros((6, 64), dtype=np.int64)
+                coded = []
+                for b in range(6):
+                    if cbp & (1 << (5 - b)):
+                        zz6[b] = _dec_block_nonintra(br)
+                        coded.append(b)
+                if coded:
+                    res = np.round(_idct(_dequant_nonintra_zz(
+                        zz6, np.full(6, qscale, dtype=np.int64),
+                        seq.non_intra_q))).astype(np.int64)
+            for b, (oy, ox) in enumerate(_MB_OFF):
+                y[py + oy:py + oy + 8, px + ox:px + ox + 8] = np.clip(
+                    pred_y[oy:oy + 8, ox:ox + 8] + res[b], 0, 255
+                ).astype(np.uint8)
+            cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cb + res[4], 0, 255).astype(np.uint8)
+            cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cr + res[5], 0, 255).astype(np.uint8)
+    return y, cb, cr
 
 
 def _as_es(buf: bytes) -> bytes:
@@ -534,26 +1052,57 @@ def _as_es(buf: bytes) -> bytes:
     return buf
 
 
+def _decode_stream(es: bytes, want: set[int] | None):
+    """Sequential picture decode with P-chain reference tracking. When
+    ``want`` is given, pictures outside every wanted picture's reference
+    chain (back to its nearest preceding I) are skipped entirely."""
+    pics = list(_iter_pictures(es))
+    needed = None
+    if want is not None:
+        needed = set()
+        for idx in want:
+            if idx >= len(pics):
+                continue
+            j = idx
+            needed.add(j)
+            while j > 0 and pics[j][0] != 1:
+                j -= 1
+                needed.add(j)
+    out: dict[int, np.ndarray] = {}
+    prev = None
+    for i, (ptype, hdr, slices, seq) in enumerate(pics):
+        if needed is not None and i not in needed:
+            if ptype == 1:
+                prev = None  # decodable later chains re-enter at their I
+            continue
+        if ptype == 1:
+            prev = _decode_I(slices, seq)
+        elif ptype == 2:
+            prev = _decode_P(hdr, slices, seq, prev)
+        else:
+            raise NotImplementedError(
+                "B (bidirectional) picture decode needs a future "
+                "reference — seam; sample I/P pictures instead")
+        if want is None or i in want:
+            out[i] = _planes_to_rgb(prev, seq)
+    return out, len(pics)
+
+
 def decode_mpeg1(buf: bytes) -> np.ndarray:
-    """MPEG-1 video ES (or PS) -> (N,H,W,3) uint8 RGB of the I pictures.
-    Raises on P/B pictures — use ``extract_mpeg_frames`` with I-picture
-    indices for mixed streams."""
-    es = _as_es(buf)
-    out = [_decode_picture(pt, sl, seq) for pt, sl, seq in _iter_pictures(es)]
+    """MPEG-1 video ES (or PS) -> (N,H,W,3) uint8 RGB of every picture
+    (I and P; B pictures raise — the documented seam)."""
+    out, n = _decode_stream(_as_es(buf), None)
     if not out:
         raise ValueError("no pictures in MPEG-1 stream")
-    return np.stack(out)
+    return np.stack([out[i] for i in range(n)])
 
 
 def extract_mpeg_frames(buf: bytes, indices) -> list[np.ndarray]:
-    """Decode only the requested picture indices (container walk skips
-    the rest — the seek shape for sampling)."""
+    """Decode only the requested picture indices plus their reference
+    chains (container walk skips everything else — the seek shape for
+    sampling; an I-only stream decodes exactly the requested pictures)."""
     want = set(int(i) for i in indices)
-    out: dict[int, np.ndarray] = {}
-    es = _as_es(buf)
-    for i, (pt, sl, seq) in enumerate(_iter_pictures(es)):
-        if i in want:
-            out[i] = _decode_picture(pt, sl, seq)
+    out, _n = _decode_stream(_as_es(buf), want)
     missing = want - set(out)
     if missing:
         raise IndexError(f"frame indices {sorted(missing)} out of range")

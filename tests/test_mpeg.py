@@ -119,15 +119,103 @@ def test_extract_is_seek_shaped():
         mpeg.extract_mpeg_frames(es, [9])
 
 
-def test_p_picture_counts_but_raises_on_pixel_decode():
+def test_b_picture_counts_but_raises_on_pixel_decode():
     es = mpeg.encode_mpeg1(_clips(2, 16, 16))
-    # splice a P-picture header (type=010) before the sequence end code
-    p_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0x97, 0xFF, 0xF8, 0x00])
-    es_p = es[:-4] + p_hdr + b"\x00\x00\x01\xb7"
-    assert mpeg.count_mpeg_frames(es_p) == 3
-    assert len(mpeg.extract_mpeg_frames(es_p, [0, 1])) == 2  # I pictures fine
+    # splice a B-picture header (type=011) before the sequence end code
+    b_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0x9F, 0xFF, 0xF8, 0x00])
+    es_b = es[:-4] + b_hdr + b"\x00\x00\x01\xb7"
+    assert mpeg.count_mpeg_frames(es_b) == 3
+    assert len(mpeg.extract_mpeg_frames(es_b, [0, 1])) == 2  # I pictures fine
     with pytest.raises(NotImplementedError):
-        mpeg.extract_mpeg_frames(es_p, [2])
+        mpeg.extract_mpeg_frames(es_b, [2])
+
+
+def test_ip_mode_roundtrip_and_compression():
+    frames = _clips(8, 48, 32)
+    es_ip = mpeg.encode_mpeg1(frames, qscale=4, mode="ip", gop_size=4)
+    es_i = mpeg.encode_mpeg1(frames, qscale=4)
+    assert len(es_ip) < len(es_i)  # temporal prediction actually pays
+    dec = mpeg.decode_mpeg1(es_ip)
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(float) - frames).mean() < 8.0
+    assert mpeg.count_mpeg_frames(es_ip) == 8
+
+
+def test_ip_no_drift_along_gop():
+    # the real invariant: the encoder predicts from its own LOCAL
+    # RECONSTRUCTION, so the decoder reproduces it bit-exactly at every
+    # picture of the chain — drift would show as growing divergence.
+    # Per-frame error vs the SOURCE may wiggle with the quantizer dead
+    # zone, so assert it stays bounded, not monotone.
+    frames = _clips(10, 32, 32)
+    recons = []
+    orig_i, orig_p = mpeg._encode_I_picture, mpeg._encode_P_picture
+    mpeg._encode_I_picture = lambda *a, **k: recons.append(orig_i(*a, **k)) or recons[-1]
+    mpeg._encode_P_picture = lambda *a, **k: recons.append(orig_p(*a, **k)) or recons[-1]
+    try:
+        es = mpeg.encode_mpeg1(frames, qscale=2, mode="ip", gop_size=10)
+    finally:
+        mpeg._encode_I_picture, mpeg._encode_P_picture = orig_i, orig_p
+    prev = None
+    for i, (pt, hdr, sl, seq) in enumerate(mpeg._iter_pictures(es)):
+        prev = (mpeg._decode_I(sl, seq) if pt == 1
+                else mpeg._decode_P(hdr, sl, seq, prev))
+        for k in range(3):
+            assert np.array_equal(prev[k], recons[i][k]), (i, k)
+    dec = mpeg.decode_mpeg1(es)
+    errs = [np.abs(dec[i].astype(float) - frames[i]).mean()
+            for i in range(10)]
+    assert max(errs) < 8.0, errs
+
+
+def test_ip_extract_decodes_reference_chain():
+    frames = _clips(9, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ip", gop_size=3)
+    full = mpeg.decode_mpeg1(es)
+    # frame 5 is a P inside the second GOP: needs 3 (I) and 4 decoded
+    some = mpeg.extract_mpeg_frames(es, [5, 8])
+    assert np.array_equal(some[0], full[5])
+    assert np.array_equal(some[1], full[8])
+
+
+def test_ip_skipped_macroblocks_copy_reference():
+    # flat gray intra-codes losslessly, so a static clip's P pictures
+    # carry ZERO residual: middle macroblocks are skipped outright (the
+    # slice-first/last ones are coded as 'MC, not coded'), the stream is
+    # tiny, and every decoded frame is an exact copy of the I picture
+    still = np.full((6, 32, 48, 3), 128, np.uint8)  # mb_w=3: a middle MB
+    es = mpeg.encode_mpeg1(still, qscale=4, mode="ip", gop_size=6)
+    es_i = mpeg.encode_mpeg1(still, qscale=4)
+    assert len(es) < len(es_i)
+    dec = mpeg.decode_mpeg1(es)
+    assert np.array_equal(dec, still)
+
+
+def test_ip_intra_fallback_macroblocks():
+    # force intra MBs inside P pictures via a tiny SAD threshold — the
+    # decoder's intra-in-P path (DC prediction chain, Table B.2b '00011')
+    frames = _clips(6, 32, 32)
+    es = mpeg.encode_mpeg1(frames, qscale=4, mode="ip", gop_size=6,
+                           p_intra_sad=0.0)
+    dec = mpeg.decode_mpeg1(es)
+    assert np.abs(dec.astype(float) - frames).mean() < 8.0
+
+
+def test_ip_force_escape_identical():
+    frames = _clips(5, 32, 32)
+    a = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=2, mode="ip",
+                                            gop_size=5))
+    b = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=2, mode="ip",
+                                            gop_size=5, force_escape=True))
+    assert np.array_equal(a, b)
+
+
+def test_ip_in_program_stream():
+    frames = _clips(7, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ip", gop_size=4)
+    ps = mpeg.mux_mpeg_ps(es, packet_size=128)
+    assert mpeg.count_mpeg_frames(ps) == 7
+    assert np.array_equal(mpeg.decode_mpeg1(ps), mpeg.decode_mpeg1(es))
 
 
 def test_custom_intra_matrix_stream_decodes():
@@ -173,6 +261,6 @@ def test_decoder_survives_corruption():
 
     # hard truncation mid-entropy must error cleanly, not hang
     with pytest.raises((ValueError, IndexError)):
-        mpeg._decode_picture(
-            1, [(1, es[slice_off + 4:slice_off + 7])],
-            type("S", (), {"w": 16, "h": 16, "intra_q": None})())
+        seq = mpeg._SeqState()
+        seq.w = seq.h = 16
+        mpeg._decode_I([(1, es[slice_off + 4:slice_off + 7])], seq)
