@@ -116,6 +116,23 @@ n_events = sum(s.get("delta_rows", 0) for s in stats)
 out["replay"] = {{"sec": round(wall, 3), "events": int(n_events),
                   "events_per_sec": round(n_events / wall, 1)}}
 out["checks"] = checks
+
+# reshard across the cluster: both stages' tasks land on every raylet;
+# the state digest must be identical under the new layout
+import pandas as pd
+def state_digest(e):
+    df = e.scan_table(columns=["doc_id", "n_tok", "source"]).to_pandas()
+    return pd.util.hash_pandas_object(
+        df.sort_values("doc_id").reset_index(drop=True)).sum()
+before = state_digest(eng)
+t0 = time.perf_counter()
+rs = eng.reshard(24)
+rs_wall = time.perf_counter() - t0
+after = state_digest(eng)
+out["reshard"] = {{"sec": round(rs_wall, 3),
+                   "rows": int(rs["rows"]),
+                   "new_partitions": int(rs["num_partitions"]),
+                   "match": bool(before == after)}}
 shutil.rmtree(lake, ignore_errors=True)  # don't leave the lake pinned
 
 # crawl-ingest across the cluster: WARC drop -> one sealed epoch (shard
@@ -541,7 +558,8 @@ def main() -> int:
                 print(line)
                 data = json.loads(line.split(" ", 1)[1])
                 ok = (all(c["match"] for c in data["checks"].values())
-                      and data.get("ingest", {}).get("match", False))
+                      and data.get("ingest", {}).get("match", False)
+                      and data.get("reshard", {}).get("match", False))
                 return 0 if ok and data["nodes"] == n_workers + 1 else 1
         sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
         return 1
