@@ -84,6 +84,18 @@ _MBT_P = {
     "000001": (1, 0, 0, 1),
 }
 
+# macroblock_type, B pictures (Table B.2c): code ->
+# (quant, motion_fwd, motion_bwd, coded_pattern, intra)
+_MBT_B = {
+    "10": (0, 1, 1, 0, 0), "11": (0, 1, 1, 1, 0),
+    "010": (0, 0, 1, 0, 0), "011": (0, 0, 1, 1, 0),
+    "0010": (0, 1, 0, 0, 0), "0011": (0, 1, 0, 1, 0),
+    "00011": (0, 0, 0, 0, 1),
+    "00010": (1, 1, 1, 1, 0),
+    "000011": (1, 0, 1, 1, 0), "000010": (1, 1, 0, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
+}
+
 # coded_block_pattern VLC (Table B.3); cbp 0 is not coded (the not-coded
 # macroblock types carry it implicitly)
 _CBP = {
@@ -196,6 +208,7 @@ _MBA_DEC = _prefix_decoder({**{c: n for n, c in _MBA.items()},
 _AC_DEC = _prefix_decoder({c: (r, lv) for r, lv, c in _AC_TABLE})
 _MBT_I_DEC = _prefix_decoder(_MBT_I)
 _MBT_P_DEC = _prefix_decoder(_MBT_P)
+_MBT_B_DEC = _prefix_decoder(_MBT_B)
 _CBP_DEC = _prefix_decoder({c: v for v, c in _CBP.items()})
 
 # motion_code VLC (Table B.4) — the universal-VLC pairing with Table B.1:
@@ -505,6 +518,118 @@ def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
     return y, cb, cr
 
 
+def _search_mv(cur_blk: np.ndarray, ref_y: np.ndarray, px: int, py: int,
+               mb_w: int, mb_h: int) -> tuple[tuple[int, int], float]:
+    """±1 full-pel SAD search for one 16×16 luma block."""
+    best, best_sad = (0, 0), None
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if px + dx < 0 or py + dy < 0 or px + dx + 16 > mb_w * 16 \
+                    or py + dy + 16 > mb_h * 16:
+                continue
+            ref = ref_y[py + dy:py + dy + 16, px + dx:px + dx + 16]
+            sad = float(np.abs(cur_blk - ref).sum())
+            if best_sad is None or sad < best_sad - 1e-9:
+                best, best_sad = (dx, dy), sad
+    return best, best_sad
+
+
+def _quant_residual_mb(res: np.ndarray, qscale: int) -> tuple[np.ndarray, int]:
+    """6 residual blocks -> (quantized zigzag levels, coded_block_pattern)."""
+    zz6 = np.zeros((6, 64), dtype=np.int64)
+    cbp = 0
+    for b in range(6):
+        coef = np.einsum("ku,uv,lv->kl", _DCT, res[b], _DCT,
+                         optimize=True).ravel()[_ZZ]
+        q = _quant_block_nonintra(coef, qscale)
+        if q.any():
+            zz6[b] = q
+            cbp |= 1 << (5 - b)
+    return zz6, cbp
+
+
+# B macroblock-type codes by (motion_fwd, motion_bwd): [not-coded, coded]
+_MBT_B_ENC = {(1, 1): ("10", "11"), (0, 1): ("010", "011"),
+              (1, 0): ("0010", "0011")}
+
+
+def _encode_B_picture(bw: _BW, cur_planes, fwd, bwd, mb_w: int, mb_h: int,
+                      qscale: int, force_escape: bool) -> None:
+    """Write the slices of one bidirectional picture: per MB the best of
+    forward / backward / interpolated ±1 full-pel prediction, residuals
+    per coded_block_pattern, skipped MBs when the previous MB's mode and
+    vectors repeat with zero residual. B pictures are never references,
+    so no local reconstruction is kept."""
+    cur_y = cur_planes[0]
+    for row in range(mb_h):
+        bw.start_code(row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)
+        fmv_pred = [0, 0]
+        bmv_pred = [0, 0]
+        last_mode = None
+        pending = 1
+        for col in range(mb_w):
+            px, py = col * 16, row * 16
+            cur_blk = cur_y[py:py + 16, px:px + 16]
+            fmv, sad_f = _search_mv(cur_blk, fwd[0], px, py, mb_w, mb_h)
+            bmv, sad_b = _search_mv(cur_blk, bwd[0], px, py, mb_w, mb_h)
+            pf = _mc_pred(fwd[0], px, py, 16, fmv[0] * 2, fmv[1] * 2)
+            pb = _mc_pred(bwd[0], px, py, 16, bmv[0] * 2, bmv[1] * 2)
+            sad_i = float(np.abs(cur_blk - (pf + pb) // 2).sum())
+            mode = min(((sad_f, (1, 0)), (sad_b, (0, 1)), (sad_i, (1, 1))),
+                       key=lambda t: t[0])[1]
+            mfwd, mbwd = mode
+
+            def mc6(on_f, on_b):
+                parts = []
+                for on, mv, ref in ((on_f, fmv, fwd), (on_b, bmv, bwd)):
+                    if not on:
+                        continue
+                    yy = _mc_pred(ref[0], px, py, 16, mv[0] * 2, mv[1] * 2)
+                    cc = _mc_pred(ref[1], px // 2, py // 2, 8, mv[0], mv[1])
+                    rr = _mc_pred(ref[2], px // 2, py // 2, 8, mv[0], mv[1])
+                    parts.append((yy, cc, rr))
+                if len(parts) == 2:
+                    return tuple((a + b) // 2 for a, b in zip(*parts))
+                return parts[0]
+
+            pred_y, pred_cb, pred_cr = mc6(mfwd, mbwd)
+            res = np.zeros((6, 8, 8), dtype=np.float64)
+            for b, (oy, ox) in enumerate(_MB_OFF):
+                res[b] = (cur_planes[0][py + oy:py + oy + 8,
+                                        px + ox:px + ox + 8]
+                          - pred_y[oy:oy + 8, ox:ox + 8])
+            res[4] = cur_planes[1][py // 2:py // 2 + 8,
+                                   px // 2:px // 2 + 8] - pred_cb
+            res[5] = cur_planes[2][py // 2:py // 2 + 8,
+                                   px // 2:px // 2 + 8] - pred_cr
+            zz6, cbp = _quant_residual_mb(res, qscale)
+            this_mode = (mfwd, mbwd, fmv if mfwd else None,
+                         bmv if mbwd else None)
+            first_or_last = col == 0 or col == mb_w - 1
+            if (cbp == 0 and last_mode == this_mode and not first_or_last):
+                pending += 1  # skipped: decoder repeats the previous mode
+                continue
+            _write_mba(bw, pending)
+            pending = 1
+            bw.write_code(_MBT_B_ENC[mode][1 if cbp else 0])
+            if mfwd:
+                _enc_mv_component(bw, fmv[0] - fmv_pred[0])
+                _enc_mv_component(bw, fmv[1] - fmv_pred[1])
+                fmv_pred = [fmv[0], fmv[1]]
+            if mbwd:
+                _enc_mv_component(bw, bmv[0] - bmv_pred[0])
+                _enc_mv_component(bw, bmv[1] - bmv_pred[1])
+                bmv_pred = [bmv[0], bmv[1]]
+            if cbp:
+                bw.write_code(_CBP[cbp])
+                for b in range(6):
+                    if cbp & (1 << (5 - b)):
+                        _enc_block_nonintra(bw, zz6[b], force_escape)
+            last_mode = this_mode
+
+
 def _write_mba(bw: _BW, increment: int) -> None:
     while increment > 33:
         bw.write_code(_MBA_ESCAPE)
@@ -553,11 +678,15 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     picture followed by P pictures (±1 full-pel motion search against
     the locally reconstructed reference, skipped zero-residual MBs,
     coded_block_pattern residuals); gop_size defaults to 12.
+    ``mode="ibp"``: full I/P/B structure — anchors (I then P) every
+    other display frame with one bidirectional picture between, coded
+    order anchors-first with per-GOP temporal_reference reordering
+    (what a decoder must undo to emit display order).
     ``force_escape`` routes every AC coefficient through the escape
     coding (a legal stream; used to cross-check the VLC tables).
     ``gop_size`` > 0 starts a new GOP header every that many pictures."""
-    if mode not in ("intra", "ip"):
-        raise ValueError("mode must be 'intra' or 'ip'")
+    if mode not in ("intra", "ip", "ibp"):
+        raise ValueError("mode must be 'intra', 'ip' or 'ibp'")
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[np.newaxis]
@@ -567,7 +696,7 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     mb_w, mb_h = -(-w // 16), -(-h // 16)
     qscale = min(max(int(qscale), 1), 31)
     rate_code = min(_PICTURE_RATES, key=lambda k: abs(_PICTURE_RATES[k] - fps))
-    if mode == "ip" and gop_size <= 0:
+    if mode in ("ip", "ibp") and gop_size <= 0:
         gop_size = 12
 
     bw = _BW()
@@ -584,24 +713,57 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     bw.write(0, 1)   # load_intra_quantizer_matrix (default)
     bw.write(0, 1)   # load_non_intra_quantizer_matrix
 
+    def picture_header(tref: int, ptype: int) -> None:
+        bw.start_code(0x00)
+        bw.write(tref, 10)
+        bw.write(ptype, 3)
+        bw.write(0xFFFF, 16)  # vbv_delay: variable
+        if ptype in (2, 3):
+            bw.write(1, 1)  # full_pel_forward_vector
+            bw.write(1, 3)  # forward_f_code
+        if ptype == 3:
+            bw.write(1, 1)  # full_pel_backward_vector
+            bw.write(1, 3)  # backward_f_code
+        bw.write(0, 1)  # extra_bit_picture
+
+    def gop_header() -> None:
+        bw.start_code(0xB8)
+        bw.write(0, 25)  # time_code
+        bw.write(1, 1)   # closed_gop
+        bw.write(0, 1)   # broken_link
+
+    if mode == "ibp":
+        # coded order anchors-first: I(0), P(2), B(1), P(4), B(3), ...
+        for s in range(0, n, gop_size):
+            length = min(gop_size, n - s)
+            anchors = sorted(set(range(0, length, 2)) | {length - 1})
+            gop_header()
+            picture_header(0, 1)
+            prev = _encode_I_picture(bw, _frame_planes(frames[s], mb_w, mb_h),
+                                     mb_w, mb_h, qscale, force_escape)
+            for k in range(1, len(anchors)):
+                a_prev, a = anchors[k - 1], anchors[k]
+                picture_header(a, 2)
+                cur = _encode_P_picture(
+                    bw, _frame_planes(frames[s + a], mb_w, mb_h), prev,
+                    mb_w, mb_h, qscale, force_escape, p_intra_sad)
+                for d in range(a_prev + 1, a):
+                    picture_header(d, 3)
+                    _encode_B_picture(
+                        bw, _frame_planes(frames[s + d], mb_w, mb_h),
+                        prev, cur, mb_w, mb_h, qscale, force_escape)
+                prev = cur
+        bw.align()
+        bw.buf += struct.pack(">I", 0x000001B7)  # sequence_end
+        return bytes(bw.buf)
+
     recon = None
     for idx in range(n):
         in_gop = idx % gop_size if gop_size else idx
         is_p = mode == "ip" and in_gop != 0 and recon is not None
         if idx == 0 or (gop_size and in_gop == 0):
-            bw.start_code(0xB8)  # group_of_pictures
-            bw.write(0, 25)  # time_code
-            bw.write(1, 1)   # closed_gop
-            bw.write(0, 1)   # broken_link
-        bw.start_code(0x00)  # picture
-        bw.write(idx % (gop_size or 1024), 10)  # temporal_reference
-        bw.write(2 if is_p else 1, 3)  # picture_coding_type
-        bw.write(0xFFFF, 16)  # vbv_delay: variable
-        if is_p:
-            bw.write(1, 1)  # full_pel_forward_vector
-            bw.write(1, 3)  # forward_f_code
-        bw.write(0, 1)       # extra_bit_picture
-
+            gop_header()
+        picture_header(idx % (gop_size or 1024), 2 if is_p else 1)
         planes = _frame_planes(frames[idx], mb_w, mb_h)
         if is_p:
             recon = _encode_P_picture(bw, planes, recon, mb_w, mb_h,
@@ -837,22 +999,27 @@ def _parse_sequence_header(payload: bytes, st: _SeqState) -> None:
 
 def _iter_pictures(es: bytes):
     """Yield (coding_type, header_payload, [(slice_code, payload), ...],
-    seq) per picture. Extension/user-data codes are skipped."""
+    seq, gop_index, temporal_reference) per picture, in CODED order.
+    Extension/user-data codes are skipped; GOP headers bump gop_index
+    (temporal_reference — the display position — wraps per GOP)."""
     codes = _start_codes(es)
     seq = _SeqState()
     cur = None
+    gop = -1
     for k, (off, code) in enumerate(codes):
         end = codes[k + 1][0] if k + 1 < len(codes) else len(es)
         payload = es[off + 4:end]
         if code == 0xB3:
             _parse_sequence_header(payload, seq)
+        elif code == 0xB8:
+            gop += 1
         elif code == 0x00:
             if cur is not None:
                 yield cur
             br = _BitReader(payload)
-            br.read(10)
+            tref = br.read(10)
             ptype = br.read(3)
-            cur = (ptype, payload, [], seq)
+            cur = (ptype, payload, [], seq, max(gop, 0), tref)
         elif 0x01 <= code <= 0xAF and cur is not None:
             cur[2].append((code, payload))
     if cur is not None:
@@ -1046,45 +1213,216 @@ def _decode_P(hdr_payload: bytes, slices, seq: _SeqState, prev):
     return y, cb, cr
 
 
+def _decode_B(hdr_payload: bytes, slices, seq: _SeqState, fwd, bwd):
+    """Bidirectionally-predicted picture: forward/backward/interpolated
+    MC per macroblock, skipped MBs repeat the previous MB's prediction
+    (NOT a zero-vector copy like P), B pictures are never references.
+    ``fwd``/``bwd`` = the older/newer anchor (y, cb, cr) planes."""
+    if fwd is None or bwd is None:
+        raise ValueError("B picture without both reference anchors")
+    br = _BitReader(hdr_payload)
+    br.read(10)
+    if br.read(3) != 3:
+        raise ValueError("not a B picture")
+    br.read(16)  # vbv_delay
+    f_fp = br.read(1)
+    f_fc = br.read(3)
+    b_fp = br.read(1)
+    b_fc = br.read(3)
+    if not (1 <= f_fc <= 7 and 1 <= b_fc <= 7):
+        raise ValueError("invalid f_code")
+    mb_w, mb_h = -(-seq.w // 16), -(-seq.h // 16)
+    n_mb = mb_w * mb_h
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+
+    def chroma_half(h: int) -> int:
+        return int(h / 2) if h >= 0 else -(-h // 2)
+
+    def predict(px, py, mfwd, mbwd, fmv, bmv):
+        parts_y, parts_cb, parts_cr = [], [], []
+        for on, mv, fp, ref in ((mfwd, fmv, f_fp, fwd), (mbwd, bmv, b_fp, bwd)):
+            if not on:
+                continue
+            hx = mv[0] * 2 if fp else mv[0]
+            hy = mv[1] * 2 if fp else mv[1]
+            parts_y.append(_mc_pred(ref[0], px, py, 16, hx, hy))
+            parts_cb.append(_mc_pred(ref[1], px // 2, py // 2, 8,
+                                     chroma_half(hx), chroma_half(hy)))
+            parts_cr.append(_mc_pred(ref[2], px // 2, py // 2, 8,
+                                     chroma_half(hx), chroma_half(hy)))
+        if len(parts_y) == 2:  # interpolated: truncating average
+            return ((parts_y[0] + parts_y[1]) // 2,
+                    (parts_cb[0] + parts_cb[1]) // 2,
+                    (parts_cr[0] + parts_cr[1]) // 2)
+        return parts_y[0], parts_cb[0], parts_cr[0]
+
+    for code, payload in slices:
+        br = _BitReader(payload)
+        qscale = br.read(5)
+        while br.read(1):
+            br.read(8)
+        addr = (code - 1) * mb_w - 1
+        dc_pred = [128, 128, 128]
+        fmv_pred = [0, 0]
+        bmv_pred = [0, 0]
+        last_mode = None  # (mfwd, mbwd, fmv, bmv) for skipped-MB repeat
+        while not _slice_exhausted(br):
+            total = _read_mba(br)
+            if total > 1:  # skipped B MBs repeat the previous prediction
+                if last_mode is None:
+                    raise ValueError("skipped MB opens a B slice")
+                mfwd, mbwd, fmv, bmv = last_mode
+                for s in range(1, total):
+                    saddr = addr + s
+                    if saddr >= n_mb:
+                        raise ValueError("skipped MB past picture end")
+                    sr, sc = divmod(saddr, mb_w)
+                    spx, spy = sc * 16, sr * 16
+                    py_, pcb, pcr = predict(spx, spy, mfwd, mbwd, fmv, bmv)
+                    y[spy:spy + 16, spx:spx + 16] = np.clip(
+                        py_, 0, 255).astype(np.uint8)
+                    cb[spy // 2:spy // 2 + 8, spx // 2:spx // 2 + 8] = \
+                        np.clip(pcb, 0, 255).astype(np.uint8)
+                    cr[spy // 2:spy // 2 + 8, spx // 2:spx // 2 + 8] = \
+                        np.clip(pcr, 0, 255).astype(np.uint8)
+                dc_pred = [128, 128, 128]
+            addr += total
+            if addr >= n_mb:
+                raise ValueError("macroblock address past picture end")
+            quant, mfwd, mbwd, cpat, intra = _read_vlc(br, _MBT_B_DEC)
+            if quant:
+                qscale = br.read(5)
+            if mfwd:
+                fmv_pred[0] = _read_mv_component(br, f_fc, fmv_pred[0])
+                fmv_pred[1] = _read_mv_component(br, f_fc, fmv_pred[1])
+            if mbwd:
+                bmv_pred[0] = _read_mv_component(br, b_fc, bmv_pred[0])
+                bmv_pred[1] = _read_mv_component(br, b_fc, bmv_pred[1])
+            cbp = (_read_vlc(br, _CBP_DEC) if cpat else 0)
+            r, c = divmod(addr, mb_w)
+            px, py = c * 16, r * 16
+            if intra:
+                zz6 = np.zeros((6, 64), dtype=np.int64)
+                for b in range(6):
+                    comp = 0 if b < 4 else b - 3
+                    table = _DC_LUM_DEC if b < 4 else _DC_CHROM_DEC
+                    zz6[b], dc_pred[comp] = _dec_block(br, table,
+                                                       dc_pred[comp])
+                blk = np.clip(_idct(_dequant_intra_zz(
+                    zz6, np.full(6, qscale, dtype=np.int64),
+                    seq.intra_q)).round(), 0, 255).astype(np.uint8)
+                for b, (oy, ox) in enumerate(_MB_OFF):
+                    y[py + oy:py + oy + 8, px + ox:px + ox + 8] = blk[b]
+                cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blk[4]
+                cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blk[5]
+                fmv_pred = [0, 0]
+                bmv_pred = [0, 0]
+                last_mode = None
+                continue
+            dc_pred = [128, 128, 128]
+            fmv = (fmv_pred[0], fmv_pred[1])
+            bmv = (bmv_pred[0], bmv_pred[1])
+            last_mode = (mfwd, mbwd, fmv, bmv)
+            pred_y, pred_cb, pred_cr = predict(px, py, mfwd, mbwd, fmv, bmv)
+            res = np.zeros((6, 8, 8), dtype=np.int64)
+            if cbp:
+                zz6 = np.zeros((6, 64), dtype=np.int64)
+                any_coded = False
+                for b in range(6):
+                    if cbp & (1 << (5 - b)):
+                        zz6[b] = _dec_block_nonintra(br)
+                        any_coded = True
+                if any_coded:
+                    res = np.round(_idct(_dequant_nonintra_zz(
+                        zz6, np.full(6, qscale, dtype=np.int64),
+                        seq.non_intra_q))).astype(np.int64)
+            for b, (oy, ox) in enumerate(_MB_OFF):
+                y[py + oy:py + oy + 8, px + ox:px + ox + 8] = np.clip(
+                    pred_y[oy:oy + 8, ox:ox + 8] + res[b], 0, 255
+                ).astype(np.uint8)
+            cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cb + res[4], 0, 255).astype(np.uint8)
+            cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = np.clip(
+                pred_cr + res[5], 0, 255).astype(np.uint8)
+    return y, cb, cr
+
+
 def _as_es(buf: bytes) -> bytes:
     if buf[:4] == b"\x00\x00\x01\xba":
         return demux_mpeg_ps(buf)
     return buf
 
 
-def _decode_stream(es: bytes, want: set[int] | None):
-    """Sequential picture decode with P-chain reference tracking. When
-    ``want`` is given, pictures outside every wanted picture's reference
-    chain (back to its nearest preceding I) are skipped entirely."""
+def _display_order(pics) -> list[int]:
+    """Coded index -> display slot: pictures sort by temporal_reference
+    within each GOP, GOPs in stream order. Returns a list where
+    position d (display) holds the coded index."""
+    by_gop: dict[int, list[tuple[int, int]]] = {}
+    for i, p in enumerate(pics):
+        by_gop.setdefault(p[4], []).append((p[5], i))
+    order: list[int] = []
+    for g in sorted(by_gop):
+        order += [i for _tref, i in sorted(by_gop[g])]
+    return order
+
+
+def _decode_stream(es: bytes, want_display: set[int] | None):
+    """Decode in coded order with anchor tracking (P references the
+    latest anchor; B references the two surrounding ones), then emit in
+    DISPLAY order (temporal_reference within GOP). When ``want_display``
+    is given, only the wanted pictures' reference closures are decoded."""
     pics = list(_iter_pictures(es))
-    needed = None
-    if want is not None:
-        needed = set()
-        for idx in want:
-            if idx >= len(pics):
-                continue
-            j = idx
-            needed.add(j)
-            while j > 0 and pics[j][0] != 1:
-                j -= 1
-                needed.add(j)
-    out: dict[int, np.ndarray] = {}
-    prev = None
-    for i, (ptype, hdr, slices, seq) in enumerate(pics):
-        if needed is not None and i not in needed:
-            if ptype == 1:
-                prev = None  # decodable later chains re-enter at their I
-            continue
-        if ptype == 1:
-            prev = _decode_I(slices, seq)
-        elif ptype == 2:
-            prev = _decode_P(hdr, slices, seq, prev)
+    order = _display_order(pics)  # display slot -> coded index
+    # reference closure per coded picture
+    dep: list[list[int]] = []
+    prev_anchor = last_anchor = -1
+    for i, p in enumerate(pics):
+        if p[0] in (1, 2):
+            dep.append([last_anchor] if p[0] == 2 else [])
+            prev_anchor, last_anchor = last_anchor, i
         else:
+            dep.append([prev_anchor, last_anchor])
+    needed = None
+    if want_display is not None:
+        needed = set()
+        stack = [order[d] for d in want_display if d < len(order)]
+        while stack:
+            j = stack.pop()
+            if j < 0 or j in needed:
+                continue
+            needed.add(j)
+            stack.extend(dep[j])
+    disp_of = {i: d for d, i in enumerate(order)}  # coded idx -> display
+    out: dict[int, np.ndarray] = {}
+
+    def emit(i: int, planes) -> None:
+        d = disp_of[i]
+        if want_display is None or d in want_display:
+            out[d] = _planes_to_rgb(planes, pics[i][3])
+
+    # only the two live anchors are retained — O(2 frames) regardless of
+    # stream length; B planes are converted and dropped immediately
+    fwd_p = last_p = None
+    for i, (ptype, hdr, slices, seq, _g, _t) in enumerate(pics):
+        skip = needed is not None and i not in needed
+        if ptype == 1:
+            cur = None if skip else _decode_I(slices, seq)
+            fwd_p, last_p = last_p, cur
+            if cur is not None:
+                emit(i, cur)
+        elif ptype == 2:
+            cur = None if skip else _decode_P(hdr, slices, seq, last_p)
+            fwd_p, last_p = last_p, cur
+            if cur is not None:
+                emit(i, cur)
+        elif ptype == 3:
+            if not skip:
+                emit(i, _decode_B(hdr, slices, seq, fwd_p, last_p))
+        elif not skip:
             raise NotImplementedError(
-                "B (bidirectional) picture decode needs a future "
-                "reference — seam; sample I/P pictures instead")
-        if want is None or i in want:
-            out[i] = _planes_to_rgb(prev, seq)
+                f"picture_coding_type {ptype} (D pictures) — seam")
     return out, len(pics)
 
 

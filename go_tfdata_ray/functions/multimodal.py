@@ -139,12 +139,13 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
         # all-I MPEG-1: RGB frames -> 4:2:0 intra ES (optionally wrapped
         # in an ISO 11172-1 program stream), qscale cycling 1/2/4
         def _clip(i: int) -> bytes:
-            # alternate all-I and I+P (motion-compensated) GOP shapes so
-            # both picture kinds flow through the sampling walk; the
-            # picture-start-code count is exact for either
+            # cycle all-I, I+P and I+B+P GOP shapes so every picture kind
+            # (including reordered bidirectional pictures) flows through
+            # the sampling walk; the picture-start-code count is exact
+            # for all three
             frames = synth_gif_frames(i + seed, nf[i]).astype(np.uint8)
             es = encode_mpeg1(frames, fps=10, qscale=(1, 2, 4)[i % 3],
-                              mode=("intra", "ip")[i % 2], gop_size=6)
+                              mode=("intra", "ip", "ibp")[i % 3], gop_size=6)
             return mux_mpeg_ps(es) if payload == "mpegps" else es
         payloads = [_clip(i) for i in range(n)]
     elif payload == "wav":

@@ -119,15 +119,96 @@ def test_extract_is_seek_shaped():
         mpeg.extract_mpeg_frames(es, [9])
 
 
-def test_b_picture_counts_but_raises_on_pixel_decode():
+def test_d_picture_counts_but_raises_on_pixel_decode():
     es = mpeg.encode_mpeg1(_clips(2, 16, 16))
-    # splice a B-picture header (type=011) before the sequence end code
-    b_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0x9F, 0xFF, 0xF8, 0x00])
-    es_b = es[:-4] + b_hdr + b"\x00\x00\x01\xb7"
-    assert mpeg.count_mpeg_frames(es_b) == 3
-    assert len(mpeg.extract_mpeg_frames(es_b, [0, 1])) == 2  # I pictures fine
+    # splice a D-picture header (tref=2, type=100) before the sequence end
+    d_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0xA0, 0xFF, 0xF8, 0x00])
+    es_d = es[:-4] + d_hdr + b"\x00\x00\x01\xb7"
+    assert mpeg.count_mpeg_frames(es_d) == 3
+    assert len(mpeg.extract_mpeg_frames(es_d, [0, 1])) == 2  # I pictures fine
     with pytest.raises(NotImplementedError):
-        mpeg.extract_mpeg_frames(es_b, [2])
+        mpeg.extract_mpeg_frames(es_d, [2])
+
+
+def test_b_picture_without_both_anchors_raises():
+    seq = mpeg._SeqState()
+    seq.w = seq.h = 16
+    hdr = bytes([0x00, 0x7F, 0xFF, 0xFA, 0x80])  # tref=1, type=3(B)
+    with pytest.raises(ValueError):
+        mpeg._decode_B(hdr, [], seq, None, None)
+
+
+def test_ibp_roundtrip_and_display_reordering():
+    # coded order is anchors-first (I P B P B ...); the decoder must undo
+    # the per-GOP temporal_reference permutation, so per-display-frame MAE
+    # against the SOURCE frame at the same index is the ordering oracle
+    # (synth_image differs per index far more than the codec error bound).
+    frames = _clips(9, 48, 32)
+    es = mpeg.encode_mpeg1(frames, qscale=4, mode="ibp", gop_size=8)
+    pics = list(mpeg._iter_pictures(es))
+    assert [p[0] for p in pics] == [1, 2, 3, 2, 3, 2, 3, 2, 1]
+    assert [p[5] for p in pics] == [0, 2, 1, 4, 3, 6, 5, 7, 0]
+    dec = mpeg.decode_mpeg1(es)
+    assert dec.shape == frames.shape
+    for i in range(9):
+        assert np.abs(dec[i].astype(float) - frames[i]).mean() < 8.0, i
+    assert mpeg.count_mpeg_frames(es) == 9
+
+
+def test_ibp_extract_decodes_only_anchor_closure():
+    # display frame 1 is the first B: its closure is I(disp 0) + P(disp 2)
+    # — exactly 3 of the 9 coded pictures touch the pixel decoders
+    frames = _clips(9, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ibp", gop_size=8)
+    full = mpeg.decode_mpeg1(es)
+    calls = {"I": 0, "P": 0, "B": 0}
+    oi, op, ob = mpeg._decode_I, mpeg._decode_P, mpeg._decode_B
+    mpeg._decode_I = lambda *a: calls.__setitem__("I", calls["I"] + 1) or oi(*a)
+    mpeg._decode_P = lambda *a: calls.__setitem__("P", calls["P"] + 1) or op(*a)
+    mpeg._decode_B = lambda *a: calls.__setitem__("B", calls["B"] + 1) or ob(*a)
+    try:
+        out = mpeg.extract_mpeg_frames(es, [1])
+    finally:
+        mpeg._decode_I, mpeg._decode_P, mpeg._decode_B = oi, op, ob
+    assert calls == {"I": 1, "P": 1, "B": 1}
+    assert np.array_equal(out[0], full[1])
+
+
+def test_ibp_static_clip_is_exact_and_tiny():
+    # a static clip's B pictures are pure prediction (zero residual,
+    # skipped middles): decode must be an exact copy of the I picture
+    still = np.full((7, 32, 48, 3), 128, np.uint8)
+    es = mpeg.encode_mpeg1(still, qscale=4, mode="ibp", gop_size=7)
+    es_i = mpeg.encode_mpeg1(still, qscale=4)
+    assert len(es) < len(es_i)
+    assert np.array_equal(mpeg.decode_mpeg1(es), still)
+
+
+def test_ibp_force_escape_identical():
+    frames = _clips(6, 32, 32)
+    a = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=2, mode="ibp",
+                                            gop_size=6))
+    b = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, qscale=2, mode="ibp",
+                                            gop_size=6, force_escape=True))
+    assert np.array_equal(a, b)
+
+
+def test_ibp_in_program_stream():
+    frames = _clips(7, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ibp", gop_size=4)
+    ps = mpeg.mux_mpeg_ps(es, packet_size=128)
+    assert mpeg.count_mpeg_frames(ps) == 7
+    assert np.array_equal(mpeg.decode_mpeg1(ps), mpeg.decode_mpeg1(es))
+
+
+def test_ibp_odd_gop_tails():
+    # gop_size=4 over 9 frames -> GOP lengths 4, 4, 1; the length-1 GOP
+    # is a lone I with no B loop, and length-4 GOPs end on a P anchor
+    frames = _clips(9, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ibp", gop_size=4)
+    dec = mpeg.decode_mpeg1(es)
+    for i in range(9):
+        assert np.abs(dec[i].astype(float) - frames[i]).mean() < 8.0, i
 
 
 def test_ip_mode_roundtrip_and_compression():
@@ -157,7 +238,7 @@ def test_ip_no_drift_along_gop():
     finally:
         mpeg._encode_I_picture, mpeg._encode_P_picture = orig_i, orig_p
     prev = None
-    for i, (pt, hdr, sl, seq) in enumerate(mpeg._iter_pictures(es)):
+    for i, (pt, hdr, sl, seq, _g, _t) in enumerate(mpeg._iter_pictures(es)):
         prev = (mpeg._decode_I(sl, seq) if pt == 1
                 else mpeg._decode_P(hdr, sl, seq, prev))
         for k in range(3):
