@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="new hash-partition count (prefer multiplicative "
                         "hops: N*k or N/k)")
 
+    s = sub.add_parser("replicate")
+    s.add_argument("--src", required=True, help="source lake directory")
+    s.add_argument("--dest", required=True, help="follower lake directory")
+    s.add_argument("--partitions", type=int, default=32,
+                   help="follower partition count (first sync only)")
+
     s = sub.add_parser("clone")
     s.add_argument("--lake", required=True)
     s.add_argument("--dest", required=True,
@@ -459,6 +465,13 @@ def main(argv: list[str] | None = None) -> int:
         _ray_up()
         eng = CDCEngine(a.lake)
         print(json.dumps(eng.reshard(a.partitions)))
+        return 0
+
+    if a.cmd == "replicate":
+        _ray_up()
+        from .replicate import sync_replica
+        print(json.dumps(sync_replica(a.src, a.dest,
+                                      num_partitions=a.partitions)))
         return 0
 
     if a.cmd == "clone":
