@@ -779,9 +779,10 @@ def q_cdc_replay_digest(sf_dir: str):
     """Full WAL replay → merged final state, PLUS the same state after
     COMPACT (deltas folded into per-partition bases, tombstones physically
     dropped) + vacuum on a second lake, PLUS the same state after RESHARD
-    (partition-count change) on a third — stage-tagged union with per-row
-    token digests. All three stages must carry identical rows, so the
-    oracle is the same digest three times (exact token-list equality is
+    (partition-count change) on a third, PLUS a FOLLOWER lake replicated
+    off the resharded source's CDC feed — stage-tagged union with per-row
+    token digests. All four stages must carry identical rows, so the
+    oracle is the same digest four times (exact token-list equality is
     asserted in pytest)."""
 
     def tag(stage):
@@ -812,7 +813,20 @@ def q_cdc_replay_digest(sf_dir: str):
     eng_rs.reshard(24 if eng_rs.num_partitions == 16 else 16)
     resharded = _digest_ds(eng_rs.scan()).map_batches(tag("resharded"),
                                                       batch_format="pyarrow")
-    return replay.union(compacted).union(resharded)
+
+    # fourth leg: a FOLLOWER lake synced off the resharded source's CDC
+    # feed (cdc/replicate.py). The reshard above folds the source's epoch
+    # segments every run, so each run exercises a REAL distributed full
+    # resync (snapshot upserts + anti-join tombstones), never a cached
+    # no-op; its final state must carry the same rows as every other leg.
+    from ..cdc.replicate import sync_replica
+
+    lake_rep = os.path.join("/tmp/graft_lake",
+                            f"sf{walmod.sf_from_dir(sf_dir):g}-replica")
+    sync_replica(lake_rs, lake_rep, num_partitions=8)
+    replicated = _digest_ds(CDCEngine(lake_rep).scan()).map_batches(
+        tag("replicated"), batch_format="pyarrow")
+    return replay.union(compacted).union(resharded).union(replicated)
 
 
 def q_cdc_changes_digest(sf_dir: str):
@@ -1856,7 +1870,9 @@ ORACLE_SQL = {
         "UNION ALL "
         f"SELECT 'compacted' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D' "
         "UNION ALL "
-        f"SELECT 'resharded' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D'"
+        f"SELECT 'resharded' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D' "
+        "UNION ALL "
+        f"SELECT 'replicated' AS stage, {_DIGEST_COLS} FROM last WHERE op <> 'D'"
     ),
     "cdc_changes_digest": (
         f"WITH w AS (SELECT * FROM read_parquet('{_WAL_GLOB_001}')), "
