@@ -13,7 +13,9 @@ exchange-heavy pipelines across it:
 - ``sessionize`` (exchange_group_map over user shards),
 - ``cluster_duplicates_distributed`` (ref-passing label propagation),
 - the crawl front door (``ingest.stage_drop``: WARC read + shard-write
-  tasks scheduled across the raylets into one sealed epoch, then tail).
+  tasks scheduled across the raylets into one sealed epoch, then tail),
+- follower replication (``cdc/replicate.py``: a full resync — snapshot
+  upserts + anti-join tombstones — into a follower lake, digest-checked).
 
 Each query's result is checked against the same DuckDB oracle the driver
 uses, so "ran across nodes" also means "still correct across nodes" —
@@ -133,6 +135,22 @@ out["reshard"] = {{"sec": round(rs_wall, 3),
                    "rows": int(rs["rows"]),
                    "new_partitions": int(rs["num_partitions"]),
                    "match": bool(before == after)}}
+
+# follower replication across the cluster: the reshard above just folded
+# the source's feed, so this is a REAL distributed full resync (snapshot
+# upserts + anti-join tombstones) with stage/apply tasks on every raylet;
+# the follower's digest must equal the source's
+from go_tfdata_ray.cdc.replicate import sync_replica
+rep = lake + "-replica"
+shutil.rmtree(rep, ignore_errors=True)
+t0 = time.perf_counter()
+r = sync_replica(lake, rep, num_partitions=8)
+rep_wall = time.perf_counter() - t0
+rep_digest = state_digest(CDCEngine(rep))
+out["replicate"] = {{"sec": round(rep_wall, 3), "mode": r["mode"],
+                     "rows": int(r["rows_staged"]),
+                     "match": bool(rep_digest == after)}}
+shutil.rmtree(rep, ignore_errors=True)
 shutil.rmtree(lake, ignore_errors=True)  # don't leave the lake pinned
 
 # crawl-ingest across the cluster: WARC drop -> one sealed epoch (shard
