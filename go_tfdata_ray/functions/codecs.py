@@ -540,6 +540,8 @@ def sniff_image_format(buf: bytes) -> str:
         return "mkv"
     if buf[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xba"):
         return "mpeg"  # MPEG-1 video ES / MPEG-1 program stream
+    if len(buf) >= 188 and buf[0] == 0x47 and (len(buf) < 376 or buf[188] == 0x47):
+        return "mpeg"  # MPEG-2 transport stream (sync-byte cadence)
     raise NotImplementedError(
         "unrecognized image payload (PNG, baseline JPEG, GIF, MJPEG-AVI, "
         "MJPEG-MP4, MJPEG-MKV and MPEG-1 video have from-spec codecs in "

@@ -1350,6 +1350,9 @@ def _decode_B(hdr_payload: bytes, slices, seq: _SeqState, fwd, bwd):
 
 
 def _as_es(buf: bytes) -> bytes:
+    if (len(buf) >= TS_PACKET and buf[0] == 0x47
+            and (len(buf) < 2 * TS_PACKET or buf[TS_PACKET] == 0x47)):
+        return demux_mpeg_ts(buf)
     if buf[:4] == b"\x00\x00\x01\xba":
         return demux_mpeg_ps(buf)
     return buf
@@ -1549,4 +1552,198 @@ def demux_mpeg_ps(buf: bytes) -> bytes:
             else:  # '00001111' no-timestamp marker
                 i += 1
         es += body[i:]
+    return bytes(es)
+
+
+# --------------------------------------------------------------------------
+# Transport stream (ISO/IEC 13818-1): 188-byte packets, PAT/PMT PSI with
+# MPEG CRC-32, MPEG-2-format PES — the broadcast/HLS container shape.
+# --------------------------------------------------------------------------
+
+TS_PACKET = 188
+_PAT_PID = 0x0000
+
+
+def _mk_crc32_mpeg_table() -> list[int]:
+    tbl = []
+    for i in range(256):
+        c = i << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7 if c & 0x80000000 else c << 1) & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_CRC32_MPEG_TBL = _mk_crc32_mpeg_table()
+
+
+def _crc32_mpeg(data: bytes) -> int:
+    """PSI CRC-32 (poly 0x04C11DB7, init all-ones, MSB-first, no final
+    xor) — Annex A of ISO 13818-1."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC32_MPEG_TBL[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def _psi_section(table_id: int, body: bytes) -> bytes:
+    """Wrap a PSI body (the bytes after last_section_number's position
+    minus the fixed 5-byte header prefix is handled by callers) — here
+    ``body`` is everything from transport_stream_id/program_number on;
+    returns table_id..CRC32."""
+    sec_len = len(body) + 4  # + CRC
+    head = bytes([table_id, 0xB0 | (sec_len >> 8), sec_len & 0xFF])
+    crc = _crc32_mpeg(head + body)
+    return head + body + struct.pack(">I", crc)
+
+
+def _ts_packet(pid: int, cc: int, payload: bytes, pusi: bool) -> bytes:
+    """One 188-byte packet; short payloads are completed with an
+    adaptation field of 0xFF stuffing (the only legal padding for PES)."""
+    room = TS_PACKET - 4
+    assert len(payload) <= room
+    if len(payload) == room:
+        afc = 0b01  # payload only
+        body = payload
+    else:
+        afc = 0b11  # adaptation + payload
+        af_len = room - len(payload) - 1
+        if af_len == 0:
+            body = bytes([0]) + payload
+        else:
+            body = bytes([af_len, 0x00]) + b"\xff" * (af_len - 1) + payload
+    hdr = bytes([
+        0x47,
+        (0x40 if pusi else 0) | (pid >> 8),
+        pid & 0xFF,
+        (afc << 4) | (cc & 0x0F),
+    ])
+    return hdr + body
+
+
+def mux_mpeg_ts(es: bytes, video_pid: int = 0x0100, pmt_pid: int = 0x0020,
+                pes_size: int = 4096, psi_interval: int = 400) -> bytes:
+    """Wrap a video ES in a single-program MPEG-2 transport stream:
+    PAT (PID 0) → PMT (``pmt_pid``, one stream_type 0x01 MPEG-1-video
+    entry) repeated every ``psi_interval`` packets as real broadcast
+    muxers do, the ES split into unbounded-length (PES_packet_length 0,
+    the video-only allowance) MPEG-2-format PES packets of ``pes_size``
+    ES bytes, each PES start on a payload_unit_start packet."""
+    # PAT: one program (number 1 -> pmt_pid)
+    pat_body = struct.pack(">HBBB", 1, 0xC1, 0, 0)  # tsid, ver0/cur, sec, last
+    pat_body += struct.pack(">HH", 1, 0xE000 | pmt_pid)
+    pat = _psi_section(0x00, pat_body)
+    # PMT: PCR on the video PID, no program descriptors, one ES entry
+    pmt_body = struct.pack(">HBBB", 1, 0xC1, 0, 0)
+    pmt_body += struct.pack(">HH", 0xE000 | video_pid, 0xF000)
+    pmt_body += bytes([0x01]) + struct.pack(">HH", 0xE000 | video_pid, 0xF000)
+    pmt = _psi_section(0x02, pmt_body)
+
+    out = bytearray()
+    cc = {_PAT_PID: 0, pmt_pid: 0, video_pid: 0}
+
+    def emit(pid: int, payload: bytes, pusi: bool) -> None:
+        out.extend(_ts_packet(pid, cc[pid], payload, pusi))
+        cc[pid] = (cc[pid] + 1) & 0x0F
+
+    def emit_psi() -> None:
+        # pointer_field 0 then the section; one packet each (they fit)
+        emit(_PAT_PID, b"\x00" + pat, True)
+        emit(pmt_pid, b"\x00" + pmt, True)
+
+    emit_psi()
+    n_data = 2
+    for k in range(0, len(es), pes_size):
+        chunk = es[k:k + pes_size]
+        # MPEG-2 PES, no timestamps: '10' marker, zero flags, empty header
+        pes = struct.pack(">IHBBB", 0x000001E0, 0, 0x80, 0x00, 0) + chunk
+        first = True
+        for j in range(0, len(pes), TS_PACKET - 4):
+            emit(video_pid, pes[j:j + TS_PACKET - 4], first)
+            first = False
+            n_data += 1
+            if n_data % psi_interval == 0:
+                emit_psi()
+    return bytes(out)
+
+
+def demux_mpeg_ts(buf: bytes) -> bytes:
+    """Extract the concatenated video ES from a single-program transport
+    stream: sync-byte resync, PAT → PMT → video PID discovery (CRC-32
+    verified), adaptation-field skip, continuity-counter duplicate drop,
+    MPEG-2 PES header strip at each payload_unit_start."""
+    # resync: first offset where two consecutive sync bytes line up
+    start = 0
+    n = len(buf)
+    while start < n and not (
+        buf[start] == 0x47 and (start + TS_PACKET >= n
+                                or buf[start + TS_PACKET] == 0x47)
+    ):
+        start += 1
+    pmt_pid = video_pid = None
+    es = bytearray()
+    last_cc: dict[int, int] = {}
+    pending_pes = False  # inside a video PES, header already stripped
+
+    def section_at(payload: bytes) -> bytes:
+        ptr = payload[0]
+        sec = payload[1 + ptr:]
+        sec_len = ((sec[1] & 0x0F) << 8) | sec[2]
+        sec = sec[:3 + sec_len]
+        if _crc32_mpeg(sec) != 0:  # CRC over table incl. CRC folds to 0
+            raise ValueError("PSI section CRC mismatch")
+        return sec
+
+    for pos in range(start, n - TS_PACKET + 1, TS_PACKET):
+        pkt = buf[pos:pos + TS_PACKET]
+        if pkt[0] != 0x47:
+            raise ValueError("lost transport-stream sync")
+        if pkt[1] & 0x80:
+            continue  # transport_error_indicator: drop
+        pusi = bool(pkt[1] & 0x40)
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 0x3
+        cc = pkt[3] & 0x0F
+        if pid == 0x1FFF or not afc & 0b01:
+            continue  # null packet / adaptation-only
+        if pid in last_cc and last_cc[pid] == cc:
+            continue  # duplicate packet (same continuity counter)
+        last_cc[pid] = cc
+        off = 4
+        if afc & 0b10:
+            off += 1 + pkt[4]
+        payload = pkt[off:]
+        if pid == _PAT_PID and pmt_pid is None:
+            sec = section_at(payload)
+            # program loop: 4 bytes per entry after the 8-byte fixed part
+            for i in range(8, len(sec) - 4, 4):
+                prog = struct.unpack(">H", sec[i:i + 2])[0]
+                if prog != 0:  # 0 = network PID
+                    pmt_pid = ((sec[i + 2] & 0x1F) << 8) | sec[i + 3]
+                    break
+        elif pid == pmt_pid and video_pid is None:
+            sec = section_at(payload)
+            info_len = ((sec[10] & 0x0F) << 8) | sec[11]
+            i = 12 + info_len
+            while i + 5 <= len(sec) - 4:
+                stype = sec[i]
+                epid = ((sec[i + 1] & 0x1F) << 8) | sec[i + 2]
+                elen = ((sec[i + 3] & 0x0F) << 8) | sec[i + 4]
+                if stype in (0x01, 0x02):  # MPEG-1 / MPEG-2 video
+                    video_pid = epid
+                    break
+                i += 5 + elen
+            if video_pid is None:
+                raise ValueError("no video stream in PMT")
+        elif pid == video_pid:
+            if pusi:
+                if payload[:3] != b"\x00\x00\x01" or not 0xE0 <= payload[3] <= 0xEF:
+                    raise ValueError("video PUSI without a PES start code")
+                hdr_len = payload[8]
+                payload = payload[9 + hdr_len:]
+                pending_pes = True
+            if pending_pes:
+                es += payload
+    if video_pid is None:
+        raise ValueError("no PAT/PMT program found in transport stream")
     return bytes(es)

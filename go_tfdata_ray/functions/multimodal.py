@@ -34,7 +34,7 @@ from . import codecs
 from .avi import count_avi_frames, encode_avi_mjpeg
 from .mkv import count_mkv_frames, encode_mkv_mjpeg
 from .mp4 import count_mp4_frames, encode_fmp4_mjpeg, encode_mp4_mjpeg
-from .mpeg import count_mpeg_frames, encode_mpeg1, mux_mpeg_ps
+from .mpeg import count_mpeg_frames, encode_mpeg1, mux_mpeg_ps, mux_mpeg_ts
 from .gif import count_gif_frames
 from .text import _worker_cached
 
@@ -86,18 +86,19 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
     """Deterministic media rows. ``payload="raw"`` = index-derived opaque
     bytes (plumbing tests); ``"png"`` / ``"jpeg"`` / ``"gif"`` / ``"mjpeg"``
     / ``"avi"`` / ``"mp4"`` / ``"fmp4"`` / ``"mkv"`` / ``"mpeg"`` /
-    ``"mpegps"`` / ``"wav"`` /
+    ``"mpegps"`` / ``"mpegts"`` / ``"wav"`` /
     ``"wav_adpcm"`` / ``"wav_ulaw"`` / ``"wav_alaw"`` = REAL
     encoded payloads for the real decode kernels (the video payloads are
     n_frames-frame clips at 16×16, so the width/height columns report 16;
-    ``"mkv"`` cycles no/Xiph/EBML lacing, ``"mpeg"``/``"mpegps"`` are
-    all-I MPEG-1 elementary / program streams, and ``"wav_adpcm"``
+    ``"mkv"`` cycles no/Xiph/EBML lacing, ``"mpeg"``/``"mpegps"``/
+    ``"mpegts"`` are MPEG-1 video with I/IP/IBP GOP shapes cycling as
+    elementary / program / transport streams, and ``"wav_adpcm"``
     cycles block_align across clips)."""
     ids = [f"m-{i:06d}" for i in range(n)]
     w = [(64 + (i % 4) * 32) for i in range(n)]
     nf = [(i % 30) + 1 for i in range(n)]
     if payload in ("gif", "mjpeg", "avi", "mp4", "fmp4", "mkv", "mpeg",
-                   "mpegps"):
+                   "mpegps", "mpegts"):
         w = [16] * n
     if payload == "png":
         payloads = [codecs.encode_png(synth_image(i, w[i], w[i], seed)) for i in range(n)]
@@ -135,9 +136,9 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             frames_per_cluster=4,
             lacing=(None, "xiph", "ebml")[i % 3])
             for i in range(n)]
-    elif payload in ("mpeg", "mpegps"):
-        # all-I MPEG-1: RGB frames -> 4:2:0 intra ES (optionally wrapped
-        # in an ISO 11172-1 program stream), qscale cycling 1/2/4
+    elif payload in ("mpeg", "mpegps", "mpegts"):
+        # MPEG-1 video: RGB frames -> 4:2:0 ES, optionally wrapped in an
+        # ISO 11172-1 program stream or an ISO 13818-1 transport stream
         def _clip(i: int) -> bytes:
             # cycle all-I, I+P and I+B+P GOP shapes so every picture kind
             # (including reordered bidirectional pictures) flows through
@@ -146,7 +147,11 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             frames = synth_gif_frames(i + seed, nf[i]).astype(np.uint8)
             es = encode_mpeg1(frames, fps=10, qscale=(1, 2, 4)[i % 3],
                               mode=("intra", "ip", "ibp")[i % 3], gop_size=6)
-            return mux_mpeg_ps(es) if payload == "mpegps" else es
+            if payload == "mpegps":
+                return mux_mpeg_ps(es)
+            if payload == "mpegts":
+                return mux_mpeg_ts(es, pes_size=512)
+            return es
         payloads = [_clip(i) for i in range(n)]
     elif payload == "wav":
         payloads = [codecs.encode_wav(synth_audio(i + seed), 16000) for i in range(n)]

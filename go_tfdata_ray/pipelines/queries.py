@@ -1541,10 +1541,12 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="mkv"))
     mkv_out = multimodal.sample_frames(mk, every_n=10, mode="real").map_batches(
         tag("mkv"), batch_format="pyarrow")
-    # 'mpeg' / 'mpegps' = the same clips as all-I MPEG-1 video (from-spec
-    # ISO 11172-2 intra codec, ``functions/mpeg.py``), frames counted by
-    # the exact picture-start-code scan — the elementary-stream leg and
-    # the ISO 11172-1 program-stream (PES demux) leg
+    # 'mpeg' / 'mpegps' / 'mpegts' = the same clips as MPEG-1 video
+    # (from-spec ISO 11172-2 codec with I/P/B GOP shapes cycling,
+    # ``functions/mpeg.py``), frames counted by the exact
+    # picture-start-code scan — the elementary-stream leg, the
+    # ISO 11172-1 program-stream (PES demux) leg, and the ISO 13818-1
+    # transport-stream (188-byte packets, PAT/PMT, PES reassembly) leg
     mpg = rd.from_arrow(multimodal.synth_media_table(
         n, media_type="video", payload="mpeg"))
     mpg_out = multimodal.sample_frames(mpg, every_n=10, mode="real").map_batches(
@@ -1553,8 +1555,13 @@ def q_media_frames(sf_dir: str):
         n, media_type="video", payload="mpegps"))
     mps_out = multimodal.sample_frames(mps, every_n=10, mode="real").map_batches(
         tag("mpegps"), batch_format="pyarrow")
+    mts = rd.from_arrow(multimodal.synth_media_table(
+        n, media_type="video", payload="mpegts"))
+    mts_out = multimodal.sample_frames(mts, every_n=10, mode="real").map_batches(
+        tag("mpegts"), batch_format="pyarrow")
     return (gif_out.union(mjp_out).union(avi_out).union(mp4_out)
-            .union(fmp4_out).union(mkv_out).union(mpg_out).union(mps_out))
+            .union(fmp4_out).union(mkv_out).union(mpg_out).union(mps_out)
+            .union(mts_out))
 
 
 def q_audio_features(sf_dir: str):
@@ -2051,7 +2058,8 @@ ORACLE_SQL = {
         "UNION ALL SELECT 'fmp4' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mkv' AS stage, media_id, frame_idx FROM s "
         "UNION ALL SELECT 'mpeg' AS stage, media_id, frame_idx FROM s "
-        "UNION ALL SELECT 'mpegps' AS stage, media_id, frame_idx FROM s"
+        "UNION ALL SELECT 'mpegps' AS stage, media_id, frame_idx FROM s "
+        "UNION ALL SELECT 'mpegts' AS stage, media_id, frame_idx FROM s"
     ),
     "audio_features": (
         # 4096-sample 16 kHz synthetic clips; header + sample-count

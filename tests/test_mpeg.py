@@ -201,6 +201,51 @@ def test_ibp_in_program_stream():
     assert np.array_equal(mpeg.decode_mpeg1(ps), mpeg.decode_mpeg1(es))
 
 
+def test_ts_mux_demux_roundtrip():
+    frames = _clips(7, 16, 16)
+    es = mpeg.encode_mpeg1(frames, qscale=2, mode="ibp", gop_size=4)
+    ts = mpeg.mux_mpeg_ts(es)
+    assert len(ts) % mpeg.TS_PACKET == 0
+    assert mpeg.demux_mpeg_ts(ts) == es
+    # the decoder sniffs TS transparently (like PS)
+    assert mpeg.count_mpeg_frames(ts) == 7
+    assert np.array_equal(mpeg.decode_mpeg1(ts), mpeg.decode_mpeg1(es))
+    full = mpeg.decode_mpeg1(es)
+    some = mpeg.extract_mpeg_frames(ts, [1, 5])
+    assert np.array_equal(some[0], full[1])
+    assert np.array_equal(some[1], full[5])
+
+
+def test_ts_small_pes_and_frequent_psi():
+    es = mpeg.encode_mpeg1(_clips(5, 16, 16), qscale=4)
+    ts = mpeg.mux_mpeg_ts(es, pes_size=333, psi_interval=7)
+    assert mpeg.demux_mpeg_ts(ts) == es
+
+
+def test_ts_resync_and_robustness():
+    es = mpeg.encode_mpeg1(_clips(3, 16, 16), qscale=4)
+    ts = mpeg.mux_mpeg_ts(es)
+    # sync recovery past a garbage prefix
+    assert mpeg.demux_mpeg_ts(b"\x12\x34\x56" + ts) == es
+    # duplicate packet (same continuity counter) is dropped, null packets
+    # and adaptation-only packets are ignored
+    pkts = [ts[i:i + 188] for i in range(0, len(ts), 188)]
+    null = b"\x47\x1f\xff\x10" + b"\xff" * 184
+    dup = pkts[:3] + [pkts[2], null] + pkts[3:]
+    assert mpeg.demux_mpeg_ts(b"".join(dup)) == es
+
+
+def test_ts_psi_crc_is_checked():
+    import pytest as _pt
+    es = mpeg.encode_mpeg1(_clips(2, 16, 16), qscale=4)
+    ts = bytearray(mpeg.mux_mpeg_ts(es))
+    # corrupt a byte inside the PAT section body — the PSI payload sits at
+    # the END of packet 0 (the mux's adaptation-field stuffing leads)
+    ts[180] ^= 0x5A
+    with _pt.raises(ValueError):
+        mpeg.demux_mpeg_ts(bytes(ts))
+
+
 def test_ibp_odd_gop_tails():
     # gop_size=4 over 9 frames -> GOP lengths 4, 4, 1; the length-1 GOP
     # is a lone I with no B loop, and length-4 GOPs end on a P anchor
