@@ -389,13 +389,23 @@ def _encode_I_picture(bw: _BW, planes, mb_w: int, mb_h: int, qscale: int,
     return y, cb, cr
 
 
-def _mb_residual(cur_planes, prev, px: int, py: int, mv: tuple[int, int]):
+def _trunc_half(h: int) -> int:
+    """Chrominance vector = half the luminance vector, integer division
+    toward zero (§2.4.4.2) — mirrored by the decoders."""
+    return int(h / 2) if h >= 0 else -(-h // 2)
+
+
+def _mb_residual(cur_planes, prev, px: int, py: int, mv: tuple[int, int],
+                 half_pel: bool = False):
     """(prediction blocks, residual float blocks) for one MB at a
-    full-pel forward vector."""
-    hx, hy = mv[0] * 2, mv[1] * 2
+    forward vector in CODED units (full pels, or half pels when
+    ``half_pel``)."""
+    hx, hy = (mv[0], mv[1]) if half_pel else (mv[0] * 2, mv[1] * 2)
     pred_y = _mc_pred(prev[0], px, py, 16, hx, hy)
-    pred_cb = _mc_pred(prev[1], px // 2, py // 2, 8, mv[0], mv[1])
-    pred_cr = _mc_pred(prev[2], px // 2, py // 2, 8, mv[0], mv[1])
+    pred_cb = _mc_pred(prev[1], px // 2, py // 2, 8,
+                       _trunc_half(hx), _trunc_half(hy))
+    pred_cr = _mc_pred(prev[2], px // 2, py // 2, 8,
+                       _trunc_half(hx), _trunc_half(hy))
     res = np.zeros((6, 8, 8), dtype=np.float64)
     for b, (oy, ox) in enumerate(_MB_OFF):
         res[b] = (cur_planes[0][py + oy:py + oy + 8, px + ox:px + ox + 8]
@@ -407,11 +417,13 @@ def _mb_residual(cur_planes, prev, px: int, py: int, mv: tuple[int, int]):
 
 def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
                       qscale: int, force_escape: bool,
-                      p_intra_sad: float | None = None):
+                      p_intra_sad: float | None = None,
+                      half_pel: bool = False):
     """Write the slices of one forward-predicted picture: ±1 full-pel
-    motion search on the reconstructed reference, zero-residual MBs
-    skipped, coded_block_pattern over the nonzero residual blocks,
-    differential zero-residual motion via the 'MC, not coded' type.
+    (or ±2 half-pel when ``half_pel``) motion search on the
+    reconstructed reference, zero-residual MBs skipped,
+    coded_block_pattern over the nonzero residual blocks, differential
+    zero-residual motion via the 'MC, not coded' type.
     ``p_intra_sad``: best-SAD threshold above which a macroblock is
     intra-coded instead of predicted (scene-change shape). Returns the
     locally reconstructed planes."""
@@ -423,27 +435,14 @@ def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
         bw.start_code(row + 1)
         bw.write(qscale, 5)
         bw.write(0, 1)
-        mv_pred = [0, 0]  # full-pel units (full_pel_forward_vector = 1)
+        mv_pred = [0, 0]  # coded units: full or half pel per the header
         dc_pred = [128, 128, 128]
         pending = 1  # address increment owed to the next coded MB
         for col in range(mb_w):
             px, py = col * 16, row * 16
-            # ±1 full-pel search on luma SAD against the reconstruction
-            cand = [(0, 0)]
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    if (dx or dy) and 0 <= px + dx and 0 <= py + dy and \
-                            px + dx + 16 <= mb_w * 16 and \
-                            py + dy + 16 <= mb_h * 16:
-                        cand.append((dx, dy))
             cur_blk = cur_y[py:py + 16, px:px + 16]
-            best, best_sad = (0, 0), None
-            for mv in cand:
-                ref = prev[0][py + mv[1]:py + mv[1] + 16,
-                              px + mv[0]:px + mv[0] + 16]
-                sad = float(np.abs(cur_blk - ref).sum())
-                if best_sad is None or sad < best_sad - 1e-9:
-                    best, best_sad = mv, sad
+            best, best_sad = _search_mv(cur_blk, prev[0], px, py,
+                                        mb_w, mb_h, half_pel)
             if p_intra_sad is not None and best_sad > p_intra_sad:
                 # scene-change fallback: intra-code this MB (Table B.2b
                 # '00011'), resetting the vector predictor like a decoder
@@ -472,7 +471,8 @@ def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
                 cb[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blkpx[4]
                 cr[py // 2:py // 2 + 8, px // 2:px // 2 + 8] = blkpx[5]
                 continue
-            preds, res = _mb_residual(cur_planes, prev, px, py, best)
+            preds, res = _mb_residual(cur_planes, prev, px, py, best,
+                                      half_pel)
             zz6 = np.zeros((6, 64), dtype=np.int64)
             cbp = 0
             for b in range(6):
@@ -519,16 +519,24 @@ def _encode_P_picture(bw: _BW, cur_planes, prev, mb_w: int, mb_h: int,
 
 
 def _search_mv(cur_blk: np.ndarray, ref_y: np.ndarray, px: int, py: int,
-               mb_w: int, mb_h: int) -> tuple[tuple[int, int], float]:
-    """±1 full-pel SAD search for one 16×16 luma block."""
+               mb_w: int, mb_h: int,
+               half_pel: bool = False) -> tuple[tuple[int, int], float]:
+    """SAD search for one 16×16 luma block: ±1 full pel, or the ±2
+    half-pel lattice (interpolated candidates via ``_mc_pred``) when
+    ``half_pel``. Returns (vector in CODED units, SAD); the zero vector
+    is evaluated first so exact ties keep it (skip-friendliest)."""
+    rng = (0, -1, 1, -2, 2) if half_pel else (0, -1, 1)
+    W, H = mb_w * 16, mb_h * 16
     best, best_sad = (0, 0), None
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            if px + dx < 0 or py + dy < 0 or px + dx + 16 > mb_w * 16 \
-                    or py + dy + 16 > mb_h * 16:
+    for dx in rng:
+        for dy in rng:
+            hx, hy = (dx, dy) if half_pel else (dx * 2, dy * 2)
+            x0, y0 = px + (hx >> 1), py + (hy >> 1)
+            if x0 < 0 or y0 < 0 or x0 + 16 + (hx & 1) > W \
+                    or y0 + 16 + (hy & 1) > H:
                 continue
-            ref = ref_y[py + dy:py + dy + 16, px + dx:px + dx + 16]
-            sad = float(np.abs(cur_blk - ref).sum())
+            pred = _mc_pred(ref_y, px, py, 16, hx, hy)
+            sad = float(np.abs(cur_blk - pred).sum())
             if best_sad is None or sad < best_sad - 1e-9:
                 best, best_sad = (dx, dy), sad
     return best, best_sad
@@ -554,12 +562,14 @@ _MBT_B_ENC = {(1, 1): ("10", "11"), (0, 1): ("010", "011"),
 
 
 def _encode_B_picture(bw: _BW, cur_planes, fwd, bwd, mb_w: int, mb_h: int,
-                      qscale: int, force_escape: bool) -> None:
+                      qscale: int, force_escape: bool,
+                      half_pel: bool = False) -> None:
     """Write the slices of one bidirectional picture: per MB the best of
-    forward / backward / interpolated ±1 full-pel prediction, residuals
-    per coded_block_pattern, skipped MBs when the previous MB's mode and
-    vectors repeat with zero residual. B pictures are never references,
-    so no local reconstruction is kept."""
+    forward / backward / interpolated ±1 full-pel (±2 half-pel when
+    ``half_pel``) prediction, residuals per coded_block_pattern, skipped
+    MBs when the previous MB's mode and vectors repeat with zero
+    residual. B pictures are never references, so no local
+    reconstruction is kept."""
     cur_y = cur_planes[0]
     for row in range(mb_h):
         bw.start_code(row + 1)
@@ -572,10 +582,13 @@ def _encode_B_picture(bw: _BW, cur_planes, fwd, bwd, mb_w: int, mb_h: int,
         for col in range(mb_w):
             px, py = col * 16, row * 16
             cur_blk = cur_y[py:py + 16, px:px + 16]
-            fmv, sad_f = _search_mv(cur_blk, fwd[0], px, py, mb_w, mb_h)
-            bmv, sad_b = _search_mv(cur_blk, bwd[0], px, py, mb_w, mb_h)
-            pf = _mc_pred(fwd[0], px, py, 16, fmv[0] * 2, fmv[1] * 2)
-            pb = _mc_pred(bwd[0], px, py, 16, bmv[0] * 2, bmv[1] * 2)
+            fmv, sad_f = _search_mv(cur_blk, fwd[0], px, py, mb_w, mb_h,
+                                    half_pel)
+            bmv, sad_b = _search_mv(cur_blk, bwd[0], px, py, mb_w, mb_h,
+                                    half_pel)
+            scale = 1 if half_pel else 2
+            pf = _mc_pred(fwd[0], px, py, 16, fmv[0] * scale, fmv[1] * scale)
+            pb = _mc_pred(bwd[0], px, py, 16, bmv[0] * scale, bmv[1] * scale)
             sad_i = float(np.abs(cur_blk - (pf + pb) // 2).sum())
             mode = min(((sad_f, (1, 0)), (sad_b, (0, 1)), (sad_i, (1, 1))),
                        key=lambda t: t[0])[1]
@@ -586,9 +599,12 @@ def _encode_B_picture(bw: _BW, cur_planes, fwd, bwd, mb_w: int, mb_h: int,
                 for on, mv, ref in ((on_f, fmv, fwd), (on_b, bmv, bwd)):
                     if not on:
                         continue
-                    yy = _mc_pred(ref[0], px, py, 16, mv[0] * 2, mv[1] * 2)
-                    cc = _mc_pred(ref[1], px // 2, py // 2, 8, mv[0], mv[1])
-                    rr = _mc_pred(ref[2], px // 2, py // 2, 8, mv[0], mv[1])
+                    hx, hy = mv[0] * scale, mv[1] * scale
+                    yy = _mc_pred(ref[0], px, py, 16, hx, hy)
+                    cc = _mc_pred(ref[1], px // 2, py // 2, 8,
+                                  _trunc_half(hx), _trunc_half(hy))
+                    rr = _mc_pred(ref[2], px // 2, py // 2, 8,
+                                  _trunc_half(hx), _trunc_half(hy))
                     parts.append((yy, cc, rr))
                 if len(parts) == 2:
                     return tuple((a + b) // 2 for a, b in zip(*parts))
@@ -669,7 +685,8 @@ def _enc_block_nonintra(bw: _BW, q: np.ndarray, force_escape: bool) -> None:
 def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
                  gop_size: int = 0, force_escape: bool = False,
                  mode: str = "intra",
-                 p_intra_sad: float | None = None) -> bytes:
+                 p_intra_sad: float | None = None,
+                 half_pel: bool = False) -> bytes:
     """uint8 (N,H,W,3) RGB (or list of (H,W,3)) -> MPEG-1 video
     elementary stream, 4:2:0, one slice per macroblock row.
 
@@ -682,6 +699,10 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     other display frame with one bidirectional picture between, coded
     order anchors-first with per-GOP temporal_reference reordering
     (what a decoder must undo to emit display order).
+    ``half_pel`` switches P/B motion to the half-pel lattice
+    (full_pel_*_vector = 0 in the picture headers, ±2 half-pel search,
+    interpolated ``_mc_pred`` predictions — the fractional-MC path real
+    streams use).
     ``force_escape`` routes every AC coefficient through the escape
     coding (a legal stream; used to cross-check the VLC tables).
     ``gop_size`` > 0 starts a new GOP header every that many pictures."""
@@ -719,10 +740,10 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
         bw.write(ptype, 3)
         bw.write(0xFFFF, 16)  # vbv_delay: variable
         if ptype in (2, 3):
-            bw.write(1, 1)  # full_pel_forward_vector
+            bw.write(0 if half_pel else 1, 1)  # full_pel_forward_vector
             bw.write(1, 3)  # forward_f_code
         if ptype == 3:
-            bw.write(1, 1)  # full_pel_backward_vector
+            bw.write(0 if half_pel else 1, 1)  # full_pel_backward_vector
             bw.write(1, 3)  # backward_f_code
         bw.write(0, 1)  # extra_bit_picture
 
@@ -746,12 +767,14 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
                 picture_header(a, 2)
                 cur = _encode_P_picture(
                     bw, _frame_planes(frames[s + a], mb_w, mb_h), prev,
-                    mb_w, mb_h, qscale, force_escape, p_intra_sad)
+                    mb_w, mb_h, qscale, force_escape, p_intra_sad,
+                    half_pel)
                 for d in range(a_prev + 1, a):
                     picture_header(d, 3)
                     _encode_B_picture(
                         bw, _frame_planes(frames[s + d], mb_w, mb_h),
-                        prev, cur, mb_w, mb_h, qscale, force_escape)
+                        prev, cur, mb_w, mb_h, qscale, force_escape,
+                        half_pel)
                 prev = cur
         bw.align()
         bw.buf += struct.pack(">I", 0x000001B7)  # sequence_end
@@ -767,7 +790,8 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
         planes = _frame_planes(frames[idx], mb_w, mb_h)
         if is_p:
             recon = _encode_P_picture(bw, planes, recon, mb_w, mb_h,
-                                      qscale, force_escape, p_intra_sad)
+                                      qscale, force_escape, p_intra_sad,
+                                      half_pel)
         else:
             recon = _encode_I_picture(bw, planes, mb_w, mb_h, qscale,
                                       force_escape)

@@ -146,7 +146,8 @@ def synth_media_table(n: int, media_type: str = "image", seed: int = 5,
             # for all three
             frames = synth_gif_frames(i + seed, nf[i]).astype(np.uint8)
             es = encode_mpeg1(frames, fps=10, qscale=(1, 2, 4)[i % 3],
-                              mode=("intra", "ip", "ibp")[i % 3], gop_size=6)
+                              mode=("intra", "ip", "ibp")[i % 3], gop_size=6,
+                              half_pel=bool(i % 2))
             if payload == "mpegps":
                 return mux_mpeg_ps(es)
             if payload == "mpegts":

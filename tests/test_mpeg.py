@@ -201,6 +201,65 @@ def test_ibp_in_program_stream():
     assert np.array_equal(mpeg.decode_mpeg1(ps), mpeg.decode_mpeg1(es))
 
 
+def _full_pel_bit(es):
+    # forward full_pel flag of the first P picture header
+    for pt, hdr, _sl, _seq, _g, _t in mpeg._iter_pictures(es):
+        if pt == 2:
+            br = mpeg._BitReader(hdr)
+            br.read(29)  # tref + type + vbv_delay
+            return br.read(1)
+    raise AssertionError("no P picture")
+
+
+def test_half_pel_roundtrip_and_no_drift():
+    frames = _clips(8, 48, 32)
+    for mode in ("ip", "ibp"):
+        es = mpeg.encode_mpeg1(frames, qscale=4, mode=mode, gop_size=4,
+                               half_pel=True)
+        assert _full_pel_bit(es) == 0  # real fractional-MC streams
+        dec = mpeg.decode_mpeg1(es)
+        assert np.abs(dec.astype(float) - frames).mean() < 8.0
+    # decoder reproduces the encoder's local reconstruction bit-exactly
+    # at every picture of a half-pel P chain (the no-drift invariant)
+    frames = _clips(6, 32, 32)
+    recons = []
+    orig_i, orig_p = mpeg._encode_I_picture, mpeg._encode_P_picture
+    mpeg._encode_I_picture = lambda *a, **k: recons.append(orig_i(*a, **k)) or recons[-1]
+    mpeg._encode_P_picture = lambda *a, **k: recons.append(orig_p(*a, **k)) or recons[-1]
+    try:
+        es = mpeg.encode_mpeg1(frames, qscale=2, mode="ip", gop_size=6,
+                               half_pel=True)
+    finally:
+        mpeg._encode_I_picture, mpeg._encode_P_picture = orig_i, orig_p
+    prev = None
+    for i, (pt, hdr, sl, seq, _g, _t) in enumerate(mpeg._iter_pictures(es)):
+        prev = (mpeg._decode_I(sl, seq) if pt == 1
+                else mpeg._decode_P(hdr, sl, seq, prev))
+        for k in range(3):
+            assert np.array_equal(prev[k], recons[i][k]), (i, k)
+
+
+def test_half_pel_wins_on_subpel_motion():
+    # f2[x] = (f1[x] + f1[x+1]) // 2 is EXACTLY the dx=+1 half-pel
+    # prediction (same truncating average as _mc_pred), so the half-pel
+    # encoder's residuals collapse where the full-pel encoder must code
+    # real detail — the stream must be decisively smaller
+    rng = np.random.default_rng(3)
+    f1 = rng.integers(0, 256, size=(32, 49, 3), dtype=np.uint8)
+    f2 = ((f1[:, :-1].astype(np.int32) + f1[:, 1:].astype(np.int32))
+          // 2).astype(np.uint8)
+    clip = np.stack([f1[:, :48], f2])
+    eh = mpeg.encode_mpeg1(clip, qscale=4, mode="ip", gop_size=2,
+                           half_pel=True)
+    ef = mpeg.encode_mpeg1(clip, qscale=4, mode="ip", gop_size=2)
+    assert len(eh) < 0.85 * len(ef)
+    # noise intra-codes lossily, so compare against the full-pel decode:
+    # fractional MC must not cost quality while saving the bits
+    mae_h = np.abs(mpeg.decode_mpeg1(eh)[1].astype(float) - clip[1]).mean()
+    mae_f = np.abs(mpeg.decode_mpeg1(ef)[1].astype(float) - clip[1]).mean()
+    assert mae_h <= mae_f + 0.5
+
+
 def test_ts_mux_demux_roundtrip():
     frames = _clips(7, 16, 16)
     es = mpeg.encode_mpeg1(frames, qscale=2, mode="ibp", gop_size=4)
