@@ -154,6 +154,20 @@ def run_bench() -> dict:
             best = dt if best is None else min(best, dt)
         timings["cdc_scan_pruned"] = best
 
+        # follower replication (cdc/replicate.py): the compact above folded
+        # the feed, so this times the distributed FULL-resync path — live
+        # snapshot upserts + anti-join tombstone discovery into a fresh
+        # follower lake (single-shot: the op is idempotent but the second
+        # run would be a cheap noop)
+        from go_tfdata_ray.cdc.replicate import sync_replica
+
+        rep = lake + "-replica"
+        shutil.rmtree(rep, ignore_errors=True)
+        t0 = time.perf_counter()
+        sync_replica(lake, rep, num_partitions=max(ncpu // 2, 8))
+        timings["replicate_full"] = time.perf_counter() - t0
+        shutil.rmtree(rep, ignore_errors=True)
+
     query_names = [] if scaling else [
         "agg_pricing", "window_hourly", "join_bucketed", "join_storage",
         "join_broadcast", "topk_orders", "dedup_exact", "text_features",
