@@ -32,6 +32,18 @@ distribution; retrain by rebuilding) and land as new run files + a new
 intents segment, LSM-style. Lists accumulate fragments across appends;
 ``fragment_count`` exposes the pile size so callers can rebuild when it
 grows past taste.
+
+Product quantization (``pq_m=M``): each unit vector's RESIDUAL against
+its coarse centroid is split into M subvectors, each encoded as the
+nearest of 256 per-subspace codebook rows (classic IVF-PQ) — M bytes per
+vector instead of 4·dim. Codes land as an extra ``pq_codes`` column in
+the SAME run files; because Parquet is columnar, an ADC query reads only
+(key, pq_codes) of the probed row groups — the embedding column's bytes
+never leave storage — and scores with one 256-entry lookup table per
+(query, subspace): score ≈ q·c_list + Σ_m LUT[m, code_m].
+``mode="adc_refine"`` then re-reads ONLY the surviving candidates' row
+groups' embedding column and rescores exactly — the two-stage serving
+shape that makes a 100 TB corpus scannable at ~M/(4·dim) of the IO.
 """
 
 from __future__ import annotations
@@ -54,6 +66,50 @@ from .ann import _finalize_topk, _to_matrix, _train_centroids, _unit
 
 _STATE = "state.json"
 _CENTROIDS = "centroids.npy"
+_PQ = "pq_codebooks.npy"
+_CODES = "pq_codes"
+
+
+def _train_pq(residuals: np.ndarray, pq_m: int, seed: int,
+              iters: int = 8) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks (M, 256, dim/M) on a driver-side
+    residual sample — like ``_train_centroids`` the cost is O(sample)
+    regardless of corpus size, and the trained tensor is a few hundred KB
+    broadcast once. Deterministic seeded init per subspace."""
+    n, dim = residuals.shape
+    if dim % pq_m:
+        raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+    dsub = dim // pq_m
+    k = min(256, n)
+    out = np.empty((pq_m, k, dsub), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    for m in range(pq_m):
+        sub = residuals[:, m * dsub:(m + 1) * dsub]
+        cb = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # ||x - c||^2 argmin == argmin(||c||^2 - 2 x·c)
+            d = (cb * cb).sum(axis=1) - 2.0 * (sub @ cb.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                rows = sub[assign == c]
+                if len(rows):
+                    cb[c] = rows.mean(axis=0)
+        out[m] = cb
+    return out
+
+
+def _pq_encode(unit: np.ndarray, assign: np.ndarray, cent: np.ndarray,
+               codebooks: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes: nearest codebook row per residual subvector."""
+    resid = unit - cent[assign]
+    pq_m, _, dsub = codebooks.shape
+    codes = np.empty((len(unit), pq_m), dtype=np.uint8)
+    for m in range(pq_m):
+        cb = codebooks[m]
+        sub = resid[:, m * dsub:(m + 1) * dsub]
+        d = (cb * cb).sum(axis=1) - 2.0 * (sub @ cb.T)
+        codes[:, m] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
 
 
 def _intents(rows: list[tuple[int, str, int, int]]) -> pa.Table:
@@ -66,10 +122,13 @@ def _intents(rows: list[tuple[int, str, int, int]]) -> pa.Table:
 
 
 def _write_list_run(t: pa.Table, index_dir: str, cent_ref,
-                    emb_col: str, key_col: str) -> pa.Table:
+                    emb_col: str, key_col: str, pq_ref=None) -> pa.Table:
     """Per-task build/append kernel: assign each row to its nearest
     centroid, sort by list id, write ONE run file whose row groups align
-    with list boundaries, return the (list_id, path, rg, rows) intents."""
+    with list boundaries, return the (list_id, path, rg, rows) intents.
+    With ``pq_ref`` (broadcast codebooks) a ``pq_codes`` fixed-size-list
+    uint8 column is written alongside — column pruning at query time is
+    what makes the ADC read cheap."""
     if len(t) == 0:
         return _intents([])
     cent = ray.get(cent_ref)
@@ -78,6 +137,10 @@ def _write_list_run(t: pa.Table, index_dir: str, cent_ref,
     order = np.argsort(assign, kind="stable")
     t = t.select([key_col, emb_col]).take(pa.array(order))
     assign = assign[order]
+    if pq_ref is not None:
+        codes = _pq_encode(unit[order], assign, cent, ray.get(pq_ref))
+        t = t.append_column(_CODES, pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1]))
     bounds = np.flatnonzero(np.r_[True, assign[1:] != assign[:-1], True])
     rel = os.path.join("runs", f"run-{uuid.uuid4().hex[:12]}.parquet")
     final = os.path.join(index_dir, rel)
@@ -142,11 +205,14 @@ def build_ann_index(
     key_col: str = "vec_id",
     sample_size: int = 4096,
     seed: int = 29,
+    pq_m: int | None = None,
 ) -> dict[str, Any]:
     """Train the coarse quantizer on a bounded sample, route the whole
     corpus to inverted lists in one distributed pass, persist. Raises if
     ``index_dir`` already holds an index (the index is derived — rebuild
-    by removing the directory)."""
+    by removing the directory). ``pq_m`` additionally trains per-subspace
+    product-quantization codebooks on the sample residuals and stores
+    M-byte codes per vector for ADC serving (``mode="adc"``)."""
     if os.path.exists(os.path.join(index_dir, _STATE)):
         raise FileExistsError(f"ANN index already exists at {index_dir}")
     os.makedirs(index_dir, exist_ok=True)
@@ -163,17 +229,28 @@ def build_ann_index(
               os.path.join(index_dir, _CENTROIDS))
     import functools
 
+    pq_ref = None
+    if pq_m is not None:
+        s_unit = _unit(sample)
+        s_assign = np.argmax(s_unit @ cent.T, axis=1)
+        books = _train_pq(s_unit - cent[s_assign], pq_m, seed=seed)
+        np.save(os.path.join(index_dir, _PQ + ".tmp.npy"), books)
+        os.rename(os.path.join(index_dir, _PQ + ".tmp.npy"),
+                  os.path.join(index_dir, _PQ))
+        pq_ref = ray.put(books)
+
     cent_ref = ray.put(cent)
     intents = ds.map_batches(
         functools.partial(_write_list_run, index_dir=index_dir,
-                          cent_ref=cent_ref, emb_col=emb_col, key_col=key_col),
+                          cent_ref=cent_ref, emb_col=emb_col, key_col=key_col,
+                          pq_ref=pq_ref),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).take_all()  # small intent rows only
     n_rows = sum(int(i["rows"]) for i in intents)
     state = {"version": 1, "dim": int(cent.shape[1]),
              "n_centroids": int(cent.shape[0]), "emb_col": emb_col,
              "key_col": key_col, "n_rows": n_rows, "seed": seed,
-             "sample_size": sample_size}
+             "sample_size": sample_size, "pq_m": pq_m}
     _commit_intents(index_dir, intents, state)
     return {"n_rows": n_rows, "fragments": len(intents),
             "n_centroids": int(cent.shape[0]), "version": 1}
@@ -186,10 +263,12 @@ def append_ann_index(ds: rd.Dataset, index_dir: str) -> dict[str, Any]:
     import functools
 
     cent_ref = ray.put(cent)
+    pq_ref = (ray.put(np.load(os.path.join(index_dir, _PQ)))
+              if state.get("pq_m") else None)
     intents = ds.map_batches(
         functools.partial(_write_list_run, index_dir=index_dir,
                           cent_ref=cent_ref, emb_col=state["emb_col"],
-                          key_col=state["key_col"]),
+                          key_col=state["key_col"], pq_ref=pq_ref),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).take_all()
     n_new = sum(int(i["rows"]) for i in intents)
@@ -224,11 +303,27 @@ def query_ann_index(
     k: int = 10,
     n_probe: int = 8,
     exclude_self: bool = True,
+    mode: str = "exact",
+    refine_factor: int = 4,
 ) -> rd.Dataset:
     """Cosine top-k over the persisted index: reads ONLY the probed lists'
     fragments (one read task per fragment batch — no full-corpus scan).
     n_probe = n_centroids ⇒ exact (shares the brute-force oracle).
-    Returns (query_id, key_col, score, rank)."""
+    Returns (query_id, key_col, score, rank).
+
+    ``mode``:
+      - ``"exact"``   — read the embedding column of probed fragments,
+        exact cosine within the probe set (the default, pre-PQ behavior).
+      - ``"adc"``     — read ONLY (key, pq_codes) of probed fragments
+        (Parquet column pruning: M bytes/vector instead of 4·dim), score
+        asymmetrically via per-query lookup tables. Scores approximate.
+      - ``"adc_refine"`` — ADC narrows to ``k·refine_factor`` candidates
+        per query, then ONLY those candidates' row groups' embedding
+        column is re-read and rescored exactly. Exact scores; ranks match
+        ``"exact"`` whenever the true top-k survive the ADC narrow.
+    """
+    if mode not in ("exact", "adc", "adc_refine"):
+        raise ValueError(f"unknown mode {mode!r}")
     state, _ = _load_state(index_dir)
     emb_col, key_col = state["emb_col"], state["key_col"]
     q_ids = queries[key_col].to_numpy()
@@ -246,6 +341,9 @@ def query_ann_index(
                           "rank": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
     dead = load_dead(index_dir)
+    if mode != "exact":
+        return _query_adc(index_dir, state, frags, probing, dead, q_ids,
+                          q_unit, key_t, k, exclude_self, mode, refine_factor)
     ref = ray.put({"q_ids": q_ids, "q_unit": q_unit, "probing": probing,
                    "dead": dead})
 
@@ -313,6 +411,172 @@ def query_ann_index(
     return _finalize_topk(cand, key_col, k, len(q_ids))
 
 
+def _frag_slices(frags: pa.Table) -> list[pa.Table]:
+    """Driver-side plan slicing shared by the exact and ADC paths: one
+    block per few fragments, no repartition shuffle."""
+    n_blocks = max(1, min(frags.num_rows, 64))
+    step = -(-frags.num_rows // n_blocks)
+    return [frags.slice(i, step) for i in range(0, frags.num_rows, step)]
+
+
+def _adc_score_block(t: pa.Table, index_dir: str, s: dict, key_col: str,
+                     key_t, k_cand: int, exclude_self: bool,
+                     provenance: bool) -> pa.Table:
+    """ADC kernel over one block of fragment-plan rows (module-level so
+    tests can drive it in-process and assert the pruned read column set).
+    Reads ONLY (key, pq_codes) of each probed row group; score[i] =
+    q·c_list + Σ_m LUT[q][m, codes[i, m]]. With ``provenance`` the output
+    carries (path, rg, row) so a refine stage can re-read exactly the
+    surviving rows' row groups."""
+    out: list[dict] = []
+    files: dict[str, pq.ParquetFile] = {}
+    pq_m = s["luts"].shape[1]
+    m_idx = np.arange(pq_m)[:, None]
+    for row in range(t.num_rows):
+        list_id = int(t["list_id"][row].as_py())
+        q_rows = s["probing"].get(list_id)
+        if q_rows is None or not len(q_rows):
+            continue
+        path = t["path"][row].as_py()
+        pf = files.get(path)
+        if pf is None:
+            pf = files[path] = pq.ParquetFile(os.path.join(index_dir, path))
+        rg = int(t["rg"][row].as_py())
+        frag = pf.read_row_group(rg, columns=[key_col, _CODES])
+        ids = frag[key_col].to_numpy(zero_copy_only=False)
+        rows_in_rg = np.arange(len(ids))
+        if s["dead"]:
+            frag_ver = int(t["ver"][row].as_py())
+            mlv = pd.Series(ids).map(s["dead"]).to_numpy()
+            keep = np.flatnonzero(np.isnan(mlv) | (frag_ver >= mlv))
+            if len(keep) == 0:
+                continue
+            if len(keep) < len(ids):
+                ids, rows_in_rg = ids[keep], rows_in_rg[keep]
+                frag = frag.take(pa.array(keep))
+        codes_arr = frag[_CODES].combine_chunks()
+        codes = codes_arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), pq_m)
+        for j, qi in enumerate(q_rows):
+            qid = s["q_ids"][qi]
+            col = s["bases"][qi, list_id] + s["luts"][qi][m_idx, codes.T].sum(axis=0)
+            if exclude_self:
+                col = np.where(ids == qid, -np.inf, col)
+            kk = min(k_cand, len(col))
+            top = np.argpartition(-col, kk - 1)[:kk] if kk else np.array([], np.int64)
+            top = top[np.isfinite(col[top])]
+            if not len(top):
+                continue
+            d = {"query_id": np.full(len(top), qid), "key": ids[top],
+                 "score": col[top]}
+            if provenance:
+                d["_path"] = np.full(len(top), path, dtype=object)
+                d["_rg"] = np.full(len(top), rg, dtype=np.int64)
+                d["_row"] = rows_in_rg[top].astype(np.int64)
+            out.append(d)
+    if not out:
+        cols = {"query_id": pa.array([], key_t), key_col: pa.array([], key_t),
+                "score": pa.array([], pa.float64())}
+        if provenance:
+            cols.update({"_path": pa.array([], pa.string()),
+                         "_rg": pa.array([], pa.int64()),
+                         "_row": pa.array([], pa.int64())})
+        return pa.table(cols)
+    cols = {"query_id": pa.array(np.concatenate([d["query_id"] for d in out])),
+            key_col: pa.array(np.concatenate([d["key"] for d in out])),
+            "score": pa.array(np.concatenate([d["score"] for d in out]))}
+    if provenance:
+        cols.update({
+            "_path": pa.array(np.concatenate([d["_path"] for d in out]).tolist(),
+                              pa.string()),
+            "_rg": pa.array(np.concatenate([d["_rg"] for d in out])),
+            "_row": pa.array(np.concatenate([d["_row"] for d in out]))})
+    return pa.table(cols)
+
+
+def _refine_block(t: pa.Table, index_dir: str, ref, emb_col: str,
+                  key_col: str, key_t) -> pa.Table:
+    """Exact rescore of ADC survivors: re-read ONLY the candidate rows'
+    row groups, embedding column only, gather the candidate rows, one dot
+    product per (candidate, its query)."""
+    s = ray.get(ref)
+    if t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], key_t),
+                         key_col: pa.array([], key_t),
+                         "score": pa.array([], pa.float64())})
+    qpos = s["qpos"]  # query_id -> row in q_unit
+    df = t.to_pandas()
+    out_q, out_id, out_s = [], [], []
+    files: dict[str, pq.ParquetFile] = {}
+    for (path, rg), grp in df.groupby(["_path", "_rg"], sort=False):
+        pf = files.get(path)
+        if pf is None:
+            pf = files[path] = pq.ParquetFile(os.path.join(index_dir, path))
+        frag = pf.read_row_group(int(rg), columns=[emb_col])
+        unit = _unit(_to_matrix(frag[emb_col]))
+        vecs = unit[grp["_row"].to_numpy()]
+        qis = np.fromiter((qpos[q] for q in grp["query_id"]), dtype=np.int64,
+                          count=len(grp))
+        scores = np.einsum("ij,ij->i", vecs, s["q_unit"][qis])
+        out_q.append(grp["query_id"].to_numpy())
+        out_id.append(grp[key_col].to_numpy())
+        out_s.append(scores)
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        key_col: pa.array(np.concatenate(out_id)),
+        "score": pa.array(np.concatenate(out_s), pa.float64()),
+    })
+
+
+def _query_adc(index_dir: str, state: dict, frags: pa.Table, probing: dict,
+               dead: dict, q_ids: np.ndarray, q_unit: np.ndarray, key_t,
+               k: int, exclude_self: bool, mode: str,
+               refine_factor: int) -> rd.Dataset:
+    """The PQ serving path: ADC narrow over code columns, optional exact
+    refine over only the survivors' row groups."""
+    import functools
+
+    if not state.get("pq_m"):
+        raise ValueError(
+            f"index at {index_dir} was built without pq_m — ADC modes need "
+            "PQ codes (rebuild with build_ann_index(..., pq_m=M))")
+    emb_col, key_col = state["emb_col"], state["key_col"]
+    cent = np.load(os.path.join(index_dir, _CENTROIDS))
+    books = np.load(os.path.join(index_dir, _PQ))
+    pq_m, _, dsub = books.shape
+    # per-query tables: bases[q, c] = q·c (probed entries used);
+    # luts[q, m, j] = q_sub_m · codebook[m, j]
+    bases = q_unit @ cent.T
+    luts = np.einsum("qmd,mkd->qmk",
+                     q_unit.reshape(len(q_unit), pq_m, dsub), books)
+    k_cand = k if mode == "adc" else k * refine_factor
+    payload = {"q_ids": q_ids, "probing": probing, "dead": dead,
+               "bases": bases, "luts": luts}
+    ref = ray.put(payload)
+
+    def adc_stage(t: pa.Table) -> pa.Table:
+        return _adc_score_block(t, index_dir, ray.get(ref), key_col, key_t,
+                                k_cand, exclude_self,
+                                provenance=(mode == "adc_refine"))
+
+    cand = rd.from_arrow(_frag_slices(frags)).map_batches(
+        adc_stage, batch_format="pyarrow", zero_copy_batch=True)
+    if mode == "adc":
+        return _finalize_topk(cand, key_col, k, len(q_ids))
+    # global ADC narrow to k·refine_factor per query (provenance survives
+    # _finalize_topk's head-per-query), then exact rescore + final top-k
+    narrowed = _finalize_topk(cand, key_col, k_cand, len(q_ids))
+    narrowed = narrowed.map_batches(
+        lambda t: t.drop_columns(["rank"]), batch_format="pyarrow")
+    rref = ray.put({"q_unit": q_unit,
+                    "qpos": {q: i for i, q in enumerate(q_ids)}})
+    refined = narrowed.map_batches(
+        functools.partial(_refine_block, index_dir=index_dir, ref=rref,
+                          emb_col=emb_col, key_col=key_col, key_t=key_t),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _finalize_topk(refined, key_col, k, len(q_ids))
+
+
 # --------------------------------------------------------------------------
 # lake sync: keep the index current off the CDC changes feed
 # --------------------------------------------------------------------------
@@ -340,6 +604,7 @@ def sync_ann_index(
     n_centroids: int = 64,
     sample_size: int = 4096,
     seed: int = 29,
+    pq_m: int | None = None,
 ) -> dict[str, Any]:
     """Keep a persisted IVF index current against a CDC lake (`eng` is a
     ``cdc.engine.CDCEngine``) using its incremental ``changes()`` feed —
@@ -381,7 +646,7 @@ def sync_ann_index(
             batch_format="pyarrow", zero_copy_batch=True)
         out = build_ann_index(live, index_dir, n_centroids=n_centroids,
                               emb_col=emb_col, key_col=key_col,
-                              sample_size=sample_size, seed=seed)
+                              sample_size=sample_size, seed=seed, pq_m=pq_m)
         st, _ = _load_state(index_dir)
         st["lake_version"] = int(eng.manifest.version)
         _commit_intents(index_dir, [], st)
@@ -480,7 +745,8 @@ def maybe_rebuild(eng, index_dir: str, max_fragments: int = 4096,
                              key_col=state["key_col"],
                              n_centroids=state["n_centroids"],
                              sample_size=state.get("sample_size", 4096),
-                             seed=state.get("seed", 29))
+                             seed=state.get("seed", 29),
+                             pq_m=state.get("pq_m"))
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

@@ -119,6 +119,43 @@ def test_sync_ann_index_build_update_delete_rebuild(tmp_path):
         assert _neighbors(got4, qid) == _neighbors(got3, qid)
 
 
+def test_sync_ann_index_pq_dead_mask(tmp_path):
+    """PQ-coded index off the CDC feed: the supersede mask applies in the
+    ADC path too — a re-embedded key's stale codes and a deleted key never
+    surface from an adc_refine query."""
+    wal_dir = str(tmp_path / "wal")
+    idx = str(tmp_path / "annidx")
+    policy = SchemaPolicy(
+        target=DEFAULT_TARGET.append(pa.field("embedding", pa.list_(pa.float64()))))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, policy=policy)
+    _wal_epoch(wal_dir, 0, [(f"d{i:03d}", "U", _vec(i)) for i in range(60)])
+    eng.apply_wal(wal_dir)
+    r = annidx.sync_ann_index(eng, idx, emb_col="embedding", key_col="doc_id",
+                              n_centroids=8, pq_m=4)
+    assert r["mode"] == "build"
+    assert annidx._load_state(idx)[0]["pq_m"] == 4
+
+    queries = pd.DataFrame({"doc_id": ["q5", "q7"],
+                            "embedding": [_vec(5), _vec(7)]})
+    got = annidx.query_ann_index(idx, queries, k=3, n_probe=8,
+                                 mode="adc_refine")
+    assert _neighbors(got, "q5")[0] == "d005"
+
+    _wal_epoch(wal_dir, 1, [
+        ("d005", "U", _vec(5, flip=True)),
+        ("d060", "U", _vec(5) + 0.01),
+        ("d007", "D", None),
+    ])
+    eng.apply_wal(wal_dir)
+    r2 = annidx.sync_ann_index(eng, idx)  # pq_m persists via state
+    assert r2["mode"] == "incremental"
+    got2 = annidx.query_ann_index(idx, queries, k=3, n_probe=8,
+                                  mode="adc_refine")
+    n5 = _neighbors(got2, "q5")
+    assert n5[0] == "d060" and "d005" not in n5
+    assert "d007" not in _neighbors(got2, "q7")
+
+
 def test_sync_interrupted_between_append_and_supersede_heals(tmp_path):
     """Crash window: append committed, supersede entries + lake_version not
     yet written. The re-run reprocesses the same change set; its higher

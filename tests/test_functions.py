@@ -227,6 +227,109 @@ def test_persisted_ann_index_build_query_append(tmp_path):
         assert e == a
 
 
+def test_persisted_ann_index_pq_adc(tmp_path, monkeypatch):
+    """IVF-PQ serving path: codes persist in the run files, the ADC kernel
+    reads ONLY (key, pq_codes) — never the embedding column — and
+    adc_refine's exact rescore reproduces the exact-mode neighbor sets and
+    scores."""
+    from go_tfdata_ray.functions import annidx
+
+    df = synth_embeddings(n=400, dim=16)
+    ds = rd.from_pandas(df)
+    idx = str(tmp_path / "annidx_pq")
+    res = annidx.build_ann_index(ds, idx, n_centroids=16, pq_m=4)
+    assert res["n_rows"] == 400
+
+    # codes landed in the run files as M-byte fixed-size lists
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    run = _glob.glob(f"{idx}/runs/*.parquet")[0]
+    sch = _pq.read_schema(run)
+    assert "pq_codes" in sch.names
+    assert sch.field("pq_codes").type == pa.list_(pa.uint8(), 4)
+
+    queries = df.head(3)
+    exact = annidx.query_ann_index(idx, queries, k=5, n_probe=16).to_pandas()
+
+    # ---- in-process kernel run: assert the pruned read column set ----
+    frags, probing = annidx.plan_probe(idx, queries, n_probe=16)
+    state, cent = annidx._load_state(idx)
+    books = np.load(f"{idx}/pq_codebooks.npy")
+    q_unit = annidx._unit(np.stack(queries["embedding"].to_numpy()).astype(np.float64))
+    pq_m, _, dsub = books.shape
+    payload = {
+        "q_ids": queries["vec_id"].to_numpy(), "probing": probing, "dead": {},
+        "bases": q_unit @ cent.T,
+        "luts": np.einsum("qmd,mkd->qmk", q_unit.reshape(len(q_unit), pq_m, dsub), books),
+    }
+    seen_cols = []
+    real_pf = annidx.pq.ParquetFile
+
+    class SpyPF(real_pf):
+        def read_row_group(self, i, columns=None, **kw):
+            seen_cols.append(tuple(columns) if columns else None)
+            return super().read_row_group(i, columns=columns, **kw)
+
+    monkeypatch.setattr(annidx.pq, "ParquetFile", SpyPF)
+    cand = annidx._adc_score_block(frags, idx, payload, "vec_id", pa.int64(),
+                                   k_cand=5, exclude_self=True, provenance=False)
+    monkeypatch.undo()
+    assert seen_cols and all(c == ("vec_id", "pq_codes") for c in seen_cols)
+    assert cand.num_rows > 0
+
+    # ---- distributed ADC: high recall at full probe, planted dup on top
+    adc = annidx.query_ann_index(idx, queries, k=5, n_probe=16,
+                                 mode="adc").to_pandas()
+    hits = 0
+    for qid in queries["vec_id"]:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(adc[adc["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 12  # recall@5 >= 0.8 over 3 queries
+    top0 = adc[adc["query_id"] == 0].sort_values("rank").iloc[0]
+    assert top0["vec_id"] == 10  # the planted near-dup survives quantization
+
+    # ---- adc_refine: exact neighbor sets AND exact scores
+    ref = annidx.query_ann_index(idx, queries, k=5, n_probe=16,
+                                 mode="adc_refine", refine_factor=4).to_pandas()
+    for qid in queries["vec_id"]:
+        e = exact[exact["query_id"] == qid].sort_values("rank")
+        r = ref[ref["query_id"] == qid].sort_values("rank")
+        assert set(e["vec_id"]) == set(r["vec_id"])
+        es = e.set_index("vec_id")["score"]
+        rs = r.set_index("vec_id")["score"]
+        assert np.allclose(es.sort_index(), rs.sort_index(), atol=1e-9)
+
+    # ---- append keeps encoding new rows; refine stays exact over growth
+    extra = synth_embeddings(n=500, dim=16, seed=7).tail(80).copy()
+    extra["vec_id"] = extra["vec_id"] + 10_000
+    annidx.append_ann_index(rd.from_pandas(extra), idx)
+    grown_exact = annidx.query_ann_index(idx, queries, k=5, n_probe=16).to_pandas()
+    grown_ref = annidx.query_ann_index(idx, queries, k=5, n_probe=16,
+                                       mode="adc_refine", refine_factor=4).to_pandas()
+    # appended rows are coded with the ORIGINAL codebooks (no retrain —
+    # the documented append contract), so a #5 near-tie may miss the ADC
+    # narrow: assert high recall, exact scores on the overlap, and that
+    # the planted near-dup still tops query 0
+    for qid in queries["vec_id"]:
+        e = grown_exact[grown_exact["query_id"] == qid]
+        r = grown_ref[grown_ref["query_id"] == qid]
+        both = set(e["vec_id"]) & set(r["vec_id"])
+        assert len(both) >= 4
+        es = e.set_index("vec_id")["score"]
+        rs = r.set_index("vec_id")["score"]
+        assert np.allclose(es[sorted(both)], rs[sorted(both)], atol=1e-9)
+    gtop0 = grown_ref[grown_ref["query_id"] == 0].sort_values("rank").iloc[0]
+    assert gtop0["vec_id"] == 10
+
+    # ---- ADC modes demand PQ codes
+    plain = str(tmp_path / "annidx_plain")
+    annidx.build_ann_index(ds, plain, n_centroids=8)
+    with pytest.raises(ValueError, match="pq_m"):
+        annidx.query_ann_index(plain, queries, k=5, n_probe=8, mode="adc")
+
+
 def test_doc_stats_and_token_count():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b,  c! d", "xyz"]})
     ds = rd.from_pandas(df)
