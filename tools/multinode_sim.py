@@ -15,7 +15,11 @@ exchange-heavy pipelines across it:
 - the crawl front door (``ingest.stage_drop``: WARC read + shard-write
   tasks scheduled across the raylets into one sealed epoch, then tail),
 - follower replication (``cdc/replicate.py``: a full resync — snapshot
-  upserts + anti-join tombstones — into a follower lake, digest-checked).
+  upserts + anti-join tombstones — into a follower lake, digest-checked),
+- the exchange block-count crossover (>4096 input blocks through
+  ``exchange_group_map`` at the REAL default ``max_exchange_blocks``,
+  exact-sum oracle — the unit test only forces the path with a tiny
+  threshold).
 
 Each query's result is checked against the same DuckDB oracle the driver
 uses, so "ran across nodes" also means "still correct across nodes" —
@@ -189,6 +193,38 @@ out["ingest"] = {{"docs": int(r["rows"]), "shards": int(r["shards"]),
                   "lake_rows": int(n_live), "sec": round(iwall, 3),
                   "match": bool(n_live == 5000 and r["rows"] == 5000)}}
 shutil.rmtree(root, ignore_errors=True)
+
+# exchange block-count crossover across the cluster: >4096 input blocks
+# pushes exchange_group_map past its REAL default max_exchange_blocks, so
+# the coalescing repartition + exchange run at the production threshold
+# with route/finalize tasks on every raylet (the unit test only forces the
+# path with max_exchange_blocks=2); exact per-key sums as the oracle
+import numpy as np
+from go_tfdata_ray.stages.exchange import exchange_group_map
+
+rng = np.random.default_rng(7)
+want_tot = np.zeros(64, dtype=np.int64)
+xrefs = []
+for _b in range(4500):
+    k = rng.integers(0, 64, 40).astype(np.int64)
+    v = rng.integers(0, 100, 40).astype(np.int64)
+    np.add.at(want_tot, k, v)
+    xrefs.append(ray.put(pa.table({{"k": k, "v": v, "_shard": k % 16}})))
+
+def _xagg(t):
+    return t.group_by("k").aggregate([("v", "sum")]).rename_columns(["k", "v"])
+
+t0 = time.perf_counter()
+xout = exchange_group_map(rd.from_arrow_refs(xrefs), _xagg, num_shards=16,
+                          batch_format="pyarrow").to_pandas()
+xwall = time.perf_counter() - t0
+got_tot = np.zeros(64, dtype=np.int64)
+got_tot[xout["k"].to_numpy()] = xout["v"].to_numpy()
+out["exchange_crossover"] = {{"blocks": 4500, "sec": round(xwall, 3),
+                              "rows": int(len(xout)),
+                              "match": bool((got_tot == want_tot).all())}}
+del xrefs
+
 ray.shutdown()
 print("MULTINODE_RESULT " + json.dumps(out))
 """
