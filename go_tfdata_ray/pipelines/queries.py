@@ -310,12 +310,15 @@ def q_rollup_pricing(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(n=np.int64(1),
-                         qty=df["l_quantity"].round().astype("int64"))[
-            ["l_returnflag", "l_linestatus", "n", "qty"]]
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        })
 
-    out = rel.rollup(ds.map_batches(prep, batch_format="pandas"),
+    out = rel.rollup(ds.map_batches(prep, batch_format="pyarrow"),
                      ["l_returnflag", "l_linestatus"], ["n", "qty"])
     return out.map_batches(
         lambda t: _i64(t.rename_columns(
@@ -611,13 +614,14 @@ def q_join_outer(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
 
-    def big_counts(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["o_totalprice"] > 400000.0]
-        g = df.groupby("o_custkey", sort=False, as_index=False).size()
-        return g.rename(columns={"o_custkey": "c_custkey", "size": "n_big"})
+    def big_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], 400000.0))
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["c_custkey", "n_big"])
 
     big = rel.combine_partials(
-        orders.map_batches(big_counts, batch_format="pandas"), ["c_custkey"], ["n_big"]
+        orders.map_batches(big_counts, batch_format="pyarrow"),
+        ["c_custkey"], ["n_big"]
     )
     joined = joins.bucket_hash_join(cust, big, on="c_custkey", how="outer")
 
