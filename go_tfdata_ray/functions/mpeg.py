@@ -20,11 +20,11 @@ and slice/macroblock structure — not JPEG in a box.
   user-data codes, MB address escapes) and pixel-decodes I and P
   pictures — differential motion vectors with f-scaled residuals and
   wraparound, half-pel interpolation, skipped-MB reference copy,
-  intra-in-P. Extraction decodes only each wanted picture's reference
-  chain (back to its nearest I). B pictures are counted and skipped
-  structurally but raise ``NotImplementedError`` if their pixels are
-  requested — bidirectional prediction is the remaining documented
-  seam (sample I/P pictures instead).
+  intra-in-P, and B pictures (bidirectional / interpolated prediction
+  from both anchors, display-order reassembly). Extraction decodes
+  only each wanted picture's reference chain (back to its nearest I).
+  D pictures (the deprecated DC-only type) remain the one documented
+  ``NotImplementedError`` seam.
 - ``count_mpeg_frames``: O(bytes) picture-start-code scan — exact,
   because the VLC design forbids start-code emulation (23 consecutive
   zero bits cannot occur inside valid entropy data).
@@ -1455,7 +1455,8 @@ def _decode_stream(es: bytes, want_display: set[int] | None):
 
 def decode_mpeg1(buf: bytes) -> np.ndarray:
     """MPEG-1 video ES (or PS) -> (N,H,W,3) uint8 RGB of every picture
-    (I and P; B pictures raise — the documented seam)."""
+    (I, P and B; deprecated DC-only D pictures raise — the documented
+    seam)."""
     out, n = _decode_stream(_as_es(buf), None)
     if not out:
         raise ValueError("no pictures in MPEG-1 stream")
