@@ -58,6 +58,8 @@ def curate_corpus(
     eod_token: int = 50256,
     html: bool = False,
     dedup_broadcast_max: int = 1_000_000,
+    eval_filter: dict | None = None,
+    eval_min_hits: int = 1,
 ) -> tuple[rd.Dataset, dict]:
     """→ (packed training sequences, stats). ``ppl_cutoff=None`` derives
     the cutoff as the ``ppl_quantile`` of the scored corpus (one extra
@@ -65,7 +67,11 @@ def curate_corpus(
     ``html=True`` prepends HTML→text extraction (crawl payloads).
     ``dedup_broadcast_max`` is the loser-count threshold where the dedup
     anti join switches from an exact broadcast set to the distributed
-    Bloom + rescue path (`stages/joins.py:anti_join_keys`)."""
+    Bloom + rescue path (`stages/joins.py:anti_join_keys`).
+    ``eval_filter`` (from ``functions/decontaminate.py:build_eval_filter``)
+    inserts benchmark decontamination after the dedup stage — one extra
+    broadcast-filter map pass inside the same lazy plan, still no
+    shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -115,6 +121,15 @@ def curate_corpus(
     unique = anti_join_keys(clean, losers, on=key_col,
                             max_broadcast=dedup_broadcast_max)
     n_unique = n_clean - n_losers
+
+    if eval_filter is not None:
+        # stays inside the one lazy plan: a broadcast-filter map pass, no
+        # shuffle, no mid-plan count (counting here would re-execute the
+        # whole upstream once extra)
+        from ..functions.decontaminate import decontaminate
+
+        unique = decontaminate(unique, eval_filter, text_col=text_col,
+                               min_hits=eval_min_hits)
 
     toks = tokenize(unique, text_col=text_col, key_col=key_col)
     chunked = chunk_documents(toks, context_len=context_len,

@@ -1328,31 +1328,36 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
-def q_ann_lsh(sf_dir: str):
-    """Multi-probe LSH ANN with a PLANTED closed-form answer: exact copies
-    of every 50th vector (vec_id + 1_000_000) join the corpus, and the
-    originals become the probe queries. An identical vector lands in the
-    query's own bucket with cosine 1.0 (natural max pairwise cosine in the
-    fixture is ~0.6), so each query's top-1 is provably its planted copy —
-    the bucketing/probing/ranking machinery is hash-checked while approx
-    recall on non-identical neighbors stays pytest-covered."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (``functions/decontaminate.py``): docs
+    with ``doc_id % 97 == 0`` play the held-out benchmark; their word
+    3-gram hashes compress into ONE broadcast filter (exact sorted-array
+    mode here; the Bloom mode is pytest-covered for parity), and the
+    remaining corpus streams through a single flag pass — per-batch
+    vectorized rolling n-gram hashing, no shuffle, nothing
+    train-proportional on the driver. Returns (doc_id, n_hits) for every
+    contaminated train doc, n_hits = count of DISTINCT overlapping
+    3-grams — SQL-reproducible closed-form."""
+    from ..functions import decontaminate as decon
 
-    def plant(t: pa.Table) -> pa.Table:
-        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        copies = t.filter(pa.array(v % 50 == 0))
-        copies = copies.set_column(
-            copies.column_names.index("vec_id"), "vec_id",
-            pc.add(copies["vec_id"], pa.scalar(1_000_000)),
-        )
-        return pa.concat_tables([t, copies])
+    N = 3
 
-    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
-    queries = pd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    queries = queries[queries["vec_id"] % 50 == 0]
-    out = ann.lsh_topk(planted, queries, k=1)
+    def split(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if keep_eval else ~m))
+        return f
+
+    ev = _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        split(True), batch_format="pyarrow", zero_copy_batch=True)
+    train = _read_docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        split(False), batch_format="pyarrow", zero_copy_batch=True)
+    filt = decon.build_eval_filter(ev, n=N)
+    out = decon.flag_contamination(train, filt)
     return out.map_batches(
-        lambda t: _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id"),
+        lambda t: _i64(
+            t.filter(t["contaminated"]).select(["doc_id", "n_hits"]),
+            "doc_id", "n_hits"),
         batch_format="pyarrow",
     )
 
@@ -1414,14 +1419,18 @@ def q_ngram_dedup(sf_dir: str):
 
 
 def q_ann_ivf_full(sf_dir: str):
-    """IVF at FULL probe (n_probe = n_centroids), kind-tagged composite:
-    'scan' = in-scan IVF (``ann.ivf_topk`` — routing during a corpus
-    scan); 'persisted' = the persisted inverted-list index
-    (``functions/annidx.py``) built into a scratch dir, then queried by
-    reading only probed fragments. Full probe makes BOTH provably exact,
-    so they share one brute-force DuckDB oracle emitted under both tags.
-    Partial-probe approximation + the fragments-read bound stay covered
-    by pytest."""
+    """ANN kind-tagged composite: 'scan' = in-scan IVF at FULL probe
+    (``ann.ivf_topk`` — routing during a corpus scan); 'persisted' = the
+    persisted inverted-list index (``functions/annidx.py``) built into a
+    scratch dir, then queried by reading only probed fragments; 'lsh' =
+    multi-probe hyperplane LSH (``ann.lsh_topk``) over a PLANTED corpus
+    (exact copies of every 50th vector at vec_id + 1_000_000 — an
+    identical vector lands in its query's own bucket with cosine 1.0, so
+    each planted query's top-1 is provably its copy). Full probe makes
+    the first two provably exact (one brute-force DuckDB oracle under
+    both tags); the lsh leg's oracle is the closed-form planted answer.
+    Partial-probe approximation, LSH recall curves and the
+    fragments-read bound stay covered by pytest."""
     import shutil
     import tempfile
 
@@ -1451,7 +1460,24 @@ def q_ann_ivf_full(sf_dir: str):
                      "persisted")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-    return pa.concat_tables([scan, pers])
+
+    # 'lsh' leg: planted exact copies, top-1 per planted query
+    def plant(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        copies = t.filter(pa.array(v % 50 == 0))
+        copies = copies.set_column(
+            copies.column_names.index("vec_id"), "vec_id",
+            pc.add(copies["vec_id"], pa.scalar(1_000_000)),
+        )
+        return pa.concat_tables([t, copies])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    lsh_q = pd.read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["vec_id", "embedding"])
+    lsh_q = lsh_q[lsh_q["vec_id"] % 50 == 0]
+    lsh = keyed(ann.lsh_topk(planted, lsh_q, k=1), "lsh")
+    return pa.concat_tables([scan, pers, lsh])
 
 
 def q_media_decode(sf_dir: str):
@@ -1667,7 +1693,7 @@ QUERIES = {
     # ANN
     "ann_topk": q_ann_topk,
     "ann_ivf_full": q_ann_ivf_full,
-    "ann_lsh": q_ann_lsh,
+    "decontaminate": q_decontaminate,
     # sketches
     "approx_ndv": q_approx_ndv,
     # multimodal
@@ -2027,13 +2053,26 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY "
         "list_cosine_similarity(qe, e.embedding) DESC, e.vec_id) <= 10) "
         "SELECT 'scan' AS kind, query_id, vec_id FROM top "
-        "UNION ALL SELECT 'persisted' AS kind, query_id, vec_id FROM top"
-    ),
-    "ann_lsh": (
-        # planted exact copies: each probe query's top-1 is provably its copy
-        "SELECT CAST(vec_id AS BIGINT) AS query_id, "
+        "UNION ALL SELECT 'persisted' AS kind, query_id, vec_id FROM top "
+        # lsh leg: planted exact copies — each probe query's top-1 is
+        # provably its copy
+        "UNION ALL SELECT 'lsh' AS kind, CAST(vec_id AS BIGINT) AS query_id, "
         "CAST(vec_id + 1000000 AS BIGINT) AS vec_id "
         "FROM embeddings WHERE vec_id % 50 = 0"
+    ),
+    "decontaminate": (
+        # word 3-grams; eval = doc_id % 97 == 0; n_hits = count of DISTINCT
+        # overlapping grams per train doc (only contaminated docs returned)
+        "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        "'[a-z0-9]+') AS ws FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram "
+        "FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i) "
+        "WHERE len(ws) >= 3), "
+        "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(count(DISTINCT gram) AS BIGINT) AS n_hits "
+        "FROM g WHERE doc_id % 97 <> 0 "
+        "AND gram IN (SELECT gram FROM ev) GROUP BY doc_id"
     ),
     "media_decode": (
         # deterministic synth media table at sf0.01: n=100, w = h = 64+(i%4)*32
