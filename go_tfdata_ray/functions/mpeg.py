@@ -20,11 +20,11 @@ and slice/macroblock structure — not JPEG in a box.
   user-data codes, MB address escapes) and pixel-decodes I and P
   pictures — differential motion vectors with f-scaled residuals and
   wraparound, half-pel interpolation, skipped-MB reference copy,
-  intra-in-P, and B pictures (bidirectional / interpolated prediction
-  from both anchors, display-order reassembly). Extraction decodes
-  only each wanted picture's reference chain (back to its nearest I).
-  D pictures (the deprecated DC-only type) remain the one documented
-  ``NotImplementedError`` seam.
+  intra-in-P, B pictures (bidirectional / interpolated prediction
+  from both anchors, display-order reassembly) and the deprecated
+  DC-only D pictures — all four coding types the spec defines.
+  Extraction decodes only each wanted picture's reference chain
+  (back to its nearest I).
 - ``count_mpeg_frames``: O(bytes) picture-start-code scan — exact,
   because the VLC design forbids start-code emulation (23 consecutive
   zero bits cannot occur inside valid entropy data).
@@ -389,6 +389,34 @@ def _encode_I_picture(bw: _BW, planes, mb_w: int, mb_h: int, qscale: int,
     return y, cb, cr
 
 
+def _encode_D_picture(bw: _BW, planes, mb_w: int, mb_h: int) -> None:
+    """Write the slices of one DC-only picture (picture_coding_type 4,
+    the deprecated fast-scan type, §2.4.3): macroblock_type is the single
+    code '1' (Table B.2d), each block carries ONLY dct_dc_size +
+    differential (no AC, no EOB), and every macroblock closes with the
+    end_of_macroblock '1' bit. D pictures are never references."""
+    zz_planes = [_plane_blocks(p) for p in planes]
+    for row in range(mb_h):
+        bw.start_code(row + 1)  # slice_vertical_position
+        bw.write(8, 5)  # quantizer_scale: syntax-required; DC step is fixed
+        bw.write(0, 1)  # extra_bit_slice
+        pred = [128, 128, 128]
+        for col in range(mb_w):
+            bw.write_code(_MBA[1])  # address increment 1
+            bw.write_code("1")      # macroblock_type (Table B.2d): intra
+            for b in range(6):
+                if b < 4:
+                    zz = zz_planes[0][row * 2 + b // 2, col * 2 + b % 2]
+                    comp, table = 0, _DC_LUM
+                else:
+                    zz = zz_planes[b - 3][row, col]
+                    comp, table = b - 3, _DC_CHROM
+                dc = int(np.round(zz[0] / 8.0))  # fixed intra DC step of 8
+                _enc_dc(bw, dc - pred[comp], table)
+                pred[comp] = dc
+            bw.write_code("1")  # end_of_macroblock
+
+
 def _trunc_half(h: int) -> int:
     """Chrominance vector = half the luminance vector, integer division
     toward zero (§2.4.4.2) — mirrored by the decoders."""
@@ -699,6 +727,9 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     other display frame with one bidirectional picture between, coded
     order anchors-first with per-GOP temporal_reference reordering
     (what a decoder must undo to emit display order).
+    ``mode="d"``: the deprecated DC-only fast-scan type — every picture
+    is a D picture (each 8×8 block reduced to its DC coefficient; the
+    spec forbids mixing D with other types in one sequence).
     ``half_pel`` switches P/B motion to the half-pel lattice
     (full_pel_*_vector = 0 in the picture headers, ±2 half-pel search,
     interpolated ``_mc_pred`` predictions — the fractional-MC path real
@@ -706,8 +737,8 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
     ``force_escape`` routes every AC coefficient through the escape
     coding (a legal stream; used to cross-check the VLC tables).
     ``gop_size`` > 0 starts a new GOP header every that many pictures."""
-    if mode not in ("intra", "ip", "ibp"):
-        raise ValueError("mode must be 'intra', 'ip' or 'ibp'")
+    if mode not in ("intra", "ip", "ibp", "d"):
+        raise ValueError("mode must be 'intra', 'ip', 'ibp' or 'd'")
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[np.newaxis]
@@ -776,6 +807,19 @@ def encode_mpeg1(frames, fps: float = 25.0, qscale: int = 8,
                         prev, cur, mb_w, mb_h, qscale, force_escape,
                         half_pel)
                 prev = cur
+        bw.align()
+        bw.buf += struct.pack(">I", 0x000001B7)  # sequence_end
+        return bytes(bw.buf)
+
+    if mode == "d":
+        # D-only stream (the spec forbids mixing D with other types in a
+        # sequence): one DC-only picture per frame, no references
+        for idx in range(n):
+            if idx == 0 or (gop_size and idx % gop_size == 0):
+                gop_header()
+            picture_header(idx % (gop_size or 1024), 4)
+            _encode_D_picture(bw, _frame_planes(frames[idx], mb_w, mb_h),
+                              mb_w, mb_h)
         bw.align()
         bw.buf += struct.pack(">I", 0x000001B7)  # sequence_end
         return bytes(bw.buf)
@@ -1137,6 +1181,67 @@ def _decode_I(slices, seq: _SeqState):
 _MB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))  # Y block offsets within a MB
 
 
+def _decode_D(slices, seq: _SeqState):
+    """DC-only picture (picture_coding_type 4, §2.4.3): macroblock_type
+    is the single '1' code, each block is dct_dc_size + differential
+    with NO AC coefficients and NO EOB, and every macroblock closes with
+    the end_of_macroblock '1' bit. The slice quantizer_scale is parsed
+    (syntax) but unused — the intra DC step is fixed at 8."""
+    mb_w, mb_h = -(-seq.w // 16), -(-seq.h // 16)
+    n_mb = mb_w * mb_h
+    zz_all = np.zeros((n_mb * 6, 64), dtype=np.int64)
+    q_all = np.full(n_mb * 6, 8, dtype=np.int64)
+    seen = np.zeros(n_mb, dtype=bool)
+    for code, payload in slices:
+        br = _BitReader(payload)
+        br.read(5)  # quantizer_scale: no AC to scale
+        while br.read(1):  # extra_information_slice
+            br.read(8)
+        addr = (code - 1) * mb_w - 1
+        pred = [128, 128, 128]
+        while not _slice_exhausted(br):
+            total = _read_mba(br)
+            addr += total
+            if total > 1:
+                pred = [128, 128, 128]  # skipped MBs reset DC prediction
+            if addr >= n_mb:
+                raise ValueError("macroblock address past picture end")
+            if br.read(1) != 1:
+                raise ValueError("macroblock_type in a D picture is '1'")
+            for b in range(6):
+                comp = 0 if b < 4 else b - 3
+                table = _DC_LUM_DEC if b < 4 else _DC_CHROM_DEC
+                size = _read_vlc(br, table)
+                if size:
+                    raw = br.read(size)
+                    diff = (raw if raw >= (1 << (size - 1))
+                            else raw - (1 << size) + 1)
+                else:
+                    diff = 0
+                pred[comp] += diff
+                zz_all[addr * 6 + b, 0] = pred[comp]
+            seen[addr] = True
+            if br.read(1) != 1:
+                raise ValueError("end_of_macroblock must be '1'")
+    if not seen.all():
+        # legal but unexpected for our encoder: uncoded MBs stay mid-gray
+        for m in np.flatnonzero(~seen):
+            zz_all[m * 6:(m + 1) * 6, 0] = 128
+    px = _dequant_idct(zz_all, q_all, seq.intra_q)
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    for m in range(n_mb):
+        r, c = divmod(m, mb_w)
+        blk = px[m * 6:(m + 1) * 6]
+        for b, (oy, ox) in enumerate(_MB_OFF):
+            y[r * 16 + oy:r * 16 + oy + 8,
+              c * 16 + ox:c * 16 + ox + 8] = blk[b]
+        cb[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[4]
+        cr[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = blk[5]
+    return y, cb, cr
+
+
 def _decode_P(hdr_payload: bytes, slices, seq: _SeqState, prev):
     """Forward-predicted picture: differential motion vectors, skipped-MB
     copy, non-intra residual blocks per coded_block_pattern, intra MBs
@@ -1409,6 +1514,8 @@ def _decode_stream(es: bytes, want_display: set[int] | None):
         if p[0] in (1, 2):
             dep.append([last_anchor] if p[0] == 2 else [])
             prev_anchor, last_anchor = last_anchor, i
+        elif p[0] == 4:
+            dep.append([])  # D pictures are standalone, never references
         else:
             dep.append([prev_anchor, last_anchor])
     needed = None
@@ -1447,16 +1554,17 @@ def _decode_stream(es: bytes, want_display: set[int] | None):
         elif ptype == 3:
             if not skip:
                 emit(i, _decode_B(hdr, slices, seq, fwd_p, last_p))
+        elif ptype == 4:
+            if not skip:
+                emit(i, _decode_D(slices, seq))
         elif not skip:
-            raise NotImplementedError(
-                f"picture_coding_type {ptype} (D pictures) — seam")
+            raise ValueError(f"reserved picture_coding_type {ptype}")
     return out, len(pics)
 
 
 def decode_mpeg1(buf: bytes) -> np.ndarray:
     """MPEG-1 video ES (or PS) -> (N,H,W,3) uint8 RGB of every picture
-    (I, P and B; deprecated DC-only D pictures raise — the documented
-    seam)."""
+    (all four coding types: I, P, B and the deprecated DC-only D)."""
     out, n = _decode_stream(_as_es(buf), None)
     if not out:
         raise ValueError("no pictures in MPEG-1 stream")

@@ -119,15 +119,18 @@ def test_extract_is_seek_shaped():
         mpeg.extract_mpeg_frames(es, [9])
 
 
-def test_d_picture_counts_but_raises_on_pixel_decode():
+def test_d_picture_spliced_without_slices_decodes_mid_gray():
     es = mpeg.encode_mpeg1(_clips(2, 16, 16))
     # splice a D-picture header (tref=2, type=100) before the sequence end
     d_hdr = b"\x00\x00\x01\x00" + bytes([0x00, 0xA0, 0xFF, 0xF8, 0x00])
     es_d = es[:-4] + d_hdr + b"\x00\x00\x01\xb7"
     assert mpeg.count_mpeg_frames(es_d) == 3
     assert len(mpeg.extract_mpeg_frames(es_d, [0, 1])) == 2  # I pictures fine
-    with pytest.raises(NotImplementedError):
-        mpeg.extract_mpeg_frames(es_d, [2])
+    # a D picture with no coded macroblocks paints the uncoded-MB
+    # mid-gray fallback (it used to raise — the seam is closed)
+    got = mpeg.extract_mpeg_frames(es_d, [2])[0]
+    assert got.shape == (16, 16, 3)
+    assert np.abs(got.astype(int) - 128).max() <= 2
 
 
 def test_b_picture_without_both_anchors_raises():
@@ -449,3 +452,46 @@ def test_decoder_survives_corruption():
         seq = mpeg._SeqState()
         seq.w = seq.h = 16
         mpeg._decode_I([(1, es[slice_off + 4:slice_off + 7])], seq)
+
+
+# -- D pictures (DC-only fast-scan type) -------------------------------------
+
+def test_d_pictures_roundtrip_mb_flat_exact():
+    # frames flat per 16x16 macroblock: every DCT is DC-only, so the
+    # D-picture reduction is lossless up to color-conversion rounding
+    rng = np.random.default_rng(11)
+    vals = rng.integers(16, 240, (3, 2, 3, 3), dtype=np.uint8)
+    frames = np.repeat(np.repeat(vals, 16, axis=1), 16, axis=2)
+    es = mpeg.encode_mpeg1(frames, mode="d")
+    assert mpeg.count_mpeg_frames(es) == 3
+    dec = mpeg.decode_mpeg1(es)
+    assert dec.shape == frames.shape
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 4
+
+
+def test_d_pictures_are_blockwise_dc_of_content():
+    # on real content, a decoded D picture's luma must match the 8x8
+    # block means of the intra decode (DC quant step 8 => within 4, plus
+    # RGB<->YCbCr rounding)
+    frames = _clips(2, 48, 32)
+    d = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, mode="d"))
+    i = mpeg.decode_mpeg1(mpeg.encode_mpeg1(frames, mode="intra", qscale=1))
+
+    def luma(x):
+        f = x.astype(np.float64)
+        return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+    yi = luma(i).reshape(2, 4, 8, 6, 8).mean(axis=(2, 4))
+    yd = luma(d).reshape(2, 4, 8, 6, 8).mean(axis=(2, 4))
+    assert np.abs(yi - yd).max() < 6.0
+
+
+def test_d_pictures_extract_and_ps_mux():
+    frames = _clips(5, 32, 32)
+    es = mpeg.encode_mpeg1(frames, mode="d", gop_size=2)
+    full = mpeg.decode_mpeg1(es)
+    got = mpeg.extract_mpeg_frames(es, [0, 3])
+    assert np.array_equal(got[0], full[0])
+    assert np.array_equal(got[1], full[3])
+    ps = mpeg.mux_mpeg_ps(es)
+    assert np.array_equal(mpeg.decode_mpeg1(ps), full)
