@@ -42,6 +42,33 @@ _WORD_RX = re.compile(r"[a-z0-9]+")
 _M = np.uint64(0x9E3779B97F4A7C15)
 
 
+def rolling_window_hashes(
+    h: np.ndarray, counts: np.ndarray, n: int, mult: np.uint64 = _M
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared rolling-hash core (also used by span-level dedup,
+    `functions/spandedup.py`): element hashes ``h`` (uint64) laid out as
+    ``counts[i]`` consecutive entries per row i → (window_hash: uint64,
+    row_of_window: int64, pos_in_row: int64) for every length-``n``
+    window that lies fully inside one row. Positional combine
+    ``sum_j h[i+j] * mult**j`` under natural uint64 wraparound; a second
+    ``mult`` gives an independent hash family (spandedup pairs two into
+    an effective 128-bit window fingerprint)."""
+    if len(h) < n:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    win = np.lib.stride_tricks.sliding_window_view(h, n)
+    pw = np.multiply.accumulate(
+        np.concatenate([np.ones(1, np.uint64), np.full(n - 1, mult, np.uint64)])
+    )
+    gh = (win * pw).sum(axis=1, dtype=np.uint64)
+    gdoc = row_of[: len(gh)]
+    valid = row_of[n - 1 :] == gdoc
+    starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)[:-1]])
+    pos = np.arange(len(gh), dtype=np.int64) - starts[gdoc]
+    return gh[valid], gdoc[valid], pos[valid]
+
+
 def _doc_ngram_hashes(
     texts: np.ndarray, n: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -64,17 +91,8 @@ def _doc_ngram_hashes(
     wh = pd.util.hash_array(
         np.array(words, dtype=object), categorize=False
     ).astype(np.uint64)
-    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    win = np.lib.stride_tricks.sliding_window_view(wh, n)
-    # M^j under natural uint64 wraparound (array op: wraps silently,
-    # unlike the scalar form which emits RuntimeWarning)
-    pw = np.multiply.accumulate(
-        np.concatenate([np.ones(1, np.uint64), np.full(n - 1, _M, np.uint64)])
-    )
-    gh = (win * pw).sum(axis=1, dtype=np.uint64)
-    gdoc = doc_of[: len(gh)]
-    valid = doc_of[n - 1 :] == gdoc  # window fully inside one doc
-    return gh[valid], gdoc[valid], len(texts)
+    gh, gdoc, _pos = rolling_window_hashes(wh, counts, n)
+    return gh, gdoc, len(texts)
 
 
 def _distinct_per_doc(

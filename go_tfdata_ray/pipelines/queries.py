@@ -1401,21 +1401,82 @@ def q_dedup_clusters_planted(sf_dir: str):
     return out.map_batches(lambda t: _i64(t, "doc_id", "cluster"), batch_format="pyarrow")
 
 
+def _span_fixture(sf_dir: str, n_words: int = 24):
+    """Closed-form fixture for exact-substring dedup, keyed to documents:
+    per doc i the disjoint-token text ``w{i}x0 … w{i}x23``; every 50th doc
+    a FULL copy at +1M (every window duplicated ⇒ loser fully cut ⇒ '');
+    every 100th doc a PARTIAL at +2M — 4 unique prefix words + words 5..14
+    of doc i + 4 unique suffix words (run length 10 ≥ k=8, pre/suffix
+    shorter than k so only run-internal windows duplicate ⇒ exactly the
+    run is cut, leaving prefix + two spaces + suffix). Winner = min
+    (doc_id, pos) ⇒ originals untouched. All three expected texts are
+    SQL-constructible from doc_id alone."""
+    docs = _read_docs(sf_dir, columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, texts = [], []
+        for i in d:
+            i = int(i)
+            w = [f"w{i}x{j}" for j in range(n_words)]
+            ids.append(i)
+            texts.append(" ".join(w))
+            if i % 50 == 0:
+                ids.append(i + 1_000_000)
+                texts.append(" ".join(w))
+            if i % 100 == 0:
+                ids.append(i + 2_000_000)
+                texts.append(" ".join(
+                    [f"p{i}a{j}" for j in range(4)] + w[5:15]
+                    + [f"s{i}b{j}" for j in range(4)]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return docs.map_batches(synth, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_ngram_dedup(sf_dir: str):
-    """Exact word-k-gram Jaccard dedup at threshold 1.0 over documents +
-    planted exact copies: LSH candidates (signature threshold 1.0) are
-    verified with the exact distributed k-gram hash-set Jaccard, so the
-    output is exactly the docs whose token sequence matches an earlier doc
-    — same closed-form oracle as minhash_dedup, but reached through the
-    pair-explode → semi-join-narrow → bucketed-join → pair-shard-verify
-    machinery. Sub-1.0 thresholds stay pytest-covered."""
+    """Kind-tagged dedup composite, leg ∈ {pairs, span}:
+
+    leg='pairs' — exact word-k-gram Jaccard dedup at threshold 1.0 over
+    documents + planted exact copies: LSH candidates (signature threshold
+    1.0) verified with the exact distributed k-gram hash-set Jaccard, so
+    the output is exactly the docs whose token sequence matches an
+    earlier doc (``val`` = dup_of). Sub-1.0 thresholds stay
+    pytest-covered.
+
+    leg='span' — exact-substring (ExactSubstr) SPAN dedup
+    (``functions/spandedup.py``) over the ``_span_fixture`` corpus:
+    ``val`` = the rewritten post-cut text, byte-exact against the
+    closed-form SQL expectation (originals unchanged, full copies cut to
+    '', partials cut to prefix + '  ' + suffix). Brute-force parity,
+    large-mode paths and Bloom floods stay pytest-covered
+    (tests/test_spandedup.py)."""
+    from ..functions import spandedup
+
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
     out = dedup.ngram_verified_dedup(_plant_doc_copies(ds), threshold=1.0,
                                      candidate_margin=1.0)
-    return out.map_batches(
-        lambda t: _i64(t.select(["doc_id", "dup_of"]), "doc_id", "dup_of"),
+    pairs = out.map_batches(
+        lambda t: pa.table({
+            "leg": pa.array(["pairs"] * len(t)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "val": pc.cast(pc.cast(t["dup_of"], pa.int64()), pa.string()),
+        }),
         batch_format="pyarrow",
     )
+    cut = spandedup.exact_substring_dedup(
+        _span_fixture(sf_dir), k=8, num_shards=16)
+    span = cut.map_batches(
+        lambda t: pa.table({
+            "leg": pa.array(["span"] * len(t)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "val": t["text"],
+        }),
+        batch_format="pyarrow",
+    )
+    return pairs.union(span)
 
 
 def q_ann_ivf_full(sf_dir: str):
@@ -2005,7 +2066,28 @@ ORACLE_SQL = {
         "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies "
         "FROM documents GROUP BY text"
     ),
-    "ngram_dedup": _planted_dup_sql(_NORM_SEQ),
+    "ngram_dedup": (
+        # leg='pairs': the planted-copy dup pairs (val = dup_of);
+        # leg='span': the _span_fixture corpus post-cut — originals keep
+        # their synthesized text, full copies (+1M, every 50th) cut to '',
+        # partials (+2M, every 100th) keep prefix + '  ' + suffix (the
+        # 10-word run is removed character-accurately)
+        "WITH pairsleg AS (" + _planted_dup_sql(_NORM_SEQ) + "), "
+        "ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents), "
+        "spanleg AS ("
+        "SELECT i AS doc_id, array_to_string("
+        "  [printf('w%dx%d', i, j) for j in range(0, 24)], ' ') AS val "
+        "FROM ids "
+        "UNION ALL SELECT i + 1000000, '' FROM ids WHERE i % 50 = 0 "
+        "UNION ALL SELECT i + 2000000, "
+        "  array_to_string([printf('p%da%d', i, j) for j in range(0, 4)], ' ')"
+        "  || '  ' || "
+        "  array_to_string([printf('s%db%d', i, j) for j in range(0, 4)], ' ')"
+        " FROM ids WHERE i % 100 = 0) "
+        "SELECT 'pairs' AS leg, doc_id, CAST(dup_of AS VARCHAR) AS val "
+        "FROM pairsleg "
+        "UNION ALL SELECT 'span', doc_id, val FROM spanleg"
+    ),
     "minhash_dedup": (
         # disjoint-token fixture corpus: the only near-dups are the planted
         # exact copies (+1M every 50th, +2M every 100th), each resolving to
