@@ -173,12 +173,28 @@ def run_bench() -> dict:
         "join_broadcast", "topk_orders", "dedup_exact", "text_features",
         "ann_topk", "minhash_dedup", "udf_revenue", "json_extract",
         "sessionize", "training_pipeline", "tokenize_pack",
-        "join_range", "rolling_value"]
+        "join_range", "rolling_value", "span_dedup"]
+
+    def _q_span_dedup(sf: str):
+        # exact-substring span dedup over the REAL documents text (k=20):
+        # count exchange + flag + cut, fingerprint-only shuffles
+        from go_tfdata_ray.functions import spandedup
+
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text"])
+        return spandedup.exact_substring_dedup(ds, k=20, num_shards=ncpu)
+
     for name in query_names:
         # minhash_dedup's REGISTRY entry grew an incremental-index leg in
         # round 5; time the original batch sweep so the number stays
-        # comparable with BENCH_r01..r04
-        fn = Q.q_minhash_batch if name == "minhash_dedup" else Q.QUERIES[name]
+        # comparable with BENCH_r01..r04. span_dedup (new this round) has
+        # no registry twin at sf0.1 — it times the library op directly.
+        fn = (Q.q_minhash_batch if name == "minhash_dedup"
+              else _q_span_dedup if name == "span_dedup"
+              else Q.QUERIES[name])
         best = None
         for _rep in range(2):  # best-of-2: run-to-run variance on this box
             t0 = time.perf_counter()  # is multi-× (kcompactd / shuffle jitter)
