@@ -12,7 +12,7 @@ Commands:
   changes       --lake DIR --since VERSION --out DIR [--collapsed]
   delete        --lake DIR (--where col:op:val ... | --ids a,b)  bulk tombstone
   compact       --lake DIR
-  dedup         --lake DIR [--method exact|minhash|incremental|
+  dedup         --lake DIR [--method exact|minhash|span|incremental|
                 incremental-minhash --content-col C --dry-run]  content dedup
   status        --lake DIR                              manifest summary
   profile       --lake DIR [--columns a,b]    one-pass column stats → JSON
@@ -135,11 +135,19 @@ def main(argv: list[str] | None = None) -> int:
                         "for incremental, else 'tokens')")
     s.add_argument("--shards", type=int, default=64)
     s.add_argument("--method",
-                   choices=("exact", "minhash", "incremental",
+                   choices=("exact", "minhash", "span", "incremental",
                             "incremental-minhash"),
                    default="exact")
     s.add_argument("--threshold", type=float, default=0.85,
                    help="minhash: estimated-Jaccard near-dup cut")
+    s.add_argument("--span-k", type=int, default=50,
+                   help="span: duplicated-window length in tokens")
+    s.add_argument("--span-keep", choices=("first", "none"),
+                   default="first",
+                   help="span: protect the first occurrence, or cut all")
+    s.add_argument("--keep-empty", action="store_true",
+                   help="span: keep fully-emptied docs instead of "
+                        "tombstoning them")
     s.add_argument("--dry-run", action="store_true",
                    help="count duplicates without tombstoning them")
 
@@ -497,7 +505,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             out = eng.dedup_lake(
                 content_col=a.content_col or "tokens", num_shards=a.shards,
-                method=a.method, threshold=a.threshold, dry_run=a.dry_run)
+                method=a.method, threshold=a.threshold, dry_run=a.dry_run,
+                span_k=a.span_k, span_keep=a.span_keep,
+                drop_empty=not a.keep_empty)
         print(json.dumps(out))
         return 0
 

@@ -1032,6 +1032,89 @@ class CDCEngine:
         out["deleted"] = len(ids)
         return out
 
+    def upsert_dataset(self, rows: rd.Dataset) -> dict[str, Any]:
+        """Distributed upsert from a Dataset — the 10^10-doc variant of
+        ``upsert`` and the write half of rewrite maintenance ops
+        (``dedup_lake(method="span")``): each block stages one
+        content-addressed WAL shard with op='U' payload rows (name = sha1
+        of the block's sorted (doc_id, content-hash) pairs, so a task
+        retry after rename rewrites the same file with the same bytes),
+        then ONE exactly-once ``apply_epoch`` commits them all. Only tiny
+        (path, rows) intents reach the driver.
+
+        Columns: ``doc_id`` required; ``tokens``/``source`` optional
+        (defaults empty), ``n_tok`` derived from tokens when absent.
+        Each ``doc_id`` must appear at most ONCE across the whole Dataset
+        — like ``delete_dataset``, synthesized seqs are per-doc hash
+        offsets, so two different payloads for one doc in one call would
+        tie on seq and collapse nondeterministically."""
+        import hashlib
+
+        from ..functions.dedup import hash_list_column
+
+        epoch = self.manifest.committed_epoch + 1
+        # epoch-scaled, above every frozen watermark — see _stage_epoch
+        base = (max(self.manifest.watermarks().values(), default=-1) + 1
+                + (epoch << 32))
+        stage_dir = os.path.join(self.lake_dir, "_staging",
+                                 f"epoch-{epoch:06d}")
+        os.makedirs(stage_dir, exist_ok=True)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"path": pa.array([], pa.string()),
+                                 "rows": pa.array([], pa.int64())})
+            n = len(t)
+            ids = pc.cast(t["doc_id"], pa.string())
+            id_np = np.asarray(ids.to_numpy(zero_copy_only=False),
+                               dtype=object)
+            import pandas as _pd
+            off = (_pd.util.hash_array(id_np, categorize=False)
+                   % np.uint64(1 << 31)).astype(np.int64)
+            if "tokens" in t.column_names:
+                toks = t["tokens"].combine_chunks().cast(pa.list_(pa.int32()))
+                ch = hash_list_column(toks)
+            else:
+                toks = pa.array([[]] * n, pa.list_(pa.int32()))
+                ch = np.zeros(n, np.uint64)
+            staged = pa.table({
+                "seq": pa.array(base + off),
+                "epoch": pa.array(np.full(n, epoch, dtype=np.int32)),
+                "op": pa.array(["U"] * n, pa.string()),
+                "doc_id": ids,
+                "tokens": toks,
+                "n_tok": (pc.cast(t["n_tok"], pa.int32())
+                          if "n_tok" in t.column_names
+                          else pc.cast(pc.list_value_length(toks),
+                                       pa.int32())),
+                "source": (pc.cast(t["source"], pa.string())
+                           if "source" in t.column_names
+                           else pa.array([""] * n, pa.string())),
+            })
+            name = hashlib.sha1("\x00".join(
+                sorted(f"{i}:{h}" for i, h in zip(id_np, ch))
+            ).encode()).hexdigest()[:20]
+            final = os.path.join(stage_dir, f"ups-{name}.parquet")
+            tmp = final + f".tmp-{os.getpid()}"
+            pq.write_table(staged, tmp)
+            os.rename(tmp, final)
+            return pa.table({"path": pa.array([final], pa.string()),
+                             "rows": pa.array([n], pa.int64())})
+
+        intents = rows.map_batches(
+            write_shard, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ).take_all()  # tiny: one (path, rows) row per staged shard
+        by_path = {r["path"]: int(r["rows"]) for r in intents}
+        paths = sorted(by_path)
+        upserted = sum(by_path.values())
+        if not paths:
+            return {"epoch": self.manifest.committed_epoch, "skipped": True,
+                    "upserted": 0}
+        out = self.apply_epoch(epoch, paths, advance_watermark=False)
+        out["upserted"] = upserted
+        return out
+
     def delete_dataset(self, keys: rd.Dataset, key_col: str = "doc_id") -> dict[str, Any]:
         """Distributed bulk delete: tombstone every key in ``keys`` (a
         Dataset with a ``key_col`` column) WITHOUT materializing the keys on
@@ -1105,7 +1188,9 @@ class CDCEngine:
     def dedup_lake(self, content_col: str = "tokens", num_shards: int = 64,
                    dry_run: bool = False, method: str = "exact",
                    threshold: float = 0.85, k: int = 5, n_perm: int = 64,
-                   bands: int = 16) -> dict[str, Any]:
+                   bands: int = 16, span_k: int = 50,
+                   span_keep: str = "first",
+                   drop_empty: bool = True) -> dict[str, Any]:
         """Lake-level content dedup (a maintenance op, like ``compact``):
         find duplicate docs and tombstone all but one per group through the
         ordinary delete-epoch path. Inherits exactly-once commit, time
@@ -1124,12 +1209,26 @@ class CDCEngine:
         representative survives; a near-dup cluster keeps ≥1 doc (its
         minimal key is never flagged).
 
+        ``method="span"``: exact-substring SPAN dedup
+        (``functions/spandedup.py``, content="tokens"): every duplicated
+        ``span_k``-token window corpus-wide is cut from all but its first
+        occurrence (``span_keep="none"`` cuts all); affected docs are
+        REWRITTEN through ``upsert_dataset`` (an ordinary update epoch —
+        time travel keeps the pre-cut content) and docs whose token array
+        empties are tombstoned when ``drop_empty`` (a full duplicate
+        degenerates to the exact-dedup outcome). Two epochs max: one
+        upsert, one delete.
+
         Scale shape: merged scan streams; only hashes/signatures cross the
         wire (``functions/dedup``); the loser keys never land on the driver
-        (``delete_dataset`` stages shards distributed)."""
+        (``delete_dataset`` stages shards distributed); span rewrites move
+        only affected docs' payloads (``upsert_dataset`` staging)."""
         from ..functions.dedup import (TokenMinHasher, duplicate_keys,
                                        minhash_lsh_dedup)
 
+        if method == "span":
+            return self._spandedup_lake(content_col, num_shards, dry_run,
+                                        span_k, span_keep, drop_empty)
         scan = self.scan(columns=["doc_id", content_col])
         if method == "exact":
             dups = duplicate_keys(
@@ -1154,6 +1253,67 @@ class CDCEngine:
                     "method": method}
         out = self.delete_dataset(dups.select_columns(["doc_id"]))
         out["method"] = method
+        return out
+
+    def _spandedup_lake(self, content_col: str, num_shards: int,
+                        dry_run: bool, span_k: int, span_keep: str,
+                        drop_empty: bool) -> dict[str, Any]:
+        """``dedup_lake(method="span")`` body: duplicated-span report over
+        the merged scan (fingerprint-only exchanges), then ONE rewrite
+        pass that upserts only docs whose content actually changed
+        (n_cut_words > 0 — a keys-Bloom false positive routes a clean doc
+        through the cut pass but never into a new version) and tombstones
+        fully-emptied docs."""
+        from ..functions import spandedup
+
+        scan = self.scan(columns=["doc_id", content_col])
+        spans = spandedup.duplicate_spans(
+            scan, text_col=content_col, key_col="doc_id", k=span_k,
+            keep=span_keep, num_shards=num_shards,
+            content="tokens").materialize()
+        n_spans = spans.count()
+        out: dict[str, Any] = {"method": "span", "spans": n_spans,
+                               "span_k": span_k}
+        if dry_run:
+            out["dry_run"] = True
+            return out
+        if n_spans == 0:
+            out.update(epoch=self.manifest.committed_epoch, skipped=True,
+                       rewritten=0, emptied=0)
+            return out
+        full = self.scan(columns=["doc_id", content_col, "source"])
+        cut = spandedup._route_and_cut(
+            full, spans, content_col, "doc_id", num_shards,
+            max_span_broadcast=500_000, content="tokens")
+
+        def changed_only(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["n_cut_words"], 0))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "tokens": t[content_col],
+                "source": t["source"],
+            })
+
+        changed = cut.map_batches(
+            changed_only, batch_format="pyarrow").materialize()
+
+        def nonempty(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(pc.list_value_length(t["tokens"]), 0))
+
+        def emptied_keys(t: pa.Table) -> pa.Table:
+            m = pc.equal(pc.list_value_length(t["tokens"]), 0)
+            return t.filter(m).select(["doc_id"])
+
+        up_rows = (changed.map_batches(nonempty, batch_format="pyarrow")
+                   if drop_empty else changed)
+        res_up = self.upsert_dataset(up_rows)
+        out["rewritten"] = res_up.get("upserted", 0)
+        out["emptied"] = 0
+        if drop_empty:
+            res_del = self.delete_dataset(
+                changed.map_batches(emptied_keys, batch_format="pyarrow"))
+            out["emptied"] = res_del.get("deleted", 0)
+        out["epoch"] = self.manifest.committed_epoch
         return out
 
     def dedup_incremental(self, content_col: str | None = None,

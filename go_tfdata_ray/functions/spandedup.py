@@ -43,6 +43,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -79,16 +80,41 @@ def _tokenize(texts: np.ndarray):
             np.asarray(starts, np.int64), np.asarray(ends, np.int64))
 
 
-def _window_fp(words: list[str], counts: np.ndarray, k: int):
-    """(h1, h2, doc_idx, pos) for every k-word window inside one doc."""
-    if len(words) < k:
-        z = np.empty(0, np.uint64)
-        return z, z, np.empty(0, np.int64), np.empty(0, np.int64)
-    wh = pd.util.hash_array(
+def _extract(t: pa.Table, col: str, content: str):
+    """Unified element extraction: (elem_hashes uint64 flat, counts, aux).
+    ``content="text"`` → regex word tokens, aux = (char starts, char ends)
+    for character-accurate cuts; ``content="tokens"`` → a non-null
+    ``list<int>`` column (the CDC lake's token arrays), elements hashed
+    with the splitmix64 finalizer, aux = the flat value array + its arrow
+    value type (cuts slice the list)."""
+    if content == "tokens":
+        lc = t[col]
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.combine_chunks()
+        counts = np.asarray(
+            pc.list_value_length(lc).to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        flat = lc.flatten().to_numpy(zero_copy_only=False)
+        eh = _mix64(flat.astype(np.uint64))
+        return eh, counts, (flat, lc.type.value_type)
+    texts = t[col].to_numpy(zero_copy_only=False)
+    words, counts, ws, we = _tokenize(texts)
+    if not words:
+        return np.empty(0, np.uint64), counts, (ws, we)
+    eh = pd.util.hash_array(
         np.array(words, dtype=object), categorize=False
     ).astype(np.uint64)
-    h1, doc, pos = rolling_window_hashes(wh, counts, k, _M1)
-    h2, _, _ = rolling_window_hashes(wh, counts, k, _M2)
+    return eh, counts, (ws, we)
+
+
+def _window_fp(eh: np.ndarray, counts: np.ndarray, k: int):
+    """(h1, h2, doc_idx, pos) for every k-element window inside one doc,
+    from the flat per-element hash array."""
+    if len(eh) < k:
+        z = np.empty(0, np.uint64)
+        return z, z, np.empty(0, np.int64), np.empty(0, np.int64)
+    h1, doc, pos = rolling_window_hashes(eh, counts, k, _M1)
+    h2, _, _ = rolling_window_hashes(eh, counts, k, _M2)
     return h1, h2, doc, pos
 
 
@@ -165,7 +191,7 @@ def _empty_partial(key_type: pa.DataType) -> pa.Table:
 
 
 def _dup_table(ds: rd.Dataset, text_col: str, key_col: str, k: int,
-               num_shards: int) -> rd.Dataset:
+               num_shards: int, content: str = "text") -> rd.Dataset:
     """Pass 1: global window counts + first occurrence. Per-batch
     combiner emits one row per DISTINCT window in the batch (count +
     batch-local winner), so the exchange carries ~40 B per distinct
@@ -174,10 +200,9 @@ def _dup_table(ds: rd.Dataset, text_col: str, key_col: str, k: int,
 
     def partial(t: pa.Table) -> pa.Table:
         key_type = t.schema.field(key_col).type
-        texts = t[text_col].to_numpy(zero_copy_only=False)
         keys = t[key_col].to_numpy(zero_copy_only=False)
-        words, counts, _, _ = _tokenize(texts)
-        h1, h2, doc, pos = _window_fp(words, counts, k)
+        eh, counts, _aux = _extract(t, text_col, content)
+        h1, h2, doc, pos = _window_fp(eh, counts, k)
         if len(h1) == 0:
             return _empty_partial(key_type)
         kd = keys[doc]
@@ -224,17 +249,16 @@ def _dup_table(ds: rd.Dataset, text_col: str, key_col: str, k: int,
 
 
 def _flag_batch(t: pa.Table, text_col: str, key_col: str, k: int,
-                D: dict[str, Any], keep: str):
+                D: dict[str, Any], keep: str, content: str = "text"):
     """Per-batch window flagging against broadcast dup arrays →
-    (keys, starts, ends) of merged cut spans plus the tokenizer offsets
-    (reused by the inline cut path)."""
-    texts = t[text_col].to_numpy(zero_copy_only=False)
+    (keys, starts, ends) of merged cut spans plus the extraction
+    (counts, aux) reused by the inline cut path."""
     keys = t[key_col].to_numpy(zero_copy_only=False)
-    words, counts, wstarts, wends = _tokenize(texts)
-    h1, h2, doc, pos = _window_fp(words, counts, k)
+    eh, counts, aux = _extract(t, text_col, content)
+    h1, h2, doc, pos = _window_fp(eh, counts, k)
     empty = (keys[:0], np.empty(0, np.int64), np.empty(0, np.int64))
     if len(h1) == 0:
-        return (*empty, counts, wstarts, wends, keys)
+        return (*empty, counts, aux, keys)
     idx = _pair_lookup(D["h1"], D["h2"], h1, h2)
     m = idx >= 0
     if keep == "first":
@@ -244,7 +268,7 @@ def _flag_batch(t: pa.Table, text_col: str, key_col: str, k: int,
     else:
         cut = np.flatnonzero(m)
     ck, cs, ce = _merge_windows(keys[doc[cut]], pos[cut], k)
-    return ck, cs, ce, counts, wstarts, wends, keys
+    return ck, cs, ce, counts, aux, keys
 
 
 def duplicate_spans(
@@ -256,6 +280,7 @@ def duplicate_spans(
     num_shards: int = 64,
     max_broadcast: int = 500_000,
     n_bits: int | None = None,
+    content: str = "text",
 ) -> rd.Dataset:
     """Maximal duplicated-span report: (key_col, start_word, end_word)
     for every span the dedup would cut (``keep="first"`` excludes each
@@ -273,7 +298,9 @@ def duplicate_spans(
     dup-proportional on the driver in the large mode. ``n_bits``
     overrides the Bloom size (tests force FP floods)."""
     assert keep in ("first", "none")
-    dup = _dup_table(ds, text_col, key_col, k, num_shards).materialize()
+    assert content in ("text", "tokens")
+    dup = _dup_table(ds, text_col, key_col, k, num_shards,
+                     content).materialize()
     nd = dup.count()
     key_type = _col_type(ds, key_col)
 
@@ -290,7 +317,7 @@ def duplicate_spans(
 
         def flag(t: pa.Table) -> pa.Table:
             ck, cs, ce, *_ = _flag_batch(t, text_col, key_col, k,
-                                         _cached_get(ref), keep)
+                                         _cached_get(ref), keep, content)
             return _span_tbl(ck, cs, ce)
 
         return ds.map_batches(flag, batch_format="pyarrow",
@@ -309,10 +336,9 @@ def duplicate_spans(
     bref = ray.put(bloom)
 
     def cands(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_numpy(zero_copy_only=False)
         keys = t[key_col].to_numpy(zero_copy_only=False)
-        words, counts, _, _ = _tokenize(texts)
-        h1, h2, doc, pos = _window_fp(words, counts, k)
+        eh, counts, _aux = _extract(t, text_col, content)
+        h1, h2, doc, pos = _window_fp(eh, counts, k)
         hit = (bloom_contains(_cached_get(bref), h1 ^ _mix64(h2))
                if len(h1) else np.zeros(0, bool))
         return pa.table({
@@ -409,10 +435,14 @@ def exact_substring_dedup(
     max_broadcast: int = 500_000,
     n_bits: int | None = None,
     max_span_broadcast: int | None = None,
+    content: str = "text",
 ) -> rd.Dataset:
     """Corpus rewrite: every duplicated k-window span is cut from the
     text character-accurately (surrounding whitespace/punctuation kept);
     all input columns pass through plus ``n_cut_words`` per row.
+    ``content="tokens"`` operates on a non-null ``list<int>`` column
+    instead (the CDC lake's token arrays): spans are cut by slicing the
+    list — the engine's ``dedup_lake(method="span")`` path.
 
     Fast path (dup table ≤ ``max_broadcast``): flag + merge + cut fuse
     into ONE streaming pass over the corpus — no shuffle at all. Large
@@ -423,7 +453,9 @@ def exact_substring_dedup(
     through untouched, identified by a keys-Bloom whose false positives
     only route an extra clean row, never corrupt one)."""
     assert keep in ("first", "none")
-    dup = _dup_table(ds, text_col, key_col, k, num_shards).materialize()
+    assert content in ("text", "tokens")
+    dup = _dup_table(ds, text_col, key_col, k, num_shards,
+                     content).materialize()
     nd = dup.count()
 
     if nd <= max_broadcast:
@@ -431,24 +463,27 @@ def exact_substring_dedup(
         ref = ray.put(D)
 
         def cut_inline(t: pa.Table) -> pa.Table:
-            ck, cs, ce, counts, wstarts, wends, keys = _flag_batch(
-                t, text_col, key_col, k, _cached_get(ref), keep)
-            return _apply_spans(t, text_col, key_col,
-                                ck, cs, ce, counts, wstarts, wends, keys)
+            ck, cs, ce, counts, aux, keys = _flag_batch(
+                t, text_col, key_col, k, _cached_get(ref), keep, content)
+            return _apply_spans(t, text_col, ck, cs, ce, counts, aux,
+                                keys, content)
 
         return ds.map_batches(cut_inline, batch_format="pyarrow",
                               zero_copy_batch=True)
 
     spans = duplicate_spans(ds, text_col, key_col, k, keep, num_shards,
-                            max_broadcast, n_bits).materialize()
+                            max_broadcast, n_bits, content).materialize()
     return _route_and_cut(ds, spans, text_col, key_col, num_shards,
-                          max_span_broadcast or max_broadcast)
+                          max_span_broadcast or max_broadcast, content)
 
 
-def _apply_spans(t: pa.Table, text_col: str, key_col: str,
-                 ck, cs, ce, counts, wstarts, wends, keys) -> pa.Table:
-    """Rewrite a batch given merged spans for (a superset of) its rows."""
-    texts = t[text_col].to_numpy(zero_copy_only=False)
+def _apply_spans(t: pa.Table, text_col: str,
+                 ck, cs, ce, counts, aux, keys,
+                 content: str = "text") -> pa.Table:
+    """Rewrite a batch given merged spans for (a superset of) its rows.
+    text mode: character-accurate cuts via the tokenizer offsets in
+    ``aux``; tokens mode: one vectorized boolean mask over the flat
+    value array rebuilds the list column (offsets from kept counts)."""
     offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
     by_row: dict[int, list[tuple[int, int]]] = {}
     rowmap = {v: i for i, v in enumerate(keys.tolist())}
@@ -456,22 +491,41 @@ def _apply_spans(t: pa.Table, text_col: str, key_col: str,
         r = rowmap.get(kv)
         if r is not None:
             by_row.setdefault(r, []).append((int(a), int(b)))
-    new_texts = list(texts)
-    n_cut = np.zeros(len(texts), np.int64)
-    for r, sp in by_row.items():
-        sp.sort()
-        o = offs[r]
-        new_texts[r] = _cut_text(
-            str(texts[r]), wstarts[o:offs[r + 1]], wends[o:offs[r + 1]], sp)
-        n_cut[r] = sum(b - a for a, b in sp)
-    out = t.set_column(t.column_names.index(text_col), text_col,
-                       pa.array([str(x) for x in new_texts], pa.string()))
+    n_cut = np.zeros(len(t), np.int64)
+    if content == "tokens":
+        flat, vtype = aux
+        mask = np.ones(len(flat), bool)
+        for r, sp in by_row.items():
+            o = offs[r]
+            for a, b in sp:
+                mask[o + a:o + b] = False
+                n_cut[r] += b - a
+        kept = counts - n_cut
+        new_offs = np.concatenate([np.zeros(1, np.int64),
+                                   np.cumsum(kept)])
+        col = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            pa.array(flat[mask], vtype))
+    else:
+        wstarts, wends = aux
+        texts = t[text_col].to_numpy(zero_copy_only=False)
+        new_texts = list(texts)
+        for r, sp in by_row.items():
+            sp.sort()
+            o = offs[r]
+            new_texts[r] = _cut_text(
+                str(texts[r]), wstarts[o:offs[r + 1]],
+                wends[o:offs[r + 1]], sp)
+            n_cut[r] = sum(b - a for a, b in sp)
+        col = pa.array([str(x) for x in new_texts], pa.string())
+    out = t.set_column(t.column_names.index(text_col), text_col, col)
     return out.append_column("n_cut_words", pa.array(n_cut))
 
 
 def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
                    key_col: str, num_shards: int,
-                   max_span_broadcast: int) -> rd.Dataset:
+                   max_span_broadcast: int,
+                   content: str = "text") -> rd.Dataset:
     """Apply a span report to the corpus. Broadcast the report when
     small; otherwise Bloom-split the corpus (clean rows pass through
     with n_cut_words=0) and exchange ONLY affected rows + spans by key
@@ -480,9 +534,8 @@ def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
     ns = spans.count()
 
     def cut_rows(t: pa.Table, sp_by_key: dict) -> pa.Table:
-        texts = t[text_col].to_numpy(zero_copy_only=False)
         keys = t[key_col].to_numpy(zero_copy_only=False)
-        _w, counts, wstarts, wends = _tokenize(texts)
+        _eh, counts, aux = _extract(t, text_col, content)
         ck, cs, ce = [], [], []
         for kv in set(keys.tolist()):
             for a, b in sp_by_key.get(kv, ()):
@@ -490,9 +543,9 @@ def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
                 cs.append(a)
                 ce.append(b)
         return _apply_spans(
-            t, text_col, key_col,
+            t, text_col,
             np.array(ck, dtype=object), np.array(cs, np.int64),
-            np.array(ce, np.int64), counts, wstarts, wends, keys)
+            np.array(ce, np.int64), counts, aux, keys, content)
 
     if ns <= max_span_broadcast:
         D: dict[Any, list[tuple[int, int]]] = {}

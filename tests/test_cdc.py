@@ -1137,6 +1137,97 @@ def _tok_table(ids, toks, src="s"):
     })
 
 
+def test_upsert_dataset_distributed(tmp_path):
+    """Dataset-sourced upsert: content-addressed staged shards, one
+    exactly-once epoch, later upsert_dataset of the same doc supersedes
+    (epoch-scaled seqs), committed-epoch re-apply is a no-op."""
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+    ids = [f"d{i:03d}" for i in range(50)]
+    toks = [[i, i + 1, i + 2] for i in range(50)]
+    out = eng.upsert_dataset(
+        rd.from_arrow(_tok_table(ids, toks)).repartition(5))
+    assert out["upserted"] == 50 and not out.get("skipped")
+    df = eng.scan(columns=["doc_id", "tokens", "n_tok"]).to_pandas()
+    assert len(df) == 50
+    got = {d: list(t) for d, t in zip(df["doc_id"], df["tokens"])}
+    assert got == dict(zip(ids, toks))
+    assert set(df["n_tok"]) == {3}  # derived from tokens
+
+    # supersede: a second Dataset upsert of a subset updates those rows
+    out2 = eng.upsert_dataset(rd.from_arrow(_tok_table(ids[:5],
+                                                       [[9]] * 5)))
+    assert out2["upserted"] == 5
+    df2 = eng.scan(columns=["doc_id", "tokens"]).to_pandas()
+    got2 = {d: list(t) for d, t in zip(df2["doc_id"], df2["tokens"])}
+    assert all(got2[d] == [9] for d in ids[:5])
+    assert all(got2[d] == tk for d, tk in zip(ids[5:], toks[5:]))
+
+    # committed-epoch re-apply (resume path) is a no-op
+    stage = os.path.join(lake, "_staging", f"epoch-{out2['epoch']:06d}")
+    fs = [os.path.join(stage, f) for f in os.listdir(stage)]
+    assert eng.apply_epoch(out2["epoch"], fs)["skipped"]
+
+    # empty dataset: skipped, no epoch burned
+    e0 = eng.manifest.committed_epoch
+    out3 = eng.upsert_dataset(rd.from_arrow(_tok_table([], [])))
+    assert out3.get("skipped") and eng.manifest.committed_epoch == e0
+
+
+def test_dedup_lake_span(tmp_path):
+    """Span-level lake dedup: duplicated k-token windows are cut from all
+    but the first occurrence; affected docs are REWRITTEN (update epoch,
+    time-travelable), fully-emptied docs tombstoned, second run is a
+    no-op."""
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_partitions=8)
+
+    def toks(i, n=40):
+        return [i * 100 + j for j in range(n)]
+
+    rows = {str(i): toks(i) for i in range(1, 15)}
+    rows["200"] = toks(1)  # full copy → emptied → tombstoned
+    rows["300"] = ([90001, 90002, 90003] + toks(2)[5:25]
+                   + [90011, 90012, 90013])  # partial: run cut
+    eng.upsert(_tok_table(list(rows), list(rows.values())))
+    v0 = eng.manifest.version
+
+    dry = eng.dedup_lake(method="span", span_k=8, dry_run=True)
+    assert dry["dry_run"] and dry["spans"] == 2  # full-copy span + run
+
+    out = eng.dedup_lake(method="span", span_k=8)
+    assert out["rewritten"] == 1 and out["emptied"] == 1
+
+    df = eng.scan(columns=["doc_id", "tokens", "n_tok"]).to_pandas()
+    cur = {d: list(t) for d, t in zip(df["doc_id"], df["tokens"])}
+    assert "200" not in cur
+    assert cur["1"] == toks(1) and cur["2"] == toks(2)  # winners intact
+    assert cur["300"] == [90001, 90002, 90003, 90011, 90012, 90013]
+    nt = dict(zip(df["doc_id"], df["n_tok"]))
+    assert nt["300"] == 6  # n_tok recomputed on rewrite
+
+    # pre-dedup snapshot intact
+    old = eng.scan(columns=["doc_id"], at_version=v0).to_pandas()
+    assert len(old) == len(rows)
+
+    again = eng.dedup_lake(method="span", span_k=8)
+    assert again.get("skipped") and again["spans"] == 0
+
+    # keep="none" + drop_empty=False: both copies cut, kept as empty rows
+    lake2 = str(tmp_path / "lake2")
+    e2 = CDCEngine(lake2, num_partitions=4)
+    e2.upsert(_tok_table(["a", "b"], [list(range(10))] * 2))
+    r = e2.dedup_lake(method="span", span_k=5, span_keep="none",
+                      drop_empty=False)
+    assert r["rewritten"] == 2 and r["emptied"] == 0
+    df2 = e2.scan(columns=["doc_id", "tokens"]).to_pandas()
+    assert {d: list(t) for d, t in zip(df2["doc_id"], df2["tokens"])} == \
+        {"a": [], "b": []}
+
+
 def test_dedup_incremental_staleness(tmp_path):
     """Incremental dedup against the persisted content-hash index: new-epoch
     dups lose to indexed incumbents; a stale index entry (incumbent updated

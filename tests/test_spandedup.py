@@ -161,3 +161,71 @@ def test_self_repeat_keeps_first_copy():
     exp_t, exp_n = brute(docs, 4)
     assert got[1] == (exp_t[1], exp_n[1])
     assert got[1][0].startswith("x y z q")  # first occurrence survives
+
+
+# ---- content="tokens" (list<int> columns, the CDC lake shape) ----
+
+def brute_tok(docs, k, keep="first"):
+    occ = {}
+    for key, tl in docs:
+        for p in range(len(tl) - k + 1):
+            occ.setdefault(tuple(tl[p:p + k]), []).append((key, p))
+    cuts = {}
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        win = min(lst)
+        for key, p in lst:
+            if keep == "first" and (key, p) == win:
+                continue
+            cuts.setdefault(key, []).append((p, p + k))
+    out = {}
+    for key, tl in docs:
+        merged = []
+        for s, e in sorted(cuts.get(key, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        m = np.ones(len(tl), bool)
+        n = 0
+        for a, b in merged:
+            m[a:b] = False
+            n += b - a
+        out[key] = ([t for t, kk in zip(tl, m) if kk], n)
+    return out
+
+
+def mk_tok_ds(docs):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "tokens": pa.array([t for _, t in docs], pa.list_(pa.int32())),
+    }))
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_token_mode_matches_brute(keep):
+    rng = np.random.default_rng(3)
+    docs = [(i, rng.integers(0, 12, rng.integers(0, 30)).tolist())
+            for i in range(40)]
+    docs.append((100, list(docs[0][1])))  # full copy
+    for k in (3, 6):
+        exp = brute_tok(docs, k, keep)
+        for kw in ({}, {"max_broadcast": 0, "max_span_broadcast": 0,
+                        "num_shards": 4}):
+            out = sp.exact_substring_dedup(
+                mk_tok_ds(docs), text_col="tokens", k=k, keep=keep,
+                content="tokens", **kw)
+            got = {r["doc_id"]: (list(r["tokens"]), r["n_cut_words"])
+                   for r in out.take_all()}
+            assert got == {key: exp[key] for key, _ in docs}, (k, keep, kw)
+
+
+def test_token_mode_preserves_value_type():
+    docs = [(1, [5, 6, 7, 8]), (2, [5, 6, 7, 8]), (3, [9, 10, 11, 12])]
+    out = sp.exact_substring_dedup(mk_tok_ds(docs), text_col="tokens",
+                                   k=4, content="tokens")
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["tokens"] == pa.list_(pa.int32())
+    got = {r["doc_id"]: list(r["tokens"]) for r in out.take_all()}
+    assert got == {1: [5, 6, 7, 8], 2: [], 3: [9, 10, 11, 12]}
