@@ -60,6 +60,7 @@ def curate_corpus(
     dedup_broadcast_max: int = 1_000_000,
     eval_filter: dict | None = None,
     eval_min_hits: int = 1,
+    span_dedup_k: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """→ (packed training sequences, stats). ``ppl_cutoff=None`` derives
     the cutoff as the ``ppl_quantile`` of the scored corpus (one extra
@@ -71,7 +72,11 @@ def curate_corpus(
     ``eval_filter`` (from ``functions/decontaminate.py:build_eval_filter``)
     inserts benchmark decontamination after the dedup stage — one extra
     broadcast-filter map pass inside the same lazy plan, still no
-    shuffle."""
+    shuffle. ``span_dedup_k`` adds exact-substring SPAN dedup
+    (``functions/spandedup.py``) on the surviving text before
+    tokenization — duplicated k-word windows are cut from all but their
+    first occurrence (its count pass re-executes the upstream plan once,
+    like every multi-consumer Dataset)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -130,6 +135,15 @@ def curate_corpus(
 
         unique = decontaminate(unique, eval_filter, text_col=text_col,
                                min_hits=eval_min_hits)
+
+    if span_dedup_k is not None:
+        from ..functions.spandedup import exact_substring_dedup
+
+        unique = exact_substring_dedup(
+            unique, text_col=text_col, key_col=key_col, k=span_dedup_k,
+            max_broadcast=dedup_broadcast_max,
+        ).map_batches(lambda t: t.drop_columns(["n_cut_words"]),
+                      batch_format="pyarrow")
 
     toks = tokenize(unique, text_col=text_col, key_col=key_col)
     chunked = chunk_documents(toks, context_len=context_len,

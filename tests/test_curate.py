@@ -119,3 +119,28 @@ def test_curate_corpus_decontaminates_against_eval_filter():
     flags = flag_contamination(ds, filt).to_pandas()
     hit_ids = sorted(flags[flags["contaminated"]]["doc_id"])
     assert hit_ids == [f"d{i:04d}" for i in range(20, 25)]
+
+
+def test_curate_corpus_span_dedup_stage():
+    """span_dedup_k cuts a repeated long run from all but one survivor:
+    packed content volume drops vs the same pipeline without the stage,
+    and the pipeline stays token-conserving (full contexts only)."""
+    from go_tfdata_ray.pipelines.curate import curate_corpus
+
+    ids, texts, clean = _corpus()
+    # plant one distinctive 12-word run VERBATIM into 6 otherwise-distinct
+    # clean docs (unique vocab — nothing else repeats 8-word windows)
+    run = " ".join(f"spanword{j}x" for j in range(12))
+    for i in range(6):
+        texts[30 + i] = f"lead{i}a lead{i}b {run} tail{i}a tail{i}b"
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)}))
+    kw = dict(ppl_quantile=0.88, context_len=64, lm_sample_n=80)
+    base, _ = curate_corpus(ds, **kw)
+    cutp, _ = curate_corpus(ds, span_dedup_k=8, **kw)
+    vol = lambda p: int(round(float(np.sum(
+        p.to_pandas()["fill_ratio"])) * 64))
+    # 5 of the 6 runs (12 words each) are cut — ≥40 tokens of content gone
+    assert vol(cutp) <= vol(base) - 40
+    df = cutp.to_pandas()
+    assert len(df) > 0 and all(len(t) == 64 for t in df["tokens"])
