@@ -118,6 +118,15 @@ def _window_fp(eh: np.ndarray, counts: np.ndarray, k: int):
     return h1, h2, doc, pos
 
 
+def _key_hash(ks: np.ndarray) -> np.ndarray:
+    """Stable uint64 hash of a key array for sharding / keys-Blooms —
+    numeric keys hash natively (fully vectorized), object (string) keys
+    via the process-stable siphash. Every build/probe site shares this
+    one function, so the hash families always agree."""
+    return pd.util.hash_array(np.asarray(ks),
+                              categorize=False).astype(np.uint64)
+
+
 def _pair_lookup(H1: np.ndarray, H2: np.ndarray,
                  q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
     """Index of each (q1, q2) pair in the (H1, H2) table sorted by
@@ -384,9 +393,7 @@ def duplicate_spans(
         else:
             sel = q[m]
         ks = wk[sel]
-        kh = pd.util.hash_array(
-            np.array([str(v) for v in ks], dtype=object), categorize=False
-        ).astype(np.uint64)
+        kh = _key_hash(ks)
         return pa.table({
             key_col: pa.array(ks, key_type),
             "wpos": pa.array(wp[sel]),
@@ -566,9 +573,7 @@ def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
     # keys-Bloom split: clean rows bypass, affected rows exchange once
     def key_hash_tbl(t: pa.Table) -> pa.Table:
         ks = t[key_col].to_numpy(zero_copy_only=False)
-        kh = pd.util.hash_array(
-            np.array([str(v) for v in ks], dtype=object), categorize=False
-        ).astype(np.uint64)
+        kh = _key_hash(ks)
         return pa.table({"m": pa.array(kh)})
 
     n_bits = 1 << min(33, max(20, int(np.ceil(np.log2(16 * ns)))))
@@ -579,9 +584,7 @@ def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
 
     def _key_hit(t: pa.Table) -> np.ndarray:
         ks = t[key_col].to_numpy(zero_copy_only=False)
-        kh = pd.util.hash_array(
-            np.array([str(v) for v in ks], dtype=object), categorize=False
-        ).astype(np.uint64)
+        kh = _key_hash(ks)
         return bloom_contains(_cached_get(kbref), kh)
 
     def clean(t: pa.Table) -> pa.Table:
@@ -605,9 +608,7 @@ def _route_and_cut(ds: rd.Dataset, spans: rd.Dataset, text_col: str,
             for c in ucols
         ]
         ks = t[key_col].to_numpy(zero_copy_only=False)
-        kh = pd.util.hash_array(
-            np.array([str(v) for v in ks], dtype=object), categorize=False
-        ).astype(np.uint64)
+        kh = _key_hash(ks)
         arrs += [
             pa.array((kh % np.uint64(num_shards)).astype(np.int64)),
             pa.array(np.full(n, side, np.int8)),
