@@ -14,6 +14,9 @@ window fingerprints and word indices — never text:
    count + first occurrence), then ONE fingerprint-sharded object-store
    exchange folds global counts. Windows with count ≥ 2 form the dup
    table — output-proportional, (h1, h2, winner_key, winner_pos) rows.
+   ``prenarrow=True`` (the 100 TB side of the trade) runs an h1-only
+   16 B/window counting round first and ships full rows only for
+   Bloom-confirmed candidates — see `_dup_table`.
 2. FLAG: a second streaming pass recomputes each batch's windows and
    probes the dup table — broadcast sorted arrays under
    ``max_broadcast`` rows, else a Bloom prefilter (no false negatives)
@@ -200,18 +203,68 @@ def _empty_partial(key_type: pa.DataType) -> pa.Table:
 
 
 def _dup_table(ds: rd.Dataset, text_col: str, key_col: str, k: int,
-               num_shards: int, content: str = "text") -> rd.Dataset:
+               num_shards: int, content: str = "text",
+               prenarrow: bool = False,
+               prenarrow_bits: int | None = None) -> rd.Dataset:
     """Pass 1: global window counts + first occurrence. Per-batch
     combiner emits one row per DISTINCT window in the batch (count +
     batch-local winner), so the exchange carries ~40 B per distinct
     window — fingerprints and keys, never text. The fold keeps windows
-    with global count ≥ 2 only, making the result output-proportional."""
+    with global count ≥ 2 only, making the result output-proportional.
+
+    ``prenarrow=True`` inserts an h1-only counting round first (16 B per
+    distinct window — no h2/key/pos payload), folds it to the h1 values
+    with global count ≥ 2, and broadcasts them as a Bloom; the full
+    partial round then emits rows ONLY for Bloom-hit windows. Exact: a
+    duplicated window's every occurrence shares h1 so all of them pass
+    the Bloom (no false negative is possible), and a false-positive
+    unique window enters the fold with count 1 and is dropped there.
+    Trades one extra streaming hash pass over the corpus for shipping
+    full rows only at dup-proportional volume — the right side of the
+    trade once the corpus outgrows the cluster's exchange bandwidth."""
+    bloom_ref = None
+    if prenarrow:
+        def p0(t: pa.Table) -> pa.Table:
+            eh, counts, _aux = _extract(t, text_col, content)
+            h1, _, _ = (rolling_window_hashes(eh, counts, k, _M1)
+                        if len(eh) >= k
+                        else (np.empty(0, np.uint64),) * 3)
+            u, c = np.unique(h1, return_counts=True)
+            return pa.table({
+                "h1": pa.array(u), "cnt": pa.array(c.astype(np.int64)),
+                "_shard": pa.array((u % np.uint64(num_shards))
+                                   .astype(np.int64)),
+            })
+
+        def f0(t: pa.Table) -> pa.Table:
+            h1 = t["h1"].to_numpy(zero_copy_only=False)
+            cnt = t["cnt"].to_numpy(zero_copy_only=False)
+            order = np.argsort(h1, kind="stable")
+            h1s = h1[order]
+            new = np.ones(len(h1s), bool)
+            new[1:] = h1s[1:] != h1s[:-1]
+            gi = np.flatnonzero(new)
+            tot = np.add.reduceat(cnt[order], gi)
+            return pa.table({"h1": pa.array(h1s[gi[tot >= 2]])})
+
+        cand = exchange_group_map(
+            ds.map_batches(p0, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            f0, num_shards, shard_col="_shard",
+            batch_format="pyarrow").materialize()
+        nc = cand.count()
+        n_bits = prenarrow_bits or (
+            1 << min(33, max(20, int(np.ceil(np.log2(16 * max(nc, 1)))))))
+        bloom_ref = ray.put(build_bloom(cand, "h1", n_bits=n_bits))
 
     def partial(t: pa.Table) -> pa.Table:
         key_type = t.schema.field(key_col).type
         keys = t[key_col].to_numpy(zero_copy_only=False)
         eh, counts, _aux = _extract(t, text_col, content)
         h1, h2, doc, pos = _window_fp(eh, counts, k)
+        if bloom_ref is not None and len(h1):
+            hit = bloom_contains(_cached_get(bloom_ref), h1)
+            h1, h2, doc, pos = h1[hit], h2[hit], doc[hit], pos[hit]
         if len(h1) == 0:
             return _empty_partial(key_type)
         kd = keys[doc]
@@ -290,6 +343,7 @@ def duplicate_spans(
     max_broadcast: int = 500_000,
     n_bits: int | None = None,
     content: str = "text",
+    prenarrow: bool = False,
 ) -> rd.Dataset:
     """Maximal duplicated-span report: (key_col, start_word, end_word)
     for every span the dedup would cut (``keep="first"`` excludes each
@@ -309,7 +363,7 @@ def duplicate_spans(
     assert keep in ("first", "none")
     assert content in ("text", "tokens")
     dup = _dup_table(ds, text_col, key_col, k, num_shards,
-                     content).materialize()
+                     content, prenarrow=prenarrow).materialize()
     nd = dup.count()
     key_type = _col_type(ds, key_col)
 
@@ -443,6 +497,7 @@ def exact_substring_dedup(
     n_bits: int | None = None,
     max_span_broadcast: int | None = None,
     content: str = "text",
+    prenarrow: bool = False,
 ) -> rd.Dataset:
     """Corpus rewrite: every duplicated k-window span is cut from the
     text character-accurately (surrounding whitespace/punctuation kept);
@@ -462,7 +517,7 @@ def exact_substring_dedup(
     assert keep in ("first", "none")
     assert content in ("text", "tokens")
     dup = _dup_table(ds, text_col, key_col, k, num_shards,
-                     content).materialize()
+                     content, prenarrow=prenarrow).materialize()
     nd = dup.count()
 
     if nd <= max_broadcast:
@@ -479,7 +534,8 @@ def exact_substring_dedup(
                               zero_copy_batch=True)
 
     spans = duplicate_spans(ds, text_col, key_col, k, keep, num_shards,
-                            max_broadcast, n_bits, content).materialize()
+                            max_broadcast, n_bits, content,
+                            prenarrow=prenarrow).materialize()
     return _route_and_cut(ds, spans, text_col, key_col, num_shards,
                           max_span_broadcast or max_broadcast, content)
 

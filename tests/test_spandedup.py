@@ -229,3 +229,29 @@ def test_token_mode_preserves_value_type():
     assert dict(zip(sch.names, sch.types))["tokens"] == pa.list_(pa.int32())
     got = {r["doc_id"]: list(r["tokens"]) for r in out.take_all()}
     assert got == {1: [5, 6, 7, 8], 2: [], 3: [9, 10, 11, 12]}
+
+
+def test_prenarrow_matches_default():
+    """h1-only pre-narrow round: exact same output as the direct count
+    (a dup window's occurrences all share h1 → never missed; FP uniques
+    die at the count>=2 fold), on both the broadcast and exchange
+    paths, and under a flooded prenarrow Bloom (everything passes →
+    degenerates to the direct count)."""
+    exp_t, exp_n = brute(FIXED, 5)
+    for kw in ({"prenarrow": True},
+               {"prenarrow": True, "max_broadcast": 0,
+                "max_span_broadcast": 0, "num_shards": 4}):
+        got = run(mk_ds(FIXED), FIXED, 5, **kw)
+        for key, _ in FIXED:
+            assert got[key] == (exp_t[key], exp_n[key]), (key, kw)
+    spans = sp.duplicate_spans(mk_ds(FIXED), k=5, prenarrow=True)
+    assert sorted((r["doc_id"], r["start_word"], r["end_word"])
+                  for r in spans.take_all()) == \
+        [(2, 3, 13), (3, 0, 10), (6, 1, 11)]
+    # flooded prenarrow Bloom (64 bits): every window is a Bloom hit
+    base = sp._dup_table(mk_ds(FIXED), "text", "doc_id", 5, 4)
+    floo = sp._dup_table(mk_ds(FIXED), "text", "doc_id", 5, 4,
+                         prenarrow=True, prenarrow_bits=64)
+    key = lambda d: sorted((r["h1"], r["h2"], r["wkey"], r["wpos"])
+                           for r in d.take_all())
+    assert key(base) == key(floo)
