@@ -225,6 +225,46 @@ out["exchange_crossover"] = {{"blocks": 4500, "sec": round(xwall, 3),
                               "match": bool((got_tot == want_tot).all())}}
 del xrefs
 
+# span dedup across the cluster: the count exchange, Bloom-verify and
+# rewrite-upsert/tombstone tasks land on every raylet; closed-form
+# planted oracle — full copies (+100000, every 40th) empty and tombstone,
+# partials (+200000, every 80th: 3-token prefix + 20-token run of the
+# original + 3-token suffix, pre/suffix shorter than span_k=8) keep only
+# prefix+suffix, originals untouched
+sl = "/tmp/graft_lake/multinode-span"
+shutil.rmtree(sl, ignore_errors=True)
+seng = CDCEngine(sl, num_partitions=8)
+sids, stoks = [], []
+exp = {{}}
+# doc_ids are STRINGS; winner = min (key, pos) under the key's native
+# (lexicographic) order, so zero-pad to make it match numeric order
+for i in range(1, 2001):
+    w = [i * 100 + j for j in range(40)]
+    sids.append(f"{{i:09d}}"); stoks.append(w); exp[f"{{i:09d}}"] = w
+    if i % 40 == 0:
+        sids.append(f"{{i + 100000:09d}}"); stoks.append(list(w))  # emptied
+    if i % 80 == 0:
+        pr, su = [i, -1, -2], [-3, -4, -5]
+        sids.append(f"{{i + 200000:09d}}"); stoks.append(pr + w[5:25] + su)
+        exp[f"{{i + 200000:09d}}"] = pr + su
+seng.upsert(pa.table({{
+    "doc_id": pa.array(sids),
+    "tokens": pa.array(stoks, pa.list_(pa.int32())),
+    "source": pa.array(["s"] * len(sids))}}))
+t0 = time.perf_counter()
+sr = seng.dedup_lake(method="span", span_k=8, num_shards=16)
+swall = time.perf_counter() - t0
+got = {{r["doc_id"]: list(r["tokens"])
+        for b in seng.scan(columns=["doc_id", "tokens"]).iter_batches(
+            batch_format="pyarrow")
+        for r in b.to_pylist()}}
+out["span_dedup"] = {{"sec": round(swall, 3),
+                      "spans": int(sr["spans"]),
+                      "rewritten": int(sr["rewritten"]),
+                      "emptied": int(sr["emptied"]),
+                      "match": bool(got == exp)}}
+shutil.rmtree(sl, ignore_errors=True)
+
 ray.shutdown()
 print("MULTINODE_RESULT " + json.dumps(out))
 """
@@ -613,7 +653,8 @@ def main() -> int:
                 data = json.loads(line.split(" ", 1)[1])
                 ok = (all(c["match"] for c in data["checks"].values())
                       and data.get("ingest", {}).get("match", False)
-                      and data.get("reshard", {}).get("match", False))
+                      and data.get("reshard", {}).get("match", False)
+                      and data.get("span_dedup", {}).get("match", False))
                 return 0 if ok and data["nodes"] == n_workers + 1 else 1
         sys.stderr.write(p.stdout[-4000:] + "\n" + p.stderr[-4000:] + "\n")
         return 1
