@@ -1212,7 +1212,10 @@ class CDCEngine:
         ``method="span"``: exact-substring SPAN dedup
         (``functions/spandedup.py``, content="tokens"): every duplicated
         ``span_k``-token window corpus-wide is cut from all but its first
-        occurrence (``span_keep="none"`` cuts all); affected docs are
+        occurrence — "first" = minimal (doc_id, pos) under the lake's
+        STRING doc_id order (lexicographic; the WAL/ingest writers
+        zero-pad ids so this matches arrival order) —
+        (``span_keep="none"`` cuts all); affected docs are
         REWRITTEN through ``upsert_dataset`` (an ordinary update epoch —
         time travel keeps the pre-cut content) and docs whose token array
         empties are tombstoned when ``drop_empty`` (a full duplicate

@@ -28,7 +28,9 @@ window fingerprints and word indices — never text:
 3. CUT: spans are removed from the text CHARACTER-accurately (word char
    offsets from the same tokenizer pass), keeping all surrounding
    formatting. ``keep="first"`` protects the globally first occurrence
-   of each window (min (key, pos) — self-repeats keep their first copy);
+   of each window (min (key, pos) under the key column's NATIVE order —
+   string keys compare lexicographically, so zero-pad numeric-string ids
+   if numeric order is intended; self-repeats keep their first copy);
    ``keep="none"`` cuts every occurrence (the paper's default). Spans
    route back to their docs broadcast when few, else by a key-sharded
    exchange where only the AFFECTED rows' payloads move once.
