@@ -255,3 +255,16 @@ def test_prenarrow_matches_default():
     key = lambda d: sorted((r["h1"], r["h2"], r["wkey"], r["wpos"])
                            for r in d.take_all())
     assert key(base) == key(floo)
+
+
+def test_non_ascii_surroundings_cut_char_accurately():
+    """Non-ASCII chars around a duplicated run (the ASCII tokenizer skips
+    them) must survive the cut byte-for-byte — offsets always index the
+    ORIGINAL string."""
+    docs = [(1, "İİİ one two three four İİİ tailone here x"),
+            (2, "é— one two three four ±± tailtwo here y")]
+    exp_t, exp_n = brute(docs, 4)
+    got = run(mk_ds(docs), docs, 4)
+    for key, _ in docs:
+        assert got[key] == (exp_t[key], exp_n[key]), key
+    assert got[2][0].startswith("é— ") and got[2][1] == 4
